@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "flagship_revenue_by_region",
+    "aggregate_two_dims",
+    "customer_region_revenue",
+    "rollup_geo",
+    "denormalize_star",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "topk_parts_per_brand",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "ann_cosine_topk",
+    "text_quality",
+    "events_hourly",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from data_cube_spark.registry import QUERIES
+    from data_cube_spark.session import get_spark
+
+    spark = get_spark("data-cube-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # engine, not session startup
+    QUERIES["grand_total"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 3)
+        times[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

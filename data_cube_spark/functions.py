@@ -1,0 +1,106 @@
+"""Scalar function layer (reference SURVEY.md §2.7) + helpers.
+
+- calendar/date parts (reference R/populate.R:30-37, inst/cubes/cranlogs.R:62-64)
+- currency formatting (reference R/measure.R:51-55)
+- surrogate keys (reference ``add.surrogate.key`` R/populate.R:1-7, ``.GRP``)
+- decimal-exact money aggregation helpers (sums independent of shuffle order)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# -- date parts -------------------------------------------------------------
+
+def date_parts(col: str | Column, prefix: str = "d_") -> dict[str, Column]:
+    """Full date-part breakdown used to build calendar dimensions:
+    weekday/week/month/quarter/year + label columns, mirroring the
+    reference's time dimension (R/populate.R:27-38)."""
+    c = F.col(col) if isinstance(col, str) else col
+    d = F.to_date(c)
+    q = F.quarter(d)
+    return {
+        f"{prefix}date": d,
+        f"{prefix}weekday": F.date_format(d, "EEEE"),
+        f"{prefix}week": F.weekofyear(d).cast("int"),
+        f"{prefix}month": F.month(d).cast("int"),
+        f"{prefix}month_name": F.date_format(d, "MMMM"),
+        f"{prefix}quarter": q.cast("int"),
+        f"{prefix}quarter_name": F.concat(F.lit("Q"), q.cast("string")),
+        f"{prefix}year": F.year(d).cast("int"),
+    }
+
+
+def calendar_table(df: DataFrame, date_col: str, prefix: str = "d_") -> DataFrame:
+    """Distinct calendar dimension derived from a date/timestamp column —
+    the driver-data analog of the reference's populated time dimension."""
+    parts = date_parts(date_col, prefix)
+    out = df.select(*[expr.alias(name) for name, expr in parts.items()])
+    return out.dropDuplicates([f"{prefix}date"])
+
+
+# -- formatting -------------------------------------------------------------
+
+def currency_format(col: str | Column, symbol: str = "$", digits: int = 2) -> Column:
+    """Reference ``currency.format`` (R/measure.R:51-55): thousands
+    separator + symbol, built-in ``format_number`` (JVM-side, no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(F.lit(symbol), F.format_number(c, digits))
+
+
+# -- surrogate keys ---------------------------------------------------------
+
+def add_surrogate_key(df: DataFrame, cols: list[str], key_name: str) -> DataFrame:
+    """Dense integer surrogate key per distinct combination of ``cols``
+    (reference ``.GRP`` / add.surrogate.key, R/populate.R:1-7).
+
+    Implemented with ``dense_rank`` over an unpartitioned window — exact and
+    deterministic, but single-reducer for the ranking stage; for 100 TB key
+    assignment prefer :func:`add_hash_key` (distributed, collision-checked).
+    """
+    w = Window.orderBy(*cols)
+    return df.withColumn(key_name, F.dense_rank().over(w))
+
+
+def add_hash_key(df: DataFrame, cols: list[str], key_name: str) -> DataFrame:
+    """Distributed surrogate key: 64-bit hash of the natural key. O(1) per
+    row, no global sort — the scale path for surrogate keys."""
+    return df.withColumn(key_name, F.xxhash64(*cols))
+
+
+# -- decimal-exact money math ----------------------------------------------
+
+def dec(col: str | Column, precision: int = 18, scale: int = 2) -> Column:
+    """Cast to decimal so sums are exact and independent of partitioning /
+    shuffle order (double-precision sums differ run-to-run at the ulp level
+    on a cluster; decimal aggregation is associative-exact)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def money_sum(col: str | Column, alias: str) -> Column:
+    """Order-independent money sum, surfaced as double."""
+    return F.sum(dec(col)).cast("double").alias(alias)
+
+
+def as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("double")
+
+
+# -- top-k per group --------------------------------------------------------
+
+def topk_per_group(
+    df: DataFrame, group: list[str], order: list[Column], k: int, rank_col: str = "rank"
+) -> DataFrame:
+    """Top-k rows per group via window ``row_number`` (reference cranlogs
+    top-3 pattern, inst/cubes/cranlogs.R:17). Single shuffle on the group
+    keys; at scale Spark applies partial top-k (TakeOrderedAndProject per
+    partition) before the exchange when k is small."""
+    w = Window.partitionBy(*group).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )

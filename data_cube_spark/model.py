@@ -1,0 +1,652 @@
+"""Core data model: Measure, Level, Hierarchy, Dimension, Fact, DataCube.
+
+This is a brand-new PySpark implementation of the data model of the R
+package ``data.cube`` (reference at /root/reference; see SURVEY.md §1):
+
+- ``Measure``   ~ reference R/measure.R:6-34 (column + aggregate fn + format)
+- ``Level``     ~ reference R/level.R:6-51 (snowflake level table)
+- ``Hierarchy`` ~ reference R/hierarchy.R:6-39 (ordered level-key -> attrs)
+- ``Dimension`` ~ reference R/dimension.R:6-110 (base table of keys + levels)
+- ``Fact``      ~ reference R/fact.R:6-132 (fact at declared grain + measures)
+- ``DataCube``  ~ reference R/data.cube.R:18-76 (fact + dimensions)
+
+Everything is a **lazy DataFrame plus metadata** — no RDDs, no driver-side
+row loops. Query execution is entirely declarative so Catalyst applies
+predicate pushdown / column pruning / broadcast star joins; the only thing
+this layer adds is the OLAP bookkeeping (hierarchies, grain, drop rules).
+
+Scale design notes (100 TB fact, 1000 executors):
+- dimension tables are broadcast (`F.broadcast`) in every semi-/star-join,
+  so filtering a 100 TB fact by an attribute never shuffles the fact;
+- key-value dices are pushed down as `isin` literals => parquet row-group
+  pruning on the fact scan;
+- re-aggregation happens only when the grain actually changes (the
+  reference re-aggregates unconditionally, R/fact.R:87-98 — on Spark an
+  identity re-agg would be a full shuffle, so we skip it);
+- drop decisions are made from the *selector* (scalar => drop), never from
+  a `count()` action (reference computes cardinality; see SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_cube_spark.selectors import (
+    OP_COLLAPSE,
+    OP_CUBE,
+    OP_ROLLUP,
+    Selector,
+    normalize,
+)
+
+# ---------------------------------------------------------------------------
+# Measure
+# ---------------------------------------------------------------------------
+
+#: whitelist of aggregate names -> JVM-side Column functions (stay in
+#: whole-stage codegen; a Python callable falls back to a pandas UDAF).
+#: Mirrors the reference's `fun.aggregate` surface (R/measure.R:14-28).
+_BUILTIN_AGGS: dict[str, Callable[[str], Column]] = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "count_distinct": F.countDistinct,
+    "approx_count_distinct": F.approx_count_distinct,
+    "first": lambda c: F.first(c, ignorenulls=True),
+    "last": lambda c: F.last(c, ignorenulls=True),
+    "stddev": F.stddev,
+    "variance": F.variance,
+    "median": F.median,
+    "product": F.product,
+}
+
+
+class Measure:
+    """A named measure: source column/expression + aggregate function.
+
+    Reference semantics (R/measure.R:6-34 + R/fact.R:27-35): each measure
+    owns its aggregate function; whenever the cube's grain changes the
+    measure is re-aggregated with ``reagg`` over the already-aggregated
+    column. As in the reference (R/fact.R:92-98) this means non-decomposable
+    functions like ``mean`` regrain as mean-of-partials — the documented
+    contract. ``count`` re-aggregates as ``sum`` (count-of-counts would be
+    wrong; the reference never regrains a count).
+
+    ``column`` may be a column name or an arbitrary ``pyspark.sql.Column``
+    expression (e.g. revenue = extendedprice * (1 - discount)).
+    ``agg`` is a whitelist name or a Python callable ``pd.Series -> scalar``
+    (executed as an Arrow-batched pandas UDAF — the slow path, reference
+    §2.9 parity for arbitrary ``fun.aggregate``).
+    """
+
+    def __init__(
+        self,
+        name: str,
+        column: str | Column | None = None,
+        agg: str | Callable = "sum",
+        reagg: str | Callable | None = None,
+        fmt: Callable[[Column], Column] | None = None,
+        label: str | None = None,
+        dtype: str = "double",
+    ) -> None:
+        self.name = name
+        self.column = column if column is not None else name
+        self.agg = agg
+        if reagg is None:
+            reagg = "sum" if agg == "count" else agg
+        self.reagg = reagg
+        self.fmt = fmt
+        self.label = label or name
+        self.dtype = dtype  # return type for callable aggs
+
+    # -- expression builders ------------------------------------------------
+    def _apply(self, agg: str | Callable, col: str | Column) -> Column:
+        if callable(agg):
+            return self._pandas_udaf(agg)(col if isinstance(col, Column) else F.col(col))
+        try:
+            fn = _BUILTIN_AGGS[agg]
+        except KeyError:
+            raise ValueError(
+                f"unknown aggregate {agg!r}; whitelist={sorted(_BUILTIN_AGGS)} or pass a callable"
+            ) from None
+        return fn(col)
+
+    def _pandas_udaf(self, fn: Callable):
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(self.dtype)
+        def _udaf(s):
+            return fn(s)
+
+        return _udaf
+
+    def build_expr(self) -> Column:
+        """Aggregate the raw source column to the declared grain (ingest-time
+        partial aggregation, reference R/fact.R:40-44)."""
+        return self._apply(self.agg, self.column).alias(self.name)
+
+    def reagg_expr(self, agg_override: str | Callable | None = None) -> Column:
+        """Re-aggregate the measure's own output column on regrain."""
+        return self._apply(agg_override or self.reagg, self.name).alias(self.name)
+
+    def formatted(self) -> Column:
+        col = F.col(self.name)
+        return (self.fmt(col) if self.fmt else col).alias(self.name)
+
+    def with_agg(self, agg: str | Callable) -> "Measure":
+        """Copy with a replaced aggregate fn (reference ``FUN`` override in
+        apply/capply/rollup, R/data.cube.R:483-491)."""
+        return Measure(self.name, self.column, agg, None, self.fmt, self.label, self.dtype)
+
+    def __repr__(self) -> str:
+        return f"Measure({self.name!r}, agg={self.agg!r})"
+
+
+def measure_exprs(measures: Mapping[str, Measure], *, build: bool = False,
+                  agg_override: str | Callable | None = None) -> list[Column]:
+    if build:
+        return [m.build_expr() for m in measures.values()]
+    return [m.reagg_expr(agg_override) for m in measures.values()]
+
+
+# ---------------------------------------------------------------------------
+# Level / Hierarchy
+# ---------------------------------------------------------------------------
+
+
+class Level:
+    """One snowflake level table: level key + functionally-dependent attrs.
+
+    Reference R/level.R:6-51 — built by ``unique(x, by=key)`` + projection;
+    here a lazy ``dropDuplicates([key])`` projection.
+    """
+
+    def __init__(self, key: str, df: DataFrame, attrs: Sequence[str]) -> None:
+        self.key = key
+        self.df = df
+        self.attrs = tuple(attrs)
+
+    @classmethod
+    def build(cls, df: DataFrame, key: str, attrs: Sequence[str] | None = None,
+              *, unique: bool = False) -> "Level":
+        """``unique=True`` asserts the source is already at key grain and
+        skips the dedup — at scale ``dropDuplicates`` is a full shuffle, and
+        dimension tables loaded from a curated warehouse are already unique
+        (the reference always dedups, R/level.R:16-17; we make it opt-out)."""
+        attrs = tuple(a for a in (attrs if attrs is not None else df.columns) if a != key)
+        proj = df.select(key, *attrs)
+        return cls(key, proj if unique else proj.dropDuplicates([key]), attrs)
+
+    @property
+    def columns(self) -> tuple[str, ...]:
+        return (self.key, *self.attrs)
+
+    def subset(self, filters: Mapping[str, Sequence]) -> DataFrame:
+        """Conjunctive ``isin`` filter (reference level$subset mode (a),
+        R/level.R:31-45 + build.each.i R/cube.R:42-45). A DataFrame value
+        means semi-join (mode (b)). No dedup anywhere: left-semi join
+        semantics are duplicate-insensitive."""
+        df = self.df
+        for fld, vals in filters.items():
+            if isinstance(vals, DataFrame):
+                df = df.join(F.broadcast(vals.select(fld)), fld, "left_semi")
+            else:
+                df = df.where(F.col(fld).isin(list(vals)))
+        return df
+
+    def semijoin(self, keys: DataFrame) -> "Level":
+        return Level(self.key, self.df.join(F.broadcast(keys), self.key, "left_semi"), self.attrs)
+
+    def __repr__(self) -> str:
+        return f"Level({self.key!r}, attrs={list(self.attrs)})"
+
+
+class Hierarchy:
+    """Ordered mapping ``level_key -> [attrs]`` (lowest level last, its attr
+    list carrying the upper level keys) — reference R/hierarchy.R:6-39, shape
+    example R/populate.R:96-109. Pure metadata."""
+
+    def __init__(self, levels: Mapping[str, Sequence[str]], name: str | None = None) -> None:
+        self.levels = {k: tuple(v) for k, v in levels.items()}
+        self.name = name
+
+    @property
+    def level_keys(self) -> list[str]:
+        return list(self.levels)
+
+    def __repr__(self) -> str:
+        return f"Hierarchy({self.name or ''}{dict(self.levels)})"
+
+
+# ---------------------------------------------------------------------------
+# Dimension
+# ---------------------------------------------------------------------------
+
+
+class Dimension:
+    """A dimension: base table (key + all level keys, the star/snowflake
+    hybrid of reference R/dimension.R:44-46) + snowflake level tables +
+    hierarchies.
+
+    The base table is deliberately *narrow* (keys only): any hierarchy
+    attribute resolves with at most one base->level hop, and the base is
+    small enough to broadcast, so attribute filters never shuffle the fact.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        key: str,
+        base: DataFrame,
+        levels: Mapping[str, Level] | None = None,
+        hierarchies: Mapping[str, Hierarchy] | None = None,
+        *,
+        unique: bool = False,
+    ) -> None:
+        self.name = name
+        self.key = key
+        self.base = base
+        if levels is None:
+            # flat dimension: single level holding every attribute.
+            # ``unique=True`` asserts the input is already at key grain and
+            # skips the dedup shuffle.
+            levels = {key: Level.build(base, key, unique=unique)}
+        self.levels = dict(levels)
+        if key not in self.levels:
+            self.levels[key] = Level.build(base, key, [], unique=True)
+        self.hierarchies = dict(hierarchies or {})
+
+    # -- metadata -----------------------------------------------------------
+    @property
+    def fields(self) -> dict[str, str]:
+        """attr -> owning level key (reference `fields`, R/dimension.R:30-43).
+        Level keys map to themselves; the dimension key always present."""
+        out: dict[str, str] = {self.key: self.key}
+        for lk, lvl in self.levels.items():
+            out.setdefault(lk, lk)
+            for a in lvl.attrs:
+                out.setdefault(a, lk)
+        for c in self.base.columns:
+            out.setdefault(c, self.key)
+        return out
+
+    def has_field(self, field: str) -> bool:
+        return field in self.fields
+
+    # -- filtering (reference dimension$subset, R/dimension.R:64-93) --------
+    def subset(self, filters: Mapping[str, Sequence]) -> "Dimension":
+        """AND-combine attribute filters: route each field to its owning
+        level, filter that level, semi-join the base on the level key; then
+        re-derive all levels from the filtered base (snowflake semi-join
+        down, reference R/dimension.R:85-93). All lazy; dims broadcast."""
+        base = self.base
+        fields = self.fields
+        for field, vals in filters.items():
+            if field not in fields:
+                raise KeyError(f"dimension {self.name!r} has no field {field!r}")
+            vals = list(vals) if not isinstance(vals, DataFrame) else vals
+            if field in base.columns and not isinstance(vals, DataFrame):
+                base = base.where(F.col(field).isin(vals))
+            else:
+                lk = fields[field]
+                keys = self.levels[lk].subset({field: vals}).select(lk)
+                base = base.join(F.broadcast(keys), lk, "left_semi")
+        return self._with_base(base)
+
+    def _with_base(self, base: DataFrame) -> "Dimension":
+        new_levels = {
+            lk: lvl.semijoin(base.select(lk))
+            for lk, lvl in self.levels.items()
+        }
+        return Dimension(self.name, self.key, base, new_levels, self.hierarchies)
+
+    def semijoin_keys(self, keys: DataFrame) -> "Dimension":
+        """Restrict to fact-surviving keys (used after fact-side filters)."""
+        return self._with_base(
+            self.base.join(F.broadcast(keys), self.key, "left_semi")
+        )
+
+    # -- attribute resolution (capply / aggregate path) ---------------------
+    def attr_table(self, attrs: Sequence[str]) -> DataFrame:
+        """``(key, *attrs)`` projection — base joined with just the levels
+        that own the requested attrs (reference projects each needed dim to
+        {key, by-attrs}, R/cube.R:186-196). Broadcast-sized."""
+        needed: dict[str, list[str]] = {}
+        fields = self.fields
+        for a in attrs:
+            if a == self.key or a in self.base.columns:
+                continue
+            lk = fields.get(a)
+            if lk is None:
+                raise KeyError(f"dimension {self.name!r} has no field {a!r}")
+            needed.setdefault(lk, []).append(a)
+        df = self.base
+        for lk, cols in needed.items():
+            lvl = self.levels[lk]
+            df = df.join(F.broadcast(lvl.df.select(lk, *[c for c in cols if c != lk])), lk, "left")
+        return df.select(self.key, *[a for a in attrs if a != self.key])
+
+    def denormalized(self) -> DataFrame:
+        """Base joined with every level table — the full wide dimension
+        (reference denormalize path R/data.cube.R:98-110)."""
+        df = self.base
+        for lk, lvl in self.levels.items():
+            add = [a for a in lvl.attrs if a not in df.columns]
+            if add:
+                df = df.join(F.broadcast(lvl.df.select(lk, *add)), lk, "left")
+        return df
+
+    def members(self) -> DataFrame:
+        """Sorted key members (the reference guarantees sorted dimnames,
+        vignettes/sub-.data.cube.Rmd:33). The base is at key grain by
+        construction, so no dedup is needed."""
+        return self.base.select(self.key).orderBy(self.key)
+
+    def __repr__(self) -> str:
+        return f"Dimension({self.name!r}, key={self.key!r}, levels={list(self.levels)})"
+
+
+# ---------------------------------------------------------------------------
+# Fact
+# ---------------------------------------------------------------------------
+
+
+class Fact:
+    """Fact table at its declared grain + measure registry.
+
+    Invariant (reference R/fact.R:40-44): the DataFrame is aggregated to
+    ``id_vars`` grain at construction; Spark's hash aggregate does the
+    partial/final (map-side combine) split physically, so at 100 TB the
+    shuffle carries pre-combined partials, not raw rows.
+    """
+
+    def __init__(self, df: DataFrame, id_vars: Sequence[str], measures: Mapping[str, Measure]) -> None:
+        self.df = df
+        self.id_vars = list(id_vars)
+        self.measures = dict(measures)
+
+    @classmethod
+    def build(cls, df: DataFrame, id_vars: Sequence[str], measures: Sequence[Measure] | Mapping[str, Measure]) -> "Fact":
+        if not isinstance(measures, Mapping):
+            measures = {m.name: m for m in measures}
+        agg = df.groupBy(*id_vars).agg(*measure_exprs(measures, build=True))
+        return cls(agg, id_vars, measures)
+
+    @property
+    def measure_names(self) -> list[str]:
+        return list(self.measures)
+
+    def reaggregate(self, keep: Sequence[str], agg_override: str | Callable | None = None) -> "Fact":
+        """Regrain to ``keep`` FKs (collapse/slice), re-applying each
+        measure's own aggregate (reference build.j, R/fact.R:52-60,92-98).
+        Skips the shuffle when the grain is unchanged and no override."""
+        keep = list(keep)
+        if keep == self.id_vars and agg_override is None:
+            return self
+        df = self.df.groupBy(*keep).agg(*measure_exprs(self.measures, agg_override=agg_override))
+        return Fact(df, keep, self.measures)
+
+    def filter_keys(self, fk: str, keys: Sequence | DataFrame) -> "Fact":
+        """Dice the fact on one FK: literal ``isin`` pushdown for value lists
+        (=> parquet row-group pruning), broadcast left-semi for key frames
+        (reference semi-join J1, R/fact.R:82)."""
+        if isinstance(keys, DataFrame):
+            df = self.df.join(F.broadcast(keys.select(fk)), fk, "left_semi")
+        else:
+            df = self.df.where(F.col(fk).isin(list(keys)))
+        return Fact(df, self.id_vars, self.measures)
+
+    def __repr__(self) -> str:
+        return f"Fact(id_vars={self.id_vars}, measures={list(self.measures)})"
+
+
+# ---------------------------------------------------------------------------
+# DataCube
+# ---------------------------------------------------------------------------
+
+
+class DataCube:
+    """fact + named dimensions (reference R/data.cube.R:18-76).
+
+    Construction rules mirrored from the reference (R/data.cube.R:44-74):
+    - dimension keys must be single-column (enforced by the model),
+    - dims are matched to fact ``id_vars`` by key name and reordered,
+    - extra dimensions (no matching FK) are dropped,
+    - extra fact keys (no matching dimension) are collapsed out with
+      re-aggregation,
+    - the name ``grouping`` is reserved for the rollup grouping dimension.
+    """
+
+    RESERVED = "grouping"
+
+    def __init__(self, fact: Fact, dims: Mapping[str, Dimension] | Sequence[Dimension] | None = None,
+                 *, strict: bool = True) -> None:
+        if dims is None:
+            dims = {}
+        if not isinstance(dims, Mapping):
+            dims = {d.name: d for d in dims}
+        for name in dims:
+            if name == self.RESERVED and strict:
+                raise ValueError(f"dimension name {self.RESERVED!r} is reserved (rollup grouping)")
+        keyed = {d.key: (name, d) for name, d in dims.items()}
+        # keep dims whose key appears in the fact, ordered to match id_vars
+        ordered: dict[str, Dimension] = {}
+        for fk in fact.id_vars:
+            if fk in keyed:
+                name, d = keyed[fk]
+                ordered[name] = d
+        # extra fact keys (no dim): keep as degenerate keys — they stay in the
+        # grain but have no dimension metadata. The reference collapses them
+        # (R/data.cube.R:48-74); we keep them addressable as degenerate dims.
+        self.fact = fact
+        self.dims = ordered
+
+    # -- array-API metadata (reference R/data.cube.R:422-426,462-464) -------
+    def dim(self) -> list[int]:
+        """Cardinality of each dimension (requires actions — use sparingly)."""
+        return [d.base.count() for d in self.dims.values()]
+
+    def dimnames(self) -> dict[str, list]:
+        return {
+            name: [r[0] for r in d.members().collect()] for name, d in self.dims.items()
+        }
+
+    @property
+    def measures(self) -> dict[str, Measure]:
+        return self.fact.measures
+
+    # -- query entry (reference "[.data.cube" R/data.cube.R:390-409) --------
+    def __getitem__(self, spec) -> "DataCube":
+        if spec is None or (isinstance(spec, tuple) and len(spec) == 0):
+            return self  # dc[] no-op short-circuit
+        if isinstance(spec, Mapping):
+            return self.q(**spec)
+        if isinstance(spec, tuple):
+            # positional: match dims in declaration order (parse.dots
+            # positional fill, R/data.cube.R:140-160)
+            names = list(self.dims)
+            if len(spec) > len(names):
+                raise ValueError(f"{len(spec)} selectors for {len(names)} dimensions")
+            return self.q(**{names[i]: s for i, s in enumerate(spec) if s is not ...})
+        names = list(self.dims)
+        return self.q(**{names[0]: spec})
+
+    def q(self, **selectors: Any) -> "DataCube":
+        """Slice/dice/collapse query. Each kwarg names a dimension; values
+        are coerced through :func:`data_cube_spark.selectors.normalize`.
+
+        Execution order mirrors the reference lifecycle (SURVEY.md §3.1):
+        filter dimensions first (broadcast-sized), then dice the fact by
+        surviving keys (isin literal pushdown or broadcast semi-join), then
+        re-aggregate once if any dimension was dropped/collapsed.
+        """
+        unknown = set(selectors) - set(self.dims)
+        if unknown:
+            raise KeyError(f"unknown dimensions {sorted(unknown)}; have {list(self.dims)}")
+
+        grouping_ops = {n: s for n, s in ((n, normalize(s)) for n, s in selectors.items())
+                        if s.op in (OP_ROLLUP, OP_CUBE)}
+        if grouping_ops:
+            from data_cube_spark.groupingsets import grouping_query
+            return grouping_query(self, {n: normalize(s) for n, s in selectors.items()})
+
+        new_dims: dict[str, Dimension] = {}
+        fact = self.fact
+        removed: set[str] = set()
+
+        for name, dim in self.dims.items():
+            if name not in selectors:
+                new_dims[name] = dim
+                continue
+            sel = normalize(selectors[name])  # explicit None => empty dice (dc[NULL])
+            filters = sel.as_filters(dim.key)
+
+            key_only = set(filters) == {dim.key} and not isinstance(filters.get(dim.key), DataFrame)
+            fdim = dim.subset(filters) if filters else dim
+
+            if filters:
+                if key_only:
+                    # literal pushdown: parquet row-group pruning on the fact
+                    fact = fact.filter_keys(dim.key, filters[dim.key])
+                else:
+                    fact = fact.filter_keys(dim.key, fdim.base.select(dim.key))
+
+            if sel.op == OP_COLLAPSE:
+                removed.add(dim.key)  # aggregate the dimension out
+                continue
+            if sel.drop:
+                removed.add(dim.key)  # scalar slice: drop (R/data.cube.R:264-272)
+                continue
+            new_dims[name] = fdim
+
+        keep = [fk for fk in fact.id_vars if fk not in removed]
+        fact = fact.reaggregate(keep)
+        return DataCube(fact, new_dims)
+
+    # -- aggregate by arbitrary hierarchy attributes (capply, A3) -----------
+    def resolve_attrs(self, attrs: Sequence[str]) -> dict[str, list[str]]:
+        """attr -> owning dimension, erroring on ambiguity unless qualified
+        as ``"dim.attr"`` (reference dimnames.attributes, R/cube.R:23-39)."""
+        out: dict[str, list[str]] = {}
+        for a in attrs:
+            if "." in a:
+                dname, fld = a.split(".", 1)
+                if dname not in self.dims or not self.dims[dname].has_field(fld):
+                    raise KeyError(f"no field {fld!r} in dimension {dname!r}")
+                out.setdefault(dname, []).append(fld)
+                continue
+            owners = [n for n, d in self.dims.items() if d.has_field(a)]
+            if not owners:
+                if a in self.fact.df.columns:
+                    out.setdefault("", []).append(a)  # degenerate fact column
+                    continue
+                raise KeyError(
+                    f"attribute {a!r} not found in any dimension or fact column; "
+                    f"dimensions: {list(self.dims)}"
+                )
+            if len(owners) > 1:
+                raise KeyError(
+                    f"attribute {a!r} is ambiguous across dimensions {owners} — "
+                    f"qualify as 'dim.{a}'"
+                )
+            out.setdefault(owners[0], []).append(a)
+        return out
+
+    def joined(self, attrs: Sequence[str]) -> tuple[DataFrame, list[str]]:
+        """Fact inner-joined with the attr tables of every referenced dim
+        (broadcast star join, reference R/cube.R:200-205). Returns the
+        joined frame and the unqualified output attr names."""
+        routed = self.resolve_attrs(attrs)
+        df = self.fact.df
+        out_attrs: list[str] = []
+        for dname, fields in routed.items():
+            if dname == "":
+                out_attrs.extend(fields)
+                continue
+            dim = self.dims[dname]
+            fields_nokey = [f for f in fields if f != dim.key]
+            out_attrs.extend(fields)
+            if fields_nokey:
+                df = df.join(F.broadcast(dim.attr_table(fields_nokey)), dim.key, "inner")
+        return df, out_attrs
+
+    def aggregate(self, attrs: Sequence[str], fun: str | Callable | None = None) -> DataFrame:
+        """Aggregate measures by arbitrary attributes from any hierarchy
+        level of any dimension (reference capply/aggregate.cube,
+        R/cube.R:340-345 + extract R/cube.R:158-228). Returns a DataFrame
+        grouped by the attrs; one broadcast star join + one shuffle."""
+        df, out_attrs = self.joined(attrs)
+        return df.groupBy(*out_attrs).agg(*measure_exprs(self.measures, agg_override=fun))
+
+    def capply(self, attrs: Sequence[str], fun: str | Callable | None = None) -> "DataCube":
+        """Like :meth:`aggregate` but returns a cube whose dimensions are
+        rolled up to the attribute grain (reference R/cube.R:210-217)."""
+        routed = self.resolve_attrs(attrs)
+        out = self.aggregate(attrs, fun)
+        new_dims: dict[str, Dimension] = {}
+        id_vars: list[str] = []
+        for dname, fields in routed.items():
+            if dname == "":
+                id_vars.extend(fields)
+                for f in fields:
+                    new_dims[f] = Dimension(f, f, out.select(f).dropDuplicates())
+                continue
+            dim = self.dims[dname]
+            lead = fields[0]
+            id_vars.append(lead)
+            regrained = dim.attr_table(fields) if fields != [dim.key] else dim.base
+            regrained = regrained.select(*fields).dropDuplicates()
+            new_dims[dname] = Dimension(dname, lead, regrained)
+        measures = {
+            n: (m.with_agg(fun) if fun is not None else m) for n, m in self.measures.items()
+        }
+        return DataCube(Fact(out, id_vars, measures), new_dims)
+
+    # -- base-R apply semantics (A5, R/data.cube.R:473-505) ------------------
+    def apply(self, margin: Sequence[str], fun: str | Callable | None = None) -> "DataCube":
+        """Keep MARGIN dimensions, collapse the rest; optional ``fun``
+        replaces every measure's aggregate. ``margin=[]`` = grand total."""
+        margin = list(margin)
+        unknown = set(margin) - set(self.dims)
+        if unknown:
+            raise KeyError(f"unknown dimensions {sorted(unknown)}")
+        keep_keys = [self.dims[n].key for n in self.dims if n in margin]
+        fact = self.fact.reaggregate(keep_keys, agg_override=fun)
+        if fun is not None:
+            fact = Fact(fact.df, fact.id_vars, {n: m.with_agg(fun) for n, m in self.measures.items()})
+        return DataCube(fact, {n: d for n, d in self.dims.items() if n in margin})
+
+    def grand_total(self, fun: str | Callable | None = None) -> DataFrame:
+        """All dims collapsed -> 1-row frame (reference A6)."""
+        return self.apply([], fun).fact.df
+
+    # -- export conveniences (full implementations in export.py) ------------
+    def denormalize(self, dims: Sequence[str] | None = None, na_fill: bool = False) -> DataFrame:
+        from data_cube_spark.export import denormalize
+        return denormalize(self, dims=dims, na_fill=na_fill)
+
+    def schema_info(self, *, counts: bool = False) -> dict:
+        from data_cube_spark.export import schema_info
+        return schema_info(self, counts=counts)
+
+    def persist(self) -> "DataCube":
+        """Pin the cube's tables in memory — the honest Spark analog of the
+        reference's secondary indices (R/fact.R:103-105, README roadmap)."""
+        self.fact.df.persist()
+        for d in self.dims.values():
+            d.base.persist()
+        return self
+
+    def __repr__(self) -> str:
+        return (
+            f"DataCube(fact={self.fact.id_vars}, measures={list(self.measures)}, "
+            f"dims={list(self.dims)})"
+        )

@@ -1,0 +1,8 @@
+"""Large-scale training-data pipeline operators (north-star extensions —
+no reference counterpart; designed for 100 TB from the start):
+
+- :mod:`data_cube_spark.operators.dedup`      exact / fingerprint / MinHash-LSH / SimHash / n-gram Jaccard
+- :mod:`data_cube_spark.operators.similarity` brute-force + LSH-bucketed ANN over embeddings
+- :mod:`data_cube_spark.operators.text`       language-ID, quality scoring, token stats
+- :mod:`data_cube_spark.operators.multimodal` binary media columns + decode plumbing (stubbed codecs)
+"""

@@ -1,0 +1,289 @@
+"""Deduplication operators: exact, fingerprint, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Scale design (the point of this module — 100 TB corpora):
+
+- **exact/fingerprint**: hash-groupBy on a 128-bit digest. One shuffle keyed
+  by digest; survivors via min-id, no window over the whole corpus.
+- **n-gram Jaccard**: inverted-index self-join on shingles. Frequency-capped
+  (``max_df``) so stop-shingles don't produce quadratic candidate blowup —
+  the standard guard at scale.
+- **MinHash+LSH**: signature = 64 per-shingle xxhash64 minima (all JVM
+  expressions, no UDF); banding turns pairwise O(n²) similarity into
+  groupBy-on-band-hash buckets. Only bucket collisions are verified.
+- **SimHash**: 64-bit fingerprint from token-hash bit votes; near-dup =
+  identical band of the fingerprint (Hamming blocking).
+
+Every candidate-pair generator keeps ``id_a < id_b`` so pairs are unique.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_cube_spark.operators.text import fingerprint, normalized, tokens
+
+
+# -- exact / canonical ------------------------------------------------------
+
+def exact_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 *, canonical: bool = False) -> DataFrame:
+    """Hash-group documents by (optionally normalized) content. Returns one
+    row per distinct content: (content_hash, keep_id = min id, n_dups)."""
+    h = fingerprint(text_col) if canonical else F.md5(F.encode(F.col(text_col), "UTF-8"))
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                *, canonical: bool = False) -> DataFrame:
+    """Keep the min-id representative of each content group (left-semi join
+    back — the fact never collects)."""
+    keep = exact_groups(df, text_col, id_col, canonical=canonical).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# -- shingling --------------------------------------------------------------
+
+def shingles(col: str | Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text, built with
+    ``transform`` over an index sequence — no explode until the caller asks."""
+    toks = tokens(normalized(col))
+    n = F.size(toks)
+    # guard: Spark sequence(1, 0) yields a DESCENDING [1, 0] — short docs
+    # must produce an empty shingle set instead.
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3) -> DataFrame:
+    """(id, shingle) exploded pairs — the inverted-index building block."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle"))
+        .where(F.col("shingle") != "")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all candidate pairs sharing at
+    least one shingle (inverted-index join), filtered to ``>= threshold``.
+
+    ``max_df`` drops shingles appearing in more than that many docs before
+    the self-join — at corpus scale the candidate count is dominated by
+    stop-shingles, and capping document frequency bounds the join output.
+    ``block_cols`` optionally restricts candidates to equal values of those
+    columns (e.g. same language) — classic blocking.
+    """
+    sh = shingle_table(df, text_col, id_col, k)
+    if block_cols:
+        sh = sh.join(df.select(id_col, *block_cols), id_col)
+    if max_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(freq.where(F.col("_df") <= max_df).select("shingle"), "shingle")
+    sizes = sh.groupBy(id_col, *(block_cols or [])).agg(F.count(F.lit(1)).alias("_sz"))
+
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("shingle"),
+        *[F.col(c) for c in (block_cols or [])],
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("shingle"),
+        *[F.col(c).alias(f"_b_{c}") for c in (block_cols or [])],
+    )
+    on = [a["shingle"] == b["shingle"]] + [
+        a[c] == b[f"_b_{c}"] for c in (block_cols or [])
+    ]
+    inter = (
+        a.join(b, on)
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sz_b"))
+    out = (
+        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("_inter") / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")))
+            .cast("double")
+            .alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for seed i, sig[i] = min over shingles
+    of xxhash64(i, shingle). Computed as ``num_hashes`` JVM min-aggregates
+    over the exploded shingle table — one shuffle keyed by doc id, no UDF."""
+    sh = shingle_table(df, text_col, id_col, k)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col), F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and bucket-join: two docs are candidates iff some
+    band of their signatures hashes identically. P(candidate) ≈
+    1-(1-j^r)^b — with 16 bands × 4 rows the curve is steep around j≈0.5.
+
+    The pair join happens *within buckets only* (groupBy band_id+band_hash),
+    never across the whole corpus."""
+    n = bands * rows_per_band
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.xxhash64(*[F.col("signature")[b * rows_per_band + r]
+                                 for r in range(rows_per_band)]).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def minhash_estimate(signatures: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                     num_hashes: int = 64) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of matching
+    signature positions (zip_with, JVM-side)."""
+    sa = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("_sig_a"))
+    sb = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("_sig_b"))
+    matches = F.aggregate(
+        F.zip_with("_sig_a", "_sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", (matches / F.lit(num_hashes)).cast("double").alias("est_jaccard"))
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded buckets ->
+    candidate pairs -> signature-estimated Jaccard >= threshold."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    est = minhash_estimate(sigs, cands, id_col, num_hashes)
+    return est.where(F.col("est_jaccard") >= threshold)
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: hash each distinct token, each bit votes +1/-1, sign of
+    the vote sum becomes the fingerprint bit. 64 conditional sums over the
+    exploded token table — all JVM expressions, one shuffle on doc id."""
+    tok = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(normalized(text_col)))).alias("tok"))
+        .where(F.col("tok") != "")
+        .select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    )
+    def bit_i(i: int):
+        # 1 << 63 overflows a Python->JVM long literal; shiftleft stays in
+        # the long domain (bit 63 wraps to Long.MIN_VALUE, which is fine for
+        # mask semantics)
+        return F.shiftleft(F.lit(1).cast("long"), i)
+
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(bit_i(i)) != 0, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"_b{i}") > 0, bit_i(i)).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       band_bits: int = 16) -> DataFrame:
+    """Hamming-distance blocking: split the 64-bit simhash into 64/band_bits
+    bands; docs sharing any band are candidates (catches Hamming distance
+    < 64/band_bits guaranteed). Returns pairs + exact Hamming distance."""
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    sh = simhash64(df, text_col, id_col)
+    banded = sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("band_val"),
+            )
+            for b in range(n_bands)
+        ])).alias("band"),
+    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sh_a"),
+                      "band_id", "band_val")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sh_b"),
+                      "band_id", "band_val")
+    pairs = (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs

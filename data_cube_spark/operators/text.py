@@ -1,0 +1,132 @@
+"""Text-analysis operators: tokenization stats, quality scoring, language
+identification, document fingerprinting.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` expressions —
+no Python UDFs anywhere in this module, so the whole pipeline stays inside
+whole-stage codegen and scales linearly with the corpus (100 TB = a single
+scan + narrow projections; zero shuffles for per-document ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword inventories for the n-gram/stopword heuristic
+#: language ID. Deliberately small & fixed: determinism beats coverage here
+#: (a real deployment would swap in fastText-style models via mapInPandas).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "en", "por", "que"],
+}
+
+
+def _count_matches(col: Column, words: list[str]) -> Column:
+    pat = r"(?i)\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+
+
+def tokens(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count (the BPE-ish regex variant is
+    :func:`subword_count`)."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def subword_count(col: str | Column) -> Column:
+    """BPE-flavored token estimate: split on word boundaries AND digit/alpha
+    transitions — counts sub-lexical units the way byte-pair encoders
+    roughly do, without a vocab."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    return F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("bigint")
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features (length / punctuation / stopword /
+    uppercase / digit ratios + mean token length). One narrow projection."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("bigint")
+    n_tok = token_count(text_col)
+    n_punct = F.length(F.regexp_replace(t, r"[^.!?,;:]", "")).cast("bigint")
+    n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("bigint")
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("bigint")
+    n_stop = _count_matches(t, LANG_STOPWORDS["en"]).cast("bigint")
+    nonspace = F.length(F.regexp_replace(t, r"\s+", "")).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        (n_punct / n_chars).cast("double").alias("punct_ratio"),
+        (n_upper / n_chars).cast("double").alias("upper_ratio"),
+        (n_digit / n_chars).cast("double").alias("digit_ratio"),
+        (n_stop / n_tok).cast("double").alias("stopword_ratio"),
+        (nonspace / n_tok).cast("double").alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scalar quality score in [0,1]: stopword presence up-weights,
+    punctuation/digit excess down-weights — the standard cheap pre-filter
+    shape (cf. Gopher/C4 heuristics)."""
+    feats = quality_features(df, text_col, id_col)
+    score = (
+        F.least(F.col("stopword_ratio") * 4, F.lit(1.0)) * 0.5
+        + F.when((F.col("mean_token_len") >= 3) & (F.col("mean_token_len") <= 10), 0.3).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.1, 0.2).otherwise(0.0)
+    )
+    return feats.select(id_col, score.cast("double").alias("quality"))
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-voting language ID over a fixed language set. Ties resolve
+    in LANG_STOPWORDS declaration order; zero hits => 'und' (undetermined).
+    Pure expression — no UDF, no shuffle."""
+    t = F.col(text_col)
+    counts = {lang: _count_matches(t, words) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*counts.values())
+    pick = F.lit("und")
+    for lang in reversed(list(counts)):  # earlier languages win ties
+        pick = F.when(counts[lang] == best, F.lit(lang)).otherwise(pick)
+    pick = F.when(best == 0, F.lit("und")).otherwise(pick)
+    return df.select(
+        F.col(id_col),
+        pick.alias("lang_pred"),
+        best.cast("bigint").alias("stopword_hits"),
+    )
+
+
+def normalized(col: str | Column) -> Column:
+    """Canonical text normalization shared by fingerprint + dedup: lowercase,
+    strip non-alphanumerics, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Deterministic document fingerprint = md5 of the normalized text.
+    (A rolling/Karp-Rabin hash variant is in dedup.simhash64 — this one is
+    the exact-canonical fingerprint used for dedup keys.)"""
+    return F.md5(F.encode(normalized(col), "UTF-8"))
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-stop per-document profile: token counts + fingerprint + langid."""
+    lang = language_id(df, text_col, id_col)
+    qual = quality_features(df, text_col, id_col)
+    base = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens_ws"),
+        subword_count(text_col).alias("n_subwords"),
+        fingerprint(text_col).alias("fingerprint"),
+    )
+    return base.join(lang, id_col).join(qual, id_col)

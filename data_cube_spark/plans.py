@@ -1,0 +1,53 @@
+"""Physical-plan introspection helpers — the feedback loop for the
+"would this survive 100×?" question.
+
+Used by tests to assert that the plans we ship are the plans we want:
+filters pushed to the parquet scan, dimensions broadcast (no fact shuffle
+for star joins), bounded exchange counts, whole-stage codegen coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan (AQE may merge some
+    at runtime; this is the static upper bound)."""
+    plan = explain_str(df, "simple")
+    return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df, "simple")
+
+def has_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in explain_str(df, "simple")
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters section(s) of the scan nodes."""
+    plan = explain_str(df, "formatted")
+    return "\n".join(line.strip() for line in plan.splitlines() if "PushedFilters" in line)
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    return fragment in pushed_filters(df)
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns actually read from parquet (column pruning check)."""
+    import re
+
+    plan = explain_str(df, "formatted")
+    cols: set[str] = set()
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            cols.update(re.findall(r"(\w+):", line.split("ReadSchema")[-1]))
+    return sorted(cols)

@@ -1,0 +1,801 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 (plus the north-star pipeline operators) exposed as a
+``(spark, sf_dir) -> DataFrame`` callable with a matching DuckDB oracle SQL.
+
+Determinism conventions (so order-insensitive value hashes match):
+- money sums go through ``DECIMAL(18,2)`` on BOTH sides (exact, independent
+  of shuffle order), surfaced as ``DOUBLE``;
+- averages are expressed as decimal-sum-cast-double / count — one double
+  division, bit-identical in both engines;
+- every computed column is aliased identically in Spark and SQL;
+- ranking ties are broken by an id column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_cube_spark.export import denormalize, pivot_format
+from data_cube_spark.functions import add_surrogate_key, topk_per_group
+from data_cube_spark.groupingsets import rollup_cube
+from data_cube_spark.model import Measure
+from data_cube_spark.operators import dedup, multimodal, similarity, text
+from data_cube_spark.operators.text import LANG_STOPWORDS
+from data_cube_spark.selectors import C, Collapse, CubeOp
+from data_cube_spark.sources.star import load_tables, tpch_cube
+from data_cube_spark.streaming import sessionize_batch, tumbling_agg
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# -- SQL fragments shared with the oracles ----------------------------------
+
+SQL_QTY = "SUM(CAST(l_quantity AS DECIMAL(18,2)))"
+SQL_REV = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+)
+SQL_CHARGE = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+    " * (1 + CAST(l_tax AS DECIMAL(18,2))))"
+)
+SQL_GRAIN = f"""
+  SELECT l_orderkey AS o_orderkey, l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         {SQL_QTY} AS sum_qty, {SQL_REV} AS revenue, {SQL_CHARGE} AS sum_charge,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY 1, 2, 3
+"""
+
+
+def _m(df: DataFrame, *extra: str) -> DataFrame:
+    """Surface the cube's decimal measures as doubles (stable output schema)."""
+    keep = [c for c in df.columns if c not in {"sum_qty", "revenue", "sum_charge", "n_lines"}]
+    out = df.select(
+        *keep,
+        *[F.col(c).cast("double").alias(c) for c in ("sum_qty", "revenue", "sum_charge") if c in df.columns],
+        *([F.col("n_lines")] if "n_lines" in df.columns else []),
+    )
+    return out
+
+
+_MEASURE_SQL = (
+    f"CAST({SQL_QTY} AS DOUBLE) AS sum_qty, CAST({SQL_REV} AS DOUBLE) AS revenue, "
+    f"CAST({SQL_CHARGE} AS DOUBLE) AS sum_charge, COUNT(*) AS n_lines"
+)
+
+_NORM_SQL = (
+    "TRIM(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def _lang_counts_sql() -> dict[str, str]:
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        pat = r"(?i)\b(" + "|".join(words) + r")\b"
+        out[lang] = f"len(regexp_extract_all(text, '{pat}'))"
+    return out
+
+
+# ===========================================================================
+# Cube-engine queries (SURVEY §2 parity)
+# ===========================================================================
+
+def q_flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 capply: aggregate measures at an arbitrary hierarchy attribute
+    (supplier -> nation -> region)."""
+    dc = tpch_cube(spark, sf_dir)
+    return _m(dc.aggregate(["supplier.r_name"]))
+
+
+def q_dice_key_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 key dice with literal isin pushdown + A2 collapse of other dims."""
+    dc = tpch_cube(spark, sf_dir)
+    q = dc.q(supplier=C(0, 1, 2, 3, 4), part=Collapse(), orders=Collapse())
+    return _m(q.fact.df)
+
+
+def q_slice_scalar_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F7 scalar slice: dimension dropped, fact regrained."""
+    dc = tpch_cube(spark, sf_dir)
+    q = dc.q(part=0)
+    return _m(q.fact.df)
+
+
+def q_attr_dice_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4 attribute filter routed through the snowflake (region name ->
+    nation keys -> supplier keys -> fact semi-join)."""
+    dc = tpch_cube(spark, sf_dir)
+    q = dc.q(supplier=C(r_name=["EUROPE", "ASIA"]), part=Collapse(), orders=Collapse())
+    return _m(q.fact.df)
+
+
+def q_collapse_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 collapse with pre-filter: the `-()` args filter BEFORE collapsing."""
+    dc = tpch_cube(spark, sf_dir)
+    q = dc.q(orders=Collapse(o_orderpriority=["1-URGENT"]), part=Collapse())
+    return _m(q.fact.df)
+
+
+def q_aggregate_two_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 capply across two dimensions' hierarchy attributes."""
+    dc = tpch_cube(spark, sf_dir)
+    return _m(dc.aggregate(["supplier.r_name", "part.p_brand"]))
+
+
+def q_customer_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 via the orders -> customer -> nation -> region snowflake path."""
+    dc = tpch_cube(spark, sf_dir)
+    return _m(dc.aggregate(["orders.cr_name"]))
+
+
+def q_calendar_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 over the derived calendar hierarchy (date -> month/year)."""
+    dc = tpch_cube(spark, sf_dir)
+    return _m(dc.aggregate(["orders.d_year", "orders.d_month"]))
+
+
+def q_apply_margin_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 apply(MARGIN, FUN): keep supplier, collapse the rest, override
+    every measure's aggregate with max (max-of-partials contract)."""
+    dc = tpch_cube(spark, sf_dir)
+    out = dc.apply(["supplier"], fun="max").fact.df
+    return out.select(
+        "s_suppkey",
+        F.col("sum_qty").cast("double").alias("max_qty"),
+        F.col("revenue").cast("double").alias("max_revenue"),
+    )
+
+
+def q_grand_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 grand total: all dimensions collapsed -> one row."""
+    dc = tpch_cube(spark, sf_dir)
+    return _m(dc.grand_total())
+
+
+def q_rollup_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8 rollup cube over (region, nation) with grouping-level codes and
+    the bound `grouping` dimension."""
+    dc = tpch_cube(spark, sf_dir)
+    rc = rollup_cube(dc, ["supplier.r_name", "supplier.n_name"])
+    out = rc.fact.df
+    return out.select(
+        "r_name", "n_name",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("n_lines"),
+        F.col("grouping_level").cast("int").alias("grouping_level"),
+    )
+
+
+def q_rollup_level_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 prefix selection (reference INDEX arg): only levels {1, 2}."""
+    dc = tpch_cube(spark, sf_dir)
+    rc = rollup_cube(dc, ["supplier.r_name", "supplier.n_name"], levels=[1, 2])
+    return rc.fact.df.select(
+        "r_name", "n_name",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("grouping_level").cast("int").alias("grouping_level"),
+    )
+
+
+def q_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 `^` cube op through the query API over degenerate flag dims."""
+    from data_cube_spark.build import from_table
+
+    t = load_tables(spark, sf_dir)
+    dc = from_table(
+        t["lineitem"],
+        {"returnflag": "l_returnflag", "linestatus": "l_linestatus"},
+        [Measure("sum_qty", F.col("l_quantity").cast("decimal(18,2)"), agg="sum"),
+         Measure("n_lines", "l_orderkey", agg="count")],
+    )
+    q = dc.q(returnflag=CubeOp(), linestatus=CubeOp())
+    return q.fact.df.select(
+        "l_returnflag", "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("n_lines"),
+        F.col("grouping_level").cast("int").alias("grouping_level"),
+    )
+
+
+def q_denormalize_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 denormalize: star-join every dimension's attributes onto the fact."""
+    dc = tpch_cube(spark, sf_dir)
+    df = denormalize(dc)
+    return df.select(
+        "o_orderkey", "p_partkey", "s_suppkey",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("revenue").cast("double").alias("revenue"),
+        "n_lines", "p_brand", "s_name", "n_name", "r_name", "cn_name", "cr_name",
+        "o_orderpriority", F.col("d_year").cast("int").alias("d_year"),
+    )
+
+
+def q_pivot_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 pivot: returnflag rows × linestatus columns, sum_qty cells."""
+    t = load_tables(spark, sf_dir)
+    base = t["lineitem"].groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("q")
+    )
+    return pivot_format(base, rows=["l_returnflag"], pivot_col="l_linestatus",
+                        pivot_values=["F", "O"], measure="q")
+
+
+def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group (cranlogs top-3 pattern)."""
+    dc = tpch_cube(spark, sf_dir)
+    agg = dc.aggregate(["part.p_brand", "p_partkey"])
+    top = topk_per_group(
+        agg, ["p_brand"], [F.col("revenue").desc(), F.col("p_partkey").asc()], k=3
+    )
+    return top.select(
+        "p_brand", "p_partkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key assignment (reference .GRP / add.surrogate.key)."""
+    t = load_tables(spark, sf_dir)
+    segs = t["customer"].select("c_mktsegment").dropDuplicates()
+    return add_surrogate_key(segs, ["c_mktsegment"], "seg_key").select(
+        "c_mktsegment", F.col("seg_key").cast("bigint").alias("seg_key")
+    )
+
+
+def q_events_cube_from_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 from_table constructor + A2 collapse on the events table."""
+    from data_cube_spark.build import from_table
+
+    t = load_tables(spark, sf_dir)
+    dc = from_table(
+        t["events"],
+        {"etype": "event_type", "user": "user_id"},
+        [Measure("sum_value", F.col("value").cast("decimal(18,6)"), agg="sum"),
+         Measure("n_events", "event_id", agg="count")],
+    )
+    q = dc.q(user=Collapse())
+    return q.fact.df.select(
+        "event_type", F.col("sum_value").cast("double").alias("sum_value"), "n_events"
+    )
+
+
+# -- TPC-H-shaped headline queries ------------------------------------------
+
+def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape through from_table: degenerate flag dims, decimal
+    sums, averages as sum/count."""
+    from data_cube_spark.build import from_table
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+    dc = from_table(
+        li,
+        {"returnflag": "l_returnflag", "linestatus": "l_linestatus"},
+        [
+            Measure("sum_qty", F.col("l_quantity").cast("decimal(18,2)"), agg="sum"),
+            Measure("sum_base_price", F.col("l_extendedprice").cast("decimal(18,2)"), agg="sum"),
+            Measure("sum_disc_price",
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")), agg="sum"),
+            Measure("sum_charge",
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                    * (F.lit(1) + F.col("l_tax").cast("decimal(18,2)")), agg="sum"),
+            Measure("count_order", "l_orderkey", agg="count"),
+        ],
+    )
+    out = dc.fact.df
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+        F.col("sum_charge").cast("double").alias("sum_charge"),
+        (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment dice through the snowflake, revenue per
+    order, deterministic top-10."""
+    dc = tpch_cube(spark, sf_dir)
+    q = dc.q(orders=C(c_mktsegment=["BUILDING"]))
+    agg = q.aggregate(["o_orderkey", "orders.o_orderdate", "orders.o_orderpriority"])
+    out = (
+        agg.where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+    return out.select(
+        "o_orderkey", F.col("revenue").cast("double").alias("revenue"),
+        "o_orderdate", "o_orderpriority",
+    )
+
+
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by supplier nation where the customer's
+    nation equals the supplier's nation, region-filtered, one year."""
+    dc = tpch_cube(spark, sf_dir)
+    q = dc.q(supplier=C(r_name=["EUROPE"]))
+    df = denormalize(q)
+    out = (
+        df.where((F.col("c_nationkey") == F.col("n_nationkey"))
+                 & (F.col("d_year") == 1996))
+        .groupBy("n_name")
+        .agg(F.sum("revenue").cast("double").alias("revenue"),
+             F.sum("n_lines").alias("n_lines"))
+    )
+    return out
+
+
+# ===========================================================================
+# Pipeline operators (north-star)
+# ===========================================================================
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return dedup.exact_groups(t["documents"])
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-normalization dedup groups (fingerprint = md5 of normalized
+    text)."""
+    t = load_tables(spark, sf_dir)
+    return dedup.exact_groups(t["documents"], canonical=True)
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", text.token_count("text").alias("n_tokens"),
+        text.subword_count("text").alias("n_subwords"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return text.quality_features(t["documents"])
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return text.language_id(t["documents"])
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select("doc_id", text.fingerprint("text").alias("fingerprint"))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs, blocked by (lang, source)."""
+    t = load_tables(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(
+        t["documents"], k=3, threshold=0.05, block_cols=["lang", "source"]
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with estimated Jaccard (not
+    SQL-expressible — rows-only check; exactness verified in tests against
+    ngram_jaccard)."""
+    t = load_tables(spark, sf_dir)
+    return dedup.minhash_dedup_pairs(t["documents"], threshold=0.3)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-blocked near-dup candidates (rows-only check)."""
+    t = load_tables(spark, sf_dir)
+    return dedup.simhash_near_pairs(t["documents"], band_bits=16)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for query vectors vec_id < 10."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.cosine_topk(queries, emb, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (rows-only; recall vs brute force is
+    asserted in tests)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.lsh_topk(queries, emb, k=5, n_planes=4)
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (IVF building block), long-form."""
+    t = load_tables(spark, sf_dir)
+    out = similarity.centroid_table(t["embeddings"], "label")
+    return out.select("label", F.col("pos").cast("int").alias("pos"),
+                      F.col("centroid_val").cast("double").alias("centroid_val"))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing: payload byte length + content hash."""
+    t = load_tables(spark, sf_dir)
+    media = multimodal.fake_media_from_text(t["documents"])
+    return media.select("asset_id", "media_type", "n_bytes", "content_hash")
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode pipeline with the deterministic fake codec
+    (rows-only: hashlib-derived dims are not SQL-expressible)."""
+    t = load_tables(spark, sf_dir)
+    media = multimodal.fake_media_from_text(t["documents"])
+    return multimodal.decode_image(media, fake=True)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming op)."""
+    t = load_tables(spark, sf_dir)
+    return tumbling_agg(t["events"], keys=["event_type"])
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (batch oracle twin of
+    session_window)."""
+    t = load_tables(spark, sf_dir)
+    return sessionize_batch(t["events"])
+
+
+# ===========================================================================
+# Registry + oracles
+# ===========================================================================
+
+QUERIES: dict[str, QueryFn] = {
+    "flagship_revenue_by_region": q_flagship_revenue_by_region,
+    "dice_key_pushdown": q_dice_key_pushdown,
+    "slice_scalar_drop": q_slice_scalar_drop,
+    "attr_dice_snowflake": q_attr_dice_snowflake,
+    "collapse_prefilter": q_collapse_prefilter,
+    "aggregate_two_dims": q_aggregate_two_dims,
+    "customer_region_revenue": q_customer_region_revenue,
+    "calendar_month_revenue": q_calendar_month_revenue,
+    "apply_margin_max": q_apply_margin_max,
+    "grand_total": q_grand_total,
+    "rollup_geo": q_rollup_geo,
+    "rollup_level_select": q_rollup_level_select,
+    "cube_grouping_sets": q_cube_grouping_sets,
+    "denormalize_star": q_denormalize_star,
+    "pivot_flag_status": q_pivot_flag_status,
+    "topk_parts_per_brand": q_topk_parts_per_brand,
+    "surrogate_key": q_surrogate_key,
+    "events_cube_from_table": q_events_cube_from_table,
+    "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+    "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
+    "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_centroids": q_embedding_centroids,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+}
+
+
+def _langid_sql() -> str:
+    counts = _lang_counts_sql()
+    best = "greatest(" + ", ".join(f"c_{l}" for l in counts) + ")"
+    case = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+        f"WHEN c_{l} = best THEN '{l}'" for l in counts
+    ) + " END"
+    inner = ", ".join(f"{expr} AS c_{l}" for l, expr in counts.items())
+    return f"""
+      WITH c AS (SELECT doc_id, {inner} FROM documents),
+      b AS (SELECT doc_id, c_en, c_de, c_fr, c_es, {best} AS best FROM c)
+      SELECT doc_id, {case} AS lang_pred, CAST(best AS BIGINT) AS stopword_hits FROM b
+    """
+
+
+def _quality_sql() -> str:
+    en = LANG_STOPWORDS["en"]
+    stop_pat = r"(?i)\b(" + "|".join(en) + r")\b"
+    return f"""
+      WITH f AS (
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars_calc,
+          CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
+          CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+          CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+          CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+          CAST(len(regexp_extract_all(text, '{stop_pat}')) AS BIGINT) AS n_stop,
+          CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS nonspace
+        FROM documents)
+      SELECT doc_id, n_chars_calc, n_tokens,
+             CAST(n_punct AS DOUBLE) / n_chars_calc AS punct_ratio,
+             CAST(n_upper AS DOUBLE) / n_chars_calc AS upper_ratio,
+             CAST(n_digit AS DOUBLE) / n_chars_calc AS digit_ratio,
+             CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+             CAST(nonspace AS DOUBLE) / n_tokens AS mean_token_len
+      FROM f
+    """
+
+
+def _ngram_jaccard_sql(threshold: float = 0.05) -> str:
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, lang, source,
+               string_split({_NORM_SQL}, ' ') AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, lang, source,
+               array_to_string(t[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, lang, source, t,
+                     unnest(generate_series(1, len(t) - 2)) AS i
+              FROM toks WHERE len(t) >= 3)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             CAST(i.n AS DOUBLE) / (sa.n + sb.n - i.n) AS jaccard
+      FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+      WHERE CAST(i.n AS DOUBLE) / (sa.n + sb.n - i.n) >= {threshold}
+    """
+
+
+ORACLE: dict[str, str] = {
+    "flagship_revenue_by_region": f"""
+      SELECT r_name, {_MEASURE_SQL}
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1
+    """,
+    "dice_key_pushdown": f"""
+      SELECT l_suppkey AS s_suppkey, {_MEASURE_SQL}
+      FROM lineitem WHERE l_suppkey IN (0,1,2,3,4) GROUP BY 1
+    """,
+    "slice_scalar_drop": f"""
+      SELECT l_orderkey AS o_orderkey, l_suppkey AS s_suppkey, {_MEASURE_SQL}
+      FROM lineitem WHERE l_partkey = 0 GROUP BY 1, 2
+    """,
+    "attr_dice_snowflake": f"""
+      SELECT l_suppkey AS s_suppkey, {_MEASURE_SQL}
+      FROM lineitem
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('EUROPE','ASIA'))
+      GROUP BY 1
+    """,
+    "collapse_prefilter": f"""
+      SELECT l_suppkey AS s_suppkey, {_MEASURE_SQL}
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    """,
+    "aggregate_two_dims": f"""
+      SELECT r_name, p_brand, {_MEASURE_SQL}
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    """,
+    "customer_region_revenue": f"""
+      SELECT r_name AS cr_name, {_MEASURE_SQL}
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1
+    """,
+    "calendar_month_revenue": f"""
+      SELECT CAST(year(o_orderdate) AS INT) AS d_year,
+             CAST(month(o_orderdate) AS INT) AS d_month, {_MEASURE_SQL}
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    """,
+    "apply_margin_max": f"""
+      WITH grain AS ({SQL_GRAIN})
+      SELECT s_suppkey, CAST(MAX(sum_qty) AS DOUBLE) AS max_qty,
+             CAST(MAX(revenue) AS DOUBLE) AS max_revenue
+      FROM grain GROUP BY 1
+    """,
+    "grand_total": f"SELECT {_MEASURE_SQL} FROM lineitem",
+    "rollup_geo": f"""
+      SELECT r_name, n_name, CAST({SQL_REV} AS DOUBLE) AS revenue,
+             COUNT(*) AS n_lines,
+             CAST(GROUPING(r_name) + GROUPING(n_name) AS INT) AS grouping_level
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "rollup_level_select": f"""
+      SELECT r_name, n_name, CAST({SQL_QTY} AS DOUBLE) AS sum_qty,
+             CAST(GROUPING(r_name) + GROUPING(n_name) AS INT) AS grouping_level
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      HAVING GROUPING(r_name) + GROUPING(n_name) IN (1, 2)
+    """,
+    "cube_grouping_sets": f"""
+      SELECT l_returnflag, l_linestatus, CAST({SQL_QTY} AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n_lines,
+             CAST(GROUPING(l_returnflag) + GROUPING(l_linestatus) AS INT) AS grouping_level
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "denormalize_star": f"""
+      WITH grain AS ({SQL_GRAIN})
+      SELECT grain.o_orderkey, grain.p_partkey, grain.s_suppkey,
+             CAST(sum_qty AS DOUBLE) AS sum_qty, CAST(revenue AS DOUBLE) AS revenue,
+             n_lines, p_brand, s_name, n.n_name, r.r_name,
+             cn.n_name AS cn_name, cr.r_name AS cr_name,
+             o_orderpriority, CAST(year(o_orderdate) AS INT) AS d_year
+      FROM grain
+      JOIN part ON grain.p_partkey = part.p_partkey
+      JOIN supplier ON grain.s_suppkey = supplier.s_suppkey
+      JOIN nation n ON supplier.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      JOIN orders ON grain.o_orderkey = orders.o_orderkey
+      JOIN customer ON orders.o_custkey = customer.c_custkey
+      JOIN nation cn ON customer.c_nationkey = cn.n_nationkey
+      JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    """,
+    "pivot_flag_status": """
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS "F",
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS "O"
+      FROM lineitem GROUP BY 1
+    """,
+    "topk_parts_per_brand": f"""
+      WITH agg AS (
+        SELECT p_brand, p_partkey, {SQL_REV} AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2)
+      SELECT p_brand, p_partkey, CAST(rev AS DOUBLE) AS revenue,
+             CAST(row_number() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey) AS BIGINT) AS rank
+      FROM agg QUALIFY rank <= 3
+    """,
+    "surrogate_key": """
+      SELECT c_mktsegment,
+             CAST(dense_rank() OVER (ORDER BY c_mktsegment) AS BIGINT) AS seg_key
+      FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    """,
+    "events_cube_from_table": """
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             COUNT(event_id) AS n_events
+      FROM events GROUP BY 1
+    """,
+    "tpch_q1_pricing_summary": f"""
+      SELECT l_returnflag, l_linestatus,
+             CAST({SQL_QTY} AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST({SQL_REV} AS DOUBLE) AS sum_disc_price,
+             CAST({SQL_CHARGE} AS DOUBLE) AS sum_charge,
+             CAST({SQL_QTY} AS DOUBLE) / COUNT(*) AS avg_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+             COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      GROUP BY 1, 2
+    """,
+    "tpch_q3_shipping_priority": f"""
+      SELECT l_orderkey AS o_orderkey, CAST({SQL_REV} AS DOUBLE) AS revenue,
+             o_orderdate, o_orderpriority
+      FROM lineitem
+      JOIN orders ON l_orderkey = orders.o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 3, 4
+      ORDER BY {SQL_REV} DESC, l_orderkey LIMIT 10
+    """,
+    "tpch_q5_local_supplier": f"""
+      SELECT n.n_name, CAST({SQL_REV} AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n ON s_nationkey = n.n_nationkey
+      JOIN region ON n.n_regionkey = r_regionkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE r_name = 'EUROPE' AND customer.c_nationkey = supplier.s_nationkey
+        AND year(o_orderdate) = 1996
+      GROUP BY 1
+    """,
+    "dedup_exact": """
+      SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      FROM documents GROUP BY 1
+    """,
+    "dedup_fingerprint": f"""
+      SELECT md5({_NORM_SQL}) AS content_hash, MIN(doc_id) AS keep_id,
+             COUNT(*) AS n_dups
+      FROM documents GROUP BY 1
+    """,
+    "text_token_count": r"""
+      SELECT doc_id,
+             CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords
+      FROM documents
+    """,
+    "text_quality": _quality_sql(),
+    "text_langid": _langid_sql(),
+    "text_fingerprint": f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
+    "ngram_jaccard_pairs": _ngram_jaccard_sql(),
+    "embedding_centroids": """
+      SELECT label, CAST(i - 1 AS INT) AS pos,
+             CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS centroid_val
+      FROM (SELECT label, unnest(embedding) AS v,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+      GROUP BY 1, 2
+    """,
+    "multimodal_meta": """
+      SELECT CAST(doc_id AS BIGINT) AS asset_id, 'image' AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS content_hash
+      FROM documents
+    """,
+    "events_hourly": """
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+      WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+                    ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    """,
+    "ann_cosine_topk": """
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) AS cosine
+        FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      SELECT query_id, match_id, CAST(cosine AS DOUBLE) AS cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, match_id) AS INT) AS rank
+      FROM scored QUALIFY rank <= 5
+    """,
+}
+
+
+def run_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    return QUERIES[name](spark, sf_dir)

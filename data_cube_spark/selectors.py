@@ -1,0 +1,124 @@
+"""Query-spec selector objects — the explicit replacement for the reference's
+R non-standard-evaluation query syntax.
+
+The reference parses ``dc[product="Mazda RX4", time=`-`(time_year=2014L)]``
+with an NSE parser (``parse.dots``, reference R/data.cube.R:121-227) that
+decodes operator prefixes ``.`` (select) ``-`` (collapse) ``+`` (rollup)
+``^`` (cube) and normalizes values/filters. We replace that with plain
+Python objects, so the "IR" of a query is inspectable and serializable:
+
+    dc.q(part=C("..."),                      # dice by key values
+         supplier={"n_name": ["FRANCE"]},    # dice by hierarchy attribute
+         orders=Collapse(o_orderpriority="1-URGENT"),  # pre-filter + collapse
+         part=5)                             # scalar => slice (dim dropped)
+
+Selector semantics mirror reference R/data.cube.R:162-227 + 264-281:
+- scalar key value      -> slice: filter to one member, DROP the dimension
+- list of key values    -> dice: filter, keep the dimension
+- mapping field->values -> dice by attributes at any hierarchy level
+- Collapse(...)         -> optional pre-filter, then collapse (aggregate out)
+- RollupOp / CubeOp     -> grouping-sets over the dimension's hierarchy keys
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+#: operator codes matching the reference's prefixes (R/data.cube.R:162-169)
+OP_SELECT = "."
+OP_COLLAPSE = "-"
+OP_ROLLUP = "+"
+OP_CUBE = "^"
+
+_SCALARS = (str, bytes, int, float, bool)
+
+
+def _is_scalar(v: Any) -> bool:
+    return isinstance(v, _SCALARS) or hasattr(v, "isoformat")  # date/datetime
+
+
+@dataclass
+class Selector:
+    """Normalized per-dimension query op.
+
+    ``values``  — key-member dice values (pushed down as ``isin`` literals).
+    ``filters`` — {field: [values]} attribute filters resolved through the
+                  dimension's field->level routing (reference R/dimension.R:64-93).
+    ``drop``    — scalar-key slice => drop the dimension after filtering
+                  (reference R/data.cube.R:264-272: scalar selectors drop,
+                  multi-value selectors never drop).
+    """
+
+    op: str = OP_SELECT
+    values: list | None = None
+    filters: dict[str, list] = field(default_factory=dict)
+    drop: bool = False
+
+    def as_filters(self, key: str) -> dict[str, list]:
+        """Merge key-values and attribute filters into one field->values map."""
+        out: dict[str, list] = {}
+        if self.values is not None:
+            out[key] = list(self.values)
+        for f, v in self.filters.items():
+            out[f] = [v] if _is_scalar(v) else list(v)
+        return out
+
+    @property
+    def has_filter(self) -> bool:
+        return self.values is not None or bool(self.filters)
+
+
+def normalize(sel: Any, *, empty_ok: bool = True) -> Selector:
+    """Coerce user input into a Selector (reference parse.dots value rules)."""
+    if isinstance(sel, Selector):
+        return sel
+    if sel is None:
+        # dc[NULL] -> empty dice: matches nothing (reference
+        # tests/tests-sub-.data.cube.R:83-97)
+        return Selector(values=[])
+    if _is_scalar(sel):
+        return Selector(values=[sel], drop=True)
+    if isinstance(sel, Mapping):
+        return Selector(filters={k: ([v] if _is_scalar(v) else list(v)) for k, v in sel.items()})
+    if isinstance(sel, (list, tuple, set, frozenset)) or hasattr(sel, "__iter__"):
+        return Selector(values=list(sel))
+    raise TypeError(f"cannot interpret selector {sel!r}")
+
+
+def C(*values: Any, **filters: Any) -> Selector:
+    """Dice: ``C(v1, v2)`` filters the key, ``C(attr=[...])`` filters any
+    hierarchy attribute. Single positional value still keeps the dimension
+    (use a bare scalar in ``q()`` for slice-and-drop)."""
+    sel = Selector()
+    if values:
+        sel.values = list(values)
+    for f, v in filters.items():
+        sel.filters[f] = [v] if _is_scalar(v) else list(v)
+    return sel
+
+
+def Collapse(*values: Any, **filters: Any) -> Selector:
+    """Collapse the dimension (aggregate it out), optionally pre-filtering it
+    first — reference ``-`` op, R/data.cube.R:167 + R/fact.R:87-98; semantics
+    tests/tests-sub-.data.cube.R:310-354 (filter applies BEFORE collapse)."""
+    sel = C(*values, **filters)
+    sel.op = OP_COLLAPSE
+    return sel
+
+
+def RollupOp(*values: Any, **filters: Any) -> Selector:
+    """Rollup grouping-sets over this dimension's hierarchy level keys —
+    reference ``+`` op (parsed at R/data.cube.R:168, exec unfinished there;
+    we implement the intended semantics via Spark ``rollup``)."""
+    sel = C(*values, **filters)
+    sel.op = OP_ROLLUP
+    return sel
+
+
+def CubeOp(*values: Any, **filters: Any) -> Selector:
+    """Full cube grouping-sets over this dimension — reference ``^`` op."""
+    sel = C(*values, **filters)
+    sel.op = OP_CUBE
+    return sel

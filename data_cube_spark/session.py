@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-aware defaults.
+
+Defaults are tuned for correctness-vs-oracle determinism (UTC session
+timezone, ANSI off) and for the local[N] test harness, while remaining the
+right shape for a large cluster: AQE on (runtime re-plan, skew-join
+handling, partition coalescing), broadcast threshold sized for dimension
+tables, shuffle partitions explicit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data-cube-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*``. On a real cluster
+    the master/resource settings come from spark-submit; everything set here
+    is master-agnostic.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Determinism vs the DuckDB oracle: interpret parquet timestamps in UTC.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        # AQE: runtime partition coalescing + skew-join splitting — the
+        # 100 TB story relies on this instead of hand-tuned partition counts.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Dimension tables in a star schema are small; let Catalyst broadcast
+        # them aggressively so fact-side scans never shuffle for a dim join.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

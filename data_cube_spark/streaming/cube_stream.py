@@ -1,0 +1,133 @@
+"""Structured Streaming cube maintenance.
+
+The reference is purely batch (SURVEY.md §2.8) — this module is greenfield
+Spark design: the same cube aggregations expressed over ``readStream``
+sources with watermarked event-time windows, plus a ``foreachBatch``
+incremental-upsert maintainer for a materialized cube.
+
+Every function here also works on a *batch* DataFrame (Spark's unified
+API) — the batch variants are what the DuckDB oracle checks; the streaming
+tests run the identical expressions through ``readStream`` +
+``trigger(availableNow=True)`` and assert equal results. That equivalence
+IS the correctness argument for the streaming path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_cube_spark.functions import dec
+
+
+def tumbling_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window aggregate: (window_start, *keys) -> count + exact sum.
+
+    On a stream the watermark bounds state: late rows beyond ``watermark``
+    are dropped and windows finalize. On a batch frame the same expression
+    is a plain group-by. Decimal sums keep results shuffle-order exact."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    keys = keys or []
+    out = df.groupBy(F.window(ts_col, window).alias("w"), *keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"), *keys, "n_events", "sum_value"
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user via the built-in ``session_window`` (gap
+    merge is handled by Spark's stateful operator on streams)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    out = df.groupBy(F.session_window(ts_col, gap).alias("w"), user_col).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return out.select(
+        F.col(user_col), F.col("w.start").alias("session_start"), "n_events"
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch sessionization via gaps-and-islands (lag + running count) —
+    the SQL-expressible twin of :func:`session_windows`, used as its oracle.
+    One shuffle on the user key; the window sort is per-user."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.lag(ts_col).over(w)
+    new_session = (
+        F.when(gap.isNull(), 1)
+        .when(F.col(ts_col).cast("double") - gap.cast("double") > gap_minutes * 60, 1)
+        .otherwise(0)
+    )
+    sess = events.withColumn("_new", new_session).withColumn(
+        "_sid", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy(user_col, "_sid").agg(
+        F.min(ts_col).alias("session_start"), F.count(F.lit(1)).alias("n_events")
+    ).drop("_sid")
+
+
+def streaming_cube(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    target_dir: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    window: str = "1 hour",
+):
+    """Maintain a materialized cube over a parquet-file stream with
+    ``foreachBatch`` incremental upsert: each micro-batch's partial
+    aggregates are merged into the target by overwriting only the windows
+    the batch touched (idempotent per epoch — safe on retries).
+
+    At scale the target would be a transactional table (Delta/Iceberg
+    MERGE); with vanilla parquet we partition the sink by window date so an
+    upsert rewrites only touched partitions.
+    """
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(source_dir)
+    )
+    agg = tumbling_agg(stream, ts_col=ts_col, window=window, keys=keys)
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("window_date", F.to_date("window_start"))
+            .repartition("window_date")
+            .write.mode("overwrite")
+            .partitionBy("window_date")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(target_dir)
+        )
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -1,0 +1,88 @@
+"""Export layer: denormalize, pivot/format, to_array round-trip, schema."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_cube_spark import Measure
+from data_cube_spark.build import from_array, from_table
+from data_cube_spark.export import denormalize, pivot_format, schema_info, to_array
+
+
+def test_denormalize_attaches_all_attributes(cube):
+    df = denormalize(cube)
+    for col in ["p_brand", "s_name", "n_name", "r_name", "cn_name", "cr_name",
+                "o_orderpriority", "d_year"]:
+        assert col in df.columns, col
+    assert df.count() == cube.fact.df.count()
+
+
+def test_denormalize_selected_dims(cube):
+    df = denormalize(cube, dims=["part"])
+    assert "p_brand" in df.columns and "s_name" not in df.columns
+
+
+def test_na_fill_guard(cube):
+    with pytest.raises(ValueError):
+        denormalize(cube, na_fill=True, max_cells=10)
+
+
+def test_pivot(cube, tables, duck):
+    from tests.conftest import assert_df_matches_sql
+
+    flat = tables["lineitem"]
+    piv = pivot_format(
+        flat.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("q")),
+        rows=["l_returnflag"],
+        pivot_col="l_linestatus",
+        pivot_values=["F", "O"],
+        measure="q",
+    )
+    sql = """
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus='F') AS DOUBLE) AS "F",
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus='O') AS DOUBLE) AS "O"
+      FROM lineitem GROUP BY 1
+    """
+    assert_df_matches_sql(piv, duck, sql)
+
+
+def test_array_round_trip(spark):
+    """array -> cube -> array round-trip (reference
+    tests/tests-array-data.table.R:13-50)."""
+    rng = np.random.RandomState(1)
+    arr = rng.rand(3, 4)
+    arr[arr < 0.3] = np.nan
+    dim_names = {"color": ["b", "g", "r"], "year": ["2011", "2012", "2013", "2014"]}
+    dc = from_array(spark, arr, dim_names)
+    back, names = to_array(dc)
+    assert names == dim_names
+    np.testing.assert_allclose(back, arr, equal_nan=True)
+
+
+def test_grand_total_array_is_scalar(spark):
+    arr = np.array([[1.0, 2.0], [3.0, 4.0]])
+    dc = from_array(spark, arr, {"a": ["x", "y"], "b": ["p", "q"]})
+    gt = dc.apply([])
+    back, names = to_array(gt)
+    assert names == {}
+    assert back.shape == (1,)
+    assert back[0] == 10.0
+
+
+def test_sorted_dimnames_regardless_of_input_order(spark):
+    """Reference guarantee: dimnames come out sorted
+    (tests/tests-sub-.data.cube.R:16-21)."""
+    df = spark.createDataFrame(
+        [("z", 1.0), ("a", 2.0), ("m", 3.0)], "k string, v double"
+    )
+    dc = from_table(df, {"d": "k"}, [Measure("v")])
+    assert [r[0] for r in dc.dims["d"].members().collect()] == ["a", "m", "z"]
+
+
+def test_schema_info(cube):
+    info = schema_info(cube)
+    assert info["fact"]["id_vars"] == ["o_orderkey", "p_partkey", "s_suppkey"]
+    assert set(info["dimensions"]) == {"orders", "part", "supplier"}
+    assert "levels" in info["dimensions"]["supplier"]

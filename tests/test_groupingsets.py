@@ -1,0 +1,105 @@
+"""Grouping sets: rollup/cube level codes, prefix selection, the rollup-cube
+double-counting contract (reference tests/tests-021-rollup.R)."""
+
+from pyspark.sql import functions as F
+
+from data_cube_spark.groupingsets import LEVEL_COL, cube_table, rollup_cube, rollup_table
+from data_cube_spark.selectors import CubeOp, RollupOp
+
+from tests.conftest import assert_df_matches_sql
+
+
+def test_rollup_levels_match_oracle(tables, duck):
+    df = tables["lineitem"]
+    out = rollup_table(
+        df,
+        ["l_returnflag", "l_linestatus"],
+        [F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty")],
+    )
+    sql = """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(GROUPING(l_returnflag) + GROUPING(l_linestatus) AS INT) AS grouping_level
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+    assert_df_matches_sql(out, duck, sql)
+
+
+def test_rollup_level_selection(tables):
+    df = tables["lineitem"]
+    aggs = [F.sum("l_quantity").alias("q")]
+    all_lv = rollup_table(df, ["l_returnflag", "l_linestatus"], aggs)
+    some = rollup_table(df, ["l_returnflag", "l_linestatus"], aggs, levels=[0, 2])
+    lv = {r[LEVEL_COL] for r in some.select(LEVEL_COL).distinct().collect()}
+    assert lv == {0, 2}
+    # level 0 of the selection == leaf grain of the full rollup
+    n_leaf = all_lv.where(F.col(LEVEL_COL) == 0).count()
+    assert some.where(F.col(LEVEL_COL) == 0).count() == n_leaf
+
+
+def test_rollup_index0_equals_plain_aggregate(tables):
+    """Metamorphic: rollup restricted to level 0 == plain group-by
+    (reference tests/tests-021-rollup.R:61-65)."""
+    df = tables["lineitem"]
+    a = (
+        rollup_table(df, ["l_returnflag"], [F.sum("l_quantity").alias("q")], levels=[0])
+        .drop(LEVEL_COL)
+        .collect()
+    )
+    b = df.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cube_grouping_sets_match_oracle(tables, duck):
+    df = tables["lineitem"]
+    out = cube_table(
+        df,
+        ["l_returnflag", "l_linestatus"],
+        [F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty")],
+    ).drop(LEVEL_COL)
+    sql = """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+    assert_df_matches_sql(out, duck, sql)
+
+
+def test_rollup_cube_double_counting_contract(cube):
+    """A rollup cube contains every grain: summing a measure across all
+    levels multiplies the grand total (reference tests/tests-021-rollup.R:20-27)."""
+    rc = rollup_cube(cube, ["supplier.r_name"])
+    total = cube.grand_total().collect()[0]["sum_qty"]
+    across = rc.fact.df.agg(F.sum("sum_qty").alias("s")).collect()[0]["s"]
+    assert float(across) == float(total) * 2  # leaf level + grand total
+
+
+def test_rollup_cube_binds_grouping_dimension(cube):
+    rc = rollup_cube(cube, ["supplier.r_name", "part.p_brand"])
+    assert "grouping" in rc.dims
+    lv = sorted(r[0] for r in rc.dims["grouping"].members().collect())
+    assert lv == [0, 1, 2]
+
+
+def test_grouping_query_rollup_selector(cube):
+    """`+` selector: rollup over the dimension's hierarchy keys while other
+    dims are collapsed (the reference's intended unfinished semantics)."""
+    from data_cube_spark.selectors import Collapse
+
+    q = cube.q(supplier=RollupOp(), part=Collapse(), orders=Collapse())
+    # supplier geo hierarchy: region -> nation -> supplier (+ grand total)
+    lv = sorted(r[0] for r in q.dims["grouping"].members().collect())
+    assert lv == [0, 1, 2, 3]
+    grand = q.fact.df.where(F.col(LEVEL_COL) == 3)
+    assert grand.count() == 1
+
+
+def test_grouping_query_cube_selector_with_fixed_dim(cube):
+    from data_cube_spark.selectors import Collapse
+
+    q = cube.q(part=CubeOp(), orders=Collapse())
+    # supplier stays at key grain in every grouping set
+    assert "s_suppkey" in q.fact.df.columns
+    lv = sorted(r[0] for r in q.dims["grouping"].members().collect())
+    assert lv == [0, 1]

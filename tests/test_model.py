@@ -1,0 +1,173 @@
+"""Core model tests: construction invariants, slice/dice/collapse semantics,
+metamorphic identities — modeled on the reference's test strategy
+(SURVEY.md §5: differential oracle + metamorphic equivalences + edge zoo).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_cube_spark import C, Collapse, DataCube, Dimension, Fact, Measure
+from data_cube_spark.build import from_table
+
+from tests.conftest import assert_df_matches_sql
+
+
+def test_fact_build_aggregates_to_grain(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (1, "a", 3.0), (2, "b", 5.0)], "k int, g string, v double"
+    )
+    f = Fact.build(df, ["k"], [Measure("v", agg="sum"), Measure("n", "v", agg="count")])
+    rows = {r["k"]: (r["v"], r["n"]) for r in f.df.collect()}
+    assert rows == {1: (5.0, 2), 2: (5.0, 1)}
+
+
+def test_from_table_dims_are_unique(spark):
+    df = spark.createDataFrame(
+        [("x", "r1", 1.0), ("x", "r1", 2.0), ("y", "r2", 3.0)],
+        "k string, attr string, v double",
+    )
+    dc = from_table(df, {"d": ["k", "attr"]}, [Measure("v")])
+    assert [r["k"] for r in dc.dims["d"].members().collect()] == ["x", "y"]
+    assert dc.fact.df.count() == 2
+
+
+def test_dice_keeps_dim_slice_drops(cube):
+    # multi-value dice keeps the dimension (reference R/data.cube.R:264-272)
+    q = cube.q(part=[1, 2, 3])
+    assert "part" in q.dims and q.fact.id_vars == cube.fact.id_vars
+    # scalar slice drops it and regrains the fact
+    q2 = cube.q(part=1)
+    assert "part" not in q2.dims
+    assert q2.fact.id_vars == ["o_orderkey", "s_suppkey"]
+
+
+def test_collapse_equals_apply_equals_aggregate(cube, duck):
+    """Metamorphic: `-` collapse == apply(margin) == aggregate(keys)
+    (reference tests/tests-data.cube.R:159-211)."""
+    a = cube.q(orders=Collapse(), part=Collapse()).fact.df.select(
+        "s_suppkey", F.col("revenue").cast("double").alias("revenue")
+    )
+    b = cube.apply(["supplier"]).fact.df.select(
+        "s_suppkey", F.col("revenue").cast("double").alias("revenue")
+    )
+    sql = """
+      SELECT l_suppkey AS s_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY 1
+    """
+    assert_df_matches_sql(a, duck, sql)
+    assert_df_matches_sql(b, duck, sql)
+
+
+def test_attr_filter_routes_through_snowflake(cube, duck):
+    q = cube.q(supplier=C(r_name=["EUROPE", "ASIA"]), part=Collapse(), orders=Collapse())
+    out = q.fact.df.select("s_suppkey", F.col("sum_qty").cast("double").alias("sum_qty"))
+    sql = """
+      SELECT l_suppkey AS s_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('EUROPE','ASIA'))
+      GROUP BY 1
+    """
+    assert_df_matches_sql(out, duck, sql)
+
+
+def test_collapse_prefilter_filters_before_collapse(cube, duck):
+    """Reference semantics: args of `-()` filter the dim BEFORE collapsing
+    (tests/tests-sub-.data.cube.R:310-354)."""
+    q = cube.q(orders=Collapse(o_orderpriority=["1-URGENT"]), part=Collapse())
+    out = q.fact.df.select("s_suppkey", F.col("revenue").cast("double").alias("revenue"))
+    sql = """
+      SELECT l_suppkey AS s_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1
+    """
+    assert_df_matches_sql(out, duck, sql)
+
+
+def test_aggregate_by_hierarchy_attrs(cube, duck):
+    out = cube.aggregate(["supplier.r_name", "part.p_brand"]).select(
+        "r_name", "p_brand", F.col("revenue").cast("double").alias("revenue")
+    )
+    sql = """
+      SELECT r_name, p_brand,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    """
+    assert_df_matches_sql(out, duck, sql)
+
+
+def test_grand_total(cube, duck):
+    out = cube.grand_total().select(
+        F.col("sum_qty").cast("double").alias("sum_qty"), "n_lines"
+    )
+    sql = """
+      SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n_lines FROM lineitem
+    """
+    assert_df_matches_sql(out, duck, sql)
+
+
+def test_empty_dice_yields_empty_cube(cube):
+    q = cube.q(part=None)  # dc[NULL] semantics: matches nothing
+    assert q.fact.df.count() == 0
+    assert q.dims["part"].base.count() == 0
+
+
+def test_nonexistent_key_drops_rows_silently(cube):
+    q = cube.q(part=[999_999_999, 999_999_998])
+    assert q.fact.df.count() == 0
+    assert "part" in q.dims  # multi-value dice never drops the dim
+
+
+def test_chainability(cube):
+    q = cube.q(supplier=C(r_name=["EUROPE"]))[{"part": Collapse()}]
+    assert "part" not in q.dims
+    assert "supplier" in q.dims
+
+
+def test_fun_override_apply(cube, duck):
+    out = cube.apply(["supplier"], fun="max").fact.df.select(
+        "s_suppkey", F.col("sum_qty").cast("double").alias("sum_qty")
+    )
+    # max-of-partials over the (orderkey,partkey,suppkey) grain
+    sql = """
+      WITH grain AS (
+        SELECT l_orderkey, l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM lineitem GROUP BY 1,2,3)
+      SELECT l_suppkey AS s_suppkey, CAST(MAX(sum_qty) AS DOUBLE) AS sum_qty
+      FROM grain GROUP BY 1
+    """
+    assert_df_matches_sql(out, duck, sql)
+
+
+def test_dim_matching_reorders_and_drops(spark):
+    df = spark.createDataFrame([(1, "x", 2.0)], "a int, b string, v double")
+    fact = Fact.build(df, ["a"], [Measure("v")])
+    extra = Dimension("zz", "zz_key", spark.createDataFrame([(1,)], "zz_key int"))
+    da = Dimension("da", "a", spark.createDataFrame([(1, "x")], "a int, attr string"))
+    dc = DataCube(fact, {"zz": extra, "da": da})
+    assert list(dc.dims) == ["da"]  # extra dim dropped, matched by key name
+
+
+def test_reserved_grouping_name(spark):
+    df = spark.createDataFrame([(1, 2.0)], "a int, v double")
+    fact = Fact.build(df, ["a"], [Measure("v")])
+    d = Dimension("grouping", "a", spark.createDataFrame([(1,)], "a int"))
+    with pytest.raises(ValueError):
+        DataCube(fact, {"grouping": d})

@@ -1,0 +1,110 @@
+"""Pipeline operators: dedup (MinHash vs exact Jaccard), similarity
+(LSH recall vs brute force), multimodal plumbing, streaming equivalences."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_cube_spark.operators import dedup, multimodal, similarity, text
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, tables):
+    """MinHash estimate must be within ~0.25 of exact Jaccard for candidate
+    pairs (64 hashes => stderr ≈ sqrt(j(1-j)/64) ≈ 0.06; generous bound)."""
+    docs = tables["documents"].limit(200)
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.0, k=3)
+    est = dedup.minhash_dedup_pairs(docs, threshold=0.0, k=3)
+    joined = exact.join(est, ["id_a", "id_b"]).select("jaccard", "est_jaccard").collect()
+    assert joined, "no overlapping candidate pairs"
+    for r in joined:
+        assert abs(r["jaccard"] - r["est_jaccard"]) < 0.3
+
+
+def test_lsh_candidates_catch_high_jaccard_pairs(spark):
+    """Pairs with very high Jaccard must appear in the LSH candidate set
+    (16 bands x 4 rows: P(miss | j=0.9) ≈ (1-0.9^4)^16 ≈ 0.002)."""
+    rows = [(1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and once"),
+            (3, "completely different words here nothing shared at all today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, num_hashes=64)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+            (3, "omega psi chi phi")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_near_pairs(df, band_bits=16).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    rows = [(5, "same text"), (2, "same text"), (9, "other text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(df).collect())
+    assert kept == [2, 9]
+
+
+def test_lsh_topk_recall_vs_brute_force(tables):
+    emb = tables["embeddings"]
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(queries, emb, k=5)
+    approx = similarity.lsh_topk(queries, emb, k=5, n_planes=4)
+    e = {(r["query_id"], r["match_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["match_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.3, f"LSH recall {recall:.2f} too low"
+
+
+def test_cosine_topk_scores_bounded_and_ranked(tables):
+    emb = tables["embeddings"]
+    out = similarity.cosine_topk(emb.where(F.col("vec_id") < 3), emb, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+        scores = [r["cosine"] for r in rows]
+        assert all(-1.0001 <= s <= 1.0001 for s in scores)
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_multimodal_decode_plumbing(tables):
+    media = multimodal.fake_media_from_text(tables["documents"].limit(50))
+    decoded = multimodal.decode_image(media, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert 16 <= r["height"] < 80 and 16 <= r["width"] < 80
+        assert r["channels"] == 3
+
+
+def test_multimodal_real_decode_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(None, fake=False)
+
+
+def test_language_id_on_synthetic_sentences(spark):
+    rows = [
+        (1, "the cat and the dog went to the park and it was fun"),
+        (2, "der Hund und die Katze sind nicht auf der Straße mit dem Ball"),
+        (3, "le chat et le chien sont dans la maison pour la nuit"),
+        (4, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lang_pred"] for r in text.language_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
+
+
+def test_quality_score_range(tables):
+    out = text.quality_score(tables["documents"].limit(100)).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in out)
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    assert dedup.shingle_table(df, k=3).count() == 0

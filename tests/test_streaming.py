@@ -1,0 +1,80 @@
+"""Streaming: the batch/stream unified expressions must agree — the
+streaming result (availableNow over a file source) equals the batch result
+of the same operator, and session_window equals gaps-and-islands."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_cube_spark.streaming import (
+    session_windows,
+    sessionize_batch,
+    tumbling_agg,
+)
+
+from tests.conftest import SF_DIR
+
+
+def test_session_window_equals_gaps_and_islands(spark, tables):
+    ev = tables["events"]
+    a = session_windows(ev).orderBy("user_id", "session_start").collect()
+    b = sessionize_batch(ev).orderBy("user_id", "session_start").collect()
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra["user_id"] == rb["user_id"]
+        assert ra["session_start"] == rb["session_start"]
+        assert ra["n_events"] == rb["n_events"]
+
+
+def test_streaming_tumbling_equals_batch(spark, tables, tmp_path):
+    """readStream(availableNow) over the events parquet == batch result."""
+    ev = tables["events"]
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_agg(ev, keys=["event_type"]).collect()
+    }
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = tumbling_agg(stream, keys=["event_type"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_stream_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from t_stream_agg").collect()
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in out
+    }
+    assert streamed == batch
+
+
+def test_streaming_cube_foreachbatch_upsert(spark, tables, tmp_path):
+    """foreachBatch incremental cube maintenance writes a queryable target
+    partitioned by window date."""
+    from data_cube_spark.streaming import streaming_cube
+
+    ev = tables["events"]
+    src = str(tmp_path / "src2")
+    ev.write.mode("overwrite").parquet(src)
+    target = str(tmp_path / "target")
+    writer = streaming_cube(
+        spark, src, ev.schema, str(tmp_path / "ckpt2"), target,
+        keys=["event_type"],
+    )
+    q = writer.start()
+    q.awaitTermination(120)
+    out = spark.read.parquet(target)
+    batch = tumbling_agg(ev, keys=["event_type"])
+    assert out.count() == batch.count()
+    total_stream = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total_stream == ev.count()
