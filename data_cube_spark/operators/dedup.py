@@ -52,27 +52,49 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # -- shingling --------------------------------------------------------------
 
 def shingles(col: str | Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of the normalized text, built with
-    ``transform`` over an index sequence — no explode until the caller asks."""
+    """Distinct k-word shingles of the normalized text.
+
+    Built as ``arrays_zip`` of k shifted slices + one ``transform`` — NOT
+    ``slice``/``element_at`` inside the lambda: any reference to the token
+    array inside a higher-order-function lambda re-evaluates the whole
+    tokenize expression per element (measured ~8× slower). Here the token
+    array is computed k times per row, total O(n·k)."""
     toks = tokens(normalized(col))
     n = F.size(toks)
-    # guard: Spark sequence(1, 0) yields a DESCENDING [1, 0] — short docs
-    # must produce an empty shingle set instead.
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
+    width = F.greatest(n - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, width) for i in range(k)])
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)]))
     )
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives in
+    fewer partitions (a single parquet file => one partition => the whole
+    regex/explode pipeline runs on one core). Never shrinks a wide input —
+    at scale the scan already has thousands of partitions and this is a
+    no-op."""
+    sc = df.sparkSession.sparkContext
+    cur = df.rdd.getNumPartitions()
+    tgt = sc.defaultParallelism
+    return df.repartition(tgt, key) if cur < tgt else df
 
 
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  k: int = 3) -> DataFrame:
-    """(id, shingle) exploded pairs — the inverted-index building block."""
-    return (
-        df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle"))
+                  k: int = 3, *, hashed: bool = False) -> DataFrame:
+    """(id, shingle) exploded pairs — the inverted-index building block.
+
+    ``hashed=True`` replaces the shingle string with its xxhash64 — an 8-byte
+    join/shuffle key instead of a ~60-byte string. Collision probability per
+    pair is ~2^-64; at corpus scale this is the only sane join key."""
+    out = (
+        _spread(df, id_col)
+        .select(F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle"))
         .where(F.col("shingle") != "")
     )
+    if hashed:
+        out = out.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -83,6 +105,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     block_cols: list[str] | None = None,
+    hash_shingles: bool = False,
+    cache: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all candidate pairs sharing at
     least one shingle (inverted-index join), filtered to ``>= threshold``.
@@ -91,14 +115,18 @@ def ngram_jaccard_pairs(
     the self-join — at corpus scale the candidate count is dominated by
     stop-shingles, and capping document frequency bounds the join output.
     ``block_cols`` optionally restricts candidates to equal values of those
-    columns (e.g. same language) — classic blocking.
+    columns (e.g. same language) — classic blocking. ``hash_shingles``
+    swaps string join keys for 8-byte hashes; ``cache`` persists the
+    (reused-3×) shingle table instead of recomputing its lineage per use.
     """
-    sh = shingle_table(df, text_col, id_col, k)
+    sh = shingle_table(df, text_col, id_col, k, hashed=hash_shingles)
     if block_cols:
         sh = sh.join(df.select(id_col, *block_cols), id_col)
     if max_df is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         sh = sh.join(freq.where(F.col("_df") <= max_df).select("shingle"), "shingle")
+    if cache:
+        sh = sh.persist()
     sizes = sh.groupBy(id_col, *(block_cols or [])).agg(F.count(F.lit(1)).alias("_sz"))
 
     a = sh.select(
@@ -141,14 +169,31 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     k: int = 3,
+    seed: int = 42,
 ) -> DataFrame:
-    """MinHash signature per document: for seed i, sig[i] = min over shingles
-    of xxhash64(i, shingle). Computed as ``num_hashes`` JVM min-aggregates
-    over the exploded shingle table — one shuffle keyed by doc id, no UDF."""
-    sh = shingle_table(df, text_col, id_col, k)
+    """MinHash signature per document: hash each shingle ONCE to a long,
+    then derive ``num_hashes`` permutation hashes as affine transforms
+    ``a_i * h + b_i`` (wrapping 64-bit arithmetic — the standard universal
+    family) and take per-document minima.
+
+    One string hash + 64 integer mul/adds per shingle row — versus 64
+    string hashes in the naive form — and a single shuffle keyed by doc id.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    # odd multipliers < 2^30, offsets < 2^31: with h reduced mod 2^31-1 the
+    # products stay < 2^61 — no 64-bit overflow (ANSI-mode safe).
+    ab = [(int(rng.randint(1, 2**29)) * 2 + 1, int(rng.randint(1, 2**31)))
+          for _ in range(num_hashes)]
+    sh = shingle_table(df, text_col, id_col, k, hashed=True)
+    p = F.lit(2147483647)  # 2^31 - 1, prime
+    h = F.pmod(F.col("shingle"), p)
+    # the mod is essential: without it a*h+b is monotone in h and every
+    # "permutation" would select the same argmin shingle
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_h{i}")
-        for i in range(num_hashes)
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), p)).alias(f"_h{i}")
+        for i, (a, b) in enumerate(ab)
     ]
     sig = sh.groupBy(id_col).agg(*mins)
     return sig.select(
@@ -219,9 +264,13 @@ def minhash_dedup_pairs(
     k: int = 3,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded buckets ->
-    candidate pairs -> signature-estimated Jaccard >= threshold."""
+    candidate pairs -> signature-estimated Jaccard >= threshold.
+
+    Signatures are persisted: they feed the band explosion AND both sides
+    of the estimate join — without the cache the whole shingle pipeline
+    would re-execute three times (at scale you would checkpoint them)."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k).persist()
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
     est = minhash_estimate(sigs, cands, id_col, num_hashes)
     return est.where(F.col("est_jaccard") >= threshold)
@@ -234,7 +283,8 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     the vote sum becomes the fingerprint bit. 64 conditional sums over the
     exploded token table — all JVM expressions, one shuffle on doc id."""
     tok = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(normalized(text_col)))).alias("tok"))
+        _spread(df, id_col)
+        .select(F.col(id_col), F.explode(F.array_distinct(tokens(normalized(text_col)))).alias("tok"))
         .where(F.col("tok") != "")
         .select(F.col(id_col), F.xxhash64("tok").alias("h"))
     )

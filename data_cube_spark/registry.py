@@ -378,7 +378,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs, blocked by (lang, source)."""
     t = load_tables(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(
-        t["documents"], k=3, threshold=0.05, block_cols=["lang", "source"]
+        t["documents"], k=3, threshold=0.05, block_cols=["lang", "source"],
+        hash_shingles=True,
     )
 
 

@@ -35,7 +35,18 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 _NANO_TS_COLS = {"orders": ["o_orderdate"], "lineitem": ["l_shipdate"], "events": ["ts"]}
 
 
+#: per-(session, dir) memo — DataFrame handles are immutable lazy plans, and
+#: re-reading parquet costs a file listing + footer/schema fetch per table,
+#: which dominates small-query latency when every query rebuilds the cube.
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_CUBE_CACHE: dict[tuple[int, str], "DataCube"] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    key = (id(spark), sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # oracle determinism: timestamps must render identically to DuckDB's
@@ -52,6 +63,7 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
                 # ~1.7e18 nanosecond values (53-bit mantissa)
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         out[t] = df
+    _TABLE_CACHE[key] = out
     return out
 
 
@@ -154,7 +166,13 @@ def lineitem_measures() -> list[Measure]:
 
 
 def tpch_cube(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataCube:
-    """The flagship star cube over the driver test data."""
+    """The flagship star cube over the driver test data. Memoized per
+    (session, dir): the cube is immutable metadata over lazy plans, and
+    reusing it lets Spark reuse analyzed subtrees across queries."""
+    key = (id(spark), sf_dir)
+    cached = _CUBE_CACHE.get(key)
+    if cached is not None:
+        return cached
     t = load_tables(spark, sf_dir)
     fact = Fact.build(t["lineitem"], ["l_orderkey", "l_partkey", "l_suppkey"],
                       lineitem_measures())
@@ -170,4 +188,6 @@ def tpch_cube(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataCube:
         "part": part_dimension(t),
         "supplier": supplier_dimension(t),
     }
-    return DataCube(fact, dims)
+    dc = DataCube(fact, dims)
+    _CUBE_CACHE[key] = dc
+    return dc
