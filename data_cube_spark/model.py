@@ -96,6 +96,7 @@ class Measure:
         fmt: Callable[[Column], Column] | None = None,
         label: str | None = None,
         dtype: str = "double",
+        fill=None,
     ) -> None:
         self.name = name
         self.column = column if column is not None else name
@@ -106,6 +107,10 @@ class Measure:
         self.fmt = fmt
         self.label = label or name
         self.dtype = dtype  # return type for callable aggs
+        # R-parity NA handling: ``sum(x, na.rm=TRUE)`` over an all-NA group
+        # is 0 in R but null in Spark/SQL — ``fill=0`` coalesces the
+        # aggregate output (SURVEY.md §7.4 NA/null parity).
+        self.fill = fill
 
     # -- expression builders ------------------------------------------------
     def _apply(self, agg: str | Callable, col: str | Column) -> Column:
@@ -120,22 +125,28 @@ class Measure:
         return fn(col)
 
     def _pandas_udaf(self, fn: Callable):
+        import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf(self.dtype)
-        def _udaf(s):
+        def _udaf(s: pd.Series) -> float:
             return fn(s)
 
         return _udaf
 
+    def _finish(self, expr: Column) -> Column:
+        if self.fill is not None:
+            expr = F.coalesce(expr, F.lit(self.fill))
+        return expr.alias(self.name)
+
     def build_expr(self) -> Column:
         """Aggregate the raw source column to the declared grain (ingest-time
         partial aggregation, reference R/fact.R:40-44)."""
-        return self._apply(self.agg, self.column).alias(self.name)
+        return self._finish(self._apply(self.agg, self.column))
 
     def reagg_expr(self, agg_override: str | Callable | None = None) -> Column:
         """Re-aggregate the measure's own output column on regrain."""
-        return self._apply(agg_override or self.reagg, self.name).alias(self.name)
+        return self._finish(self._apply(agg_override or self.reagg, self.name))
 
     def formatted(self) -> Column:
         col = F.col(self.name)
@@ -144,7 +155,8 @@ class Measure:
     def with_agg(self, agg: str | Callable) -> "Measure":
         """Copy with a replaced aggregate fn (reference ``FUN`` override in
         apply/capply/rollup, R/data.cube.R:483-491)."""
-        return Measure(self.name, self.column, agg, None, self.fmt, self.label, self.dtype)
+        return Measure(self.name, self.column, agg, None, self.fmt, self.label,
+                       self.dtype, self.fill)
 
     def __repr__(self) -> str:
         return f"Measure({self.name!r}, agg={self.agg!r})"

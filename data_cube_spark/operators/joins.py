@@ -1,0 +1,110 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+range (interval) join.
+
+Both are implemented as *equi-join-shaped* plans — the naive formulations
+(theta joins on inequalities) degrade to broadcast-nested-loop at scale,
+which is exactly what a 100 TB event table cannot afford.
+
+- :func:`asof_join` is join-free: union both sides, one window pass
+  partitioned by the key — the classic piecewise-constant fill. One shuffle
+  on the key, no join explosion, no skew beyond the key's own.
+- :func:`range_join` bins time into fixed buckets and equi-joins on the
+  bucket, then post-filters the exact range predicate. The right side
+  explodes into one row per covered bucket — bounded by interval/bin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str],
+    value_cols: list[str],
+    direction: str = "backward",
+    allow_exact: bool = True,
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the most recent right
+    row with ``right.on <= left.on`` (backward; ``forward`` mirrors it),
+    matched within ``by`` groups.
+
+    Join-free implementation: tag + union + ``last(..., ignorenulls)`` over
+    a window ordered by (time, side). Equal timestamps: the right row wins
+    when ``allow_exact`` (sorted before the left row), else after.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"value_cols {sorted(clash)} already exist in left")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    l = left.withColumn("_src", F.lit(1))
+    r = right.select(*by, on, *value_cols).withColumn("_src", F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    right_first = allow_exact
+    src_order = F.col("_src").asc() if right_first else F.col("_src").desc()
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), src_order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = F.last
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("_src").desc() if right_first else F.col("_src").asc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = F.first
+
+    filled = u.select(
+        "*",
+        *[
+            pick(F.when(F.col("_src") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"_f_{c}")
+            for c in value_cols
+        ],
+    )
+    out = filled.where(F.col("_src") == 1).select(
+        *[c for c in left.columns],
+        *[F.col(f"_f_{c}").alias(c) for c in value_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts: str,
+    start: str,
+    end: str,
+    bin_seconds: int,
+    by: str | list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join: left rows whose ``ts`` falls in ``[right.start,
+    right.end]`` (inclusive), optionally also matching equi-keys ``by``.
+
+    The right side explodes to one row per ``bin_seconds`` bucket its
+    interval covers; both sides equi-join on (bucket, *by), then the exact
+    predicate filters. Pick ``bin_seconds`` near the typical interval
+    length: the explosion factor is ~interval/bin and the join stays a
+    shuffled hash join on a well-distributed key (never nested-loop)."""
+    by = [by] if isinstance(by, str) else list(by or [])
+    lb = F.floor(F.col(ts).cast("double") / bin_seconds).cast("long")
+    sb = F.floor(F.col(start).cast("double") / bin_seconds).cast("long")
+    eb = F.floor(F.col(end).cast("double") / bin_seconds).cast("long")
+    r = right.withColumn("_bin", F.explode(F.sequence(sb, eb)))
+    l = left.withColumn("_bin", lb)
+    joined = l.join(r, ["_bin", *by], how).where(
+        (F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end))
+    )
+    return joined.drop("_bin")

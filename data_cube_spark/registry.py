@@ -437,6 +437,40 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image(media, fake=True)
 
 
+def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (join-free union+window plan, operators/joins.py): for each
+    click event attach the value of the user's most recent error at-or-before
+    it. Beyond-reference temporal operator (reference has no as-of join,
+    SURVEY.md §2.5)."""
+    from data_cube_spark.operators.joins import asof_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("last_error_value")
+    )
+    return asof_join(clicks, errors, on="ts", by="user_id",
+                     value_cols=["last_error_value"])
+
+
+def q_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bin-bucketed equi-join (operators/joins.py): count
+    clicks landing within 5 minutes after each error, per user."""
+    from data_cube_spark.operators.joins import range_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t1"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = range_join(clicks, errors, ts="ts", start="t0", end="t1",
+                        bin_seconds=300, by="user_id")
+    return joined.groupBy("error_id").agg(F.count("*").alias("n_clicks"))
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch twin of the streaming op)."""
     t = load_tables(spark, sf_dir)
@@ -490,6 +524,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_centroids": q_embedding_centroids,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "asof_last_error": q_asof_last_error,
+    "range_join_error_window": q_range_join_error_window,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
 }
@@ -756,6 +792,23 @@ ORACLE: dict[str, str] = {
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              md5(text) AS content_hash
       FROM documents
+    """,
+    "asof_last_error": """
+      SELECT l.event_id, l.user_id, l.ts, r.value AS last_error_value
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+      ASOF LEFT JOIN
+           (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "range_join_error_window": """
+      WITH e AS (
+        SELECT event_id AS error_id, user_id, ts AS t0,
+               ts + INTERVAL 5 MINUTE AS t1
+        FROM events WHERE event_type = 'error'),
+      c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+      SELECT error_id, COUNT(*) AS n_clicks
+      FROM e JOIN c ON c.user_id = e.user_id AND c.ts >= e.t0 AND c.ts <= e.t1
+      GROUP BY 1
     """,
     "events_hourly": """
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -1,0 +1,89 @@
+"""Unit tests for the temporal join operators (operators/joins.py):
+as-of join (union + window, join-free) and bin-bucketed range join."""
+
+import pytest
+
+from data_cube_spark.operators.joins import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [("u1", 5), ("u1", 10), ("u1", 15), ("u2", 7)],
+        "k string, t int",
+    )
+    right = spark.createDataFrame(
+        [("u1", 3, "a"), ("u1", 10, "b"), ("u1", 12, "c"), ("u3", 1, "z")],
+        "k string, t int, v string",
+    )
+    return left, right
+
+
+def _rows(df):
+    return {(r.k, r.t): r.v for r in df.collect()}
+
+
+def test_asof_backward_exact(frames):
+    left, right = frames
+    out = _rows(asof_join(left, right, on="t", by="k", value_cols=["v"]))
+    assert out == {("u1", 5): "a", ("u1", 10): "b", ("u1", 15): "c",
+                   ("u2", 7): None}
+
+
+def test_asof_backward_strict(frames):
+    left, right = frames
+    out = _rows(asof_join(left, right, on="t", by="k", value_cols=["v"],
+                          allow_exact=False))
+    # at t=10 the equal-timestamp right row is excluded -> previous one
+    assert out[("u1", 10)] == "a"
+    assert out[("u1", 5)] == "a" and out[("u1", 15)] == "c"
+
+
+def test_asof_forward(frames):
+    left, right = frames
+    out = _rows(asof_join(left, right, on="t", by="k", value_cols=["v"],
+                          direction="forward"))
+    assert out == {("u1", 5): "b", ("u1", 10): "b", ("u1", 15): None,
+                   ("u2", 7): None}
+
+
+def test_asof_forward_strict(frames):
+    left, right = frames
+    out = _rows(asof_join(left, right, on="t", by="k", value_cols=["v"],
+                          direction="forward", allow_exact=False))
+    assert out[("u1", 10)] == "c"
+
+
+def test_asof_keeps_all_left_rows(frames):
+    left, right = frames
+    assert asof_join(left, right, on="t", by="k", value_cols=["v"]).count() == left.count()
+
+
+def test_asof_value_col_clash(frames):
+    left, right = frames
+    with pytest.raises(ValueError):
+        asof_join(left, right.withColumnRenamed("v", "t2"), on="t", by="k",
+                  value_cols=["k"])
+
+
+def test_range_join_with_keys(spark):
+    points = spark.createDataFrame(
+        [("u1", 5), ("u1", 50), ("u1", 120), ("u2", 5)],
+        "k string, ts int",
+    )
+    intervals = spark.createDataFrame(
+        [("u1", 1, 0, 60), ("u1", 2, 100, 130), ("u2", 3, 40, 80)],
+        "k string, iid int, t0 int, t1 int",
+    )
+    out = range_join(points, intervals, ts="ts", start="t0", end="t1",
+                     bin_seconds=30, by="k")
+    got = sorted((r.iid, r.ts) for r in out.collect())
+    assert got == [(1, 5), (1, 50), (2, 120)]
+
+
+def test_range_join_inclusive_bounds(spark):
+    points = spark.createDataFrame([(0,), (10,), (11,)], "ts int")
+    intervals = spark.createDataFrame([(1, 0, 10)], "iid int, t0 int, t1 int")
+    out = range_join(points, intervals, ts="ts", start="t0", end="t1",
+                     bin_seconds=7)
+    assert sorted(r.ts for r in out.collect()) == [0, 10]
