@@ -29,6 +29,10 @@ BENCH_QUERIES = [
     "text_quality",
     "events_hourly",
     "events_sessionize",
+    "asof_last_error",
+    "range_join_error_window",
+    "window_running_total",
+    "udaf_median",
 ]
 
 

@@ -125,11 +125,13 @@ class Measure:
         return fn(col)
 
     def _pandas_udaf(self, fn: Callable):
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
+        # GROUPED_AGG declared explicitly: under ``from __future__ import
+        # annotations`` the type-hint inference path sees string annotations
+        # and rejects the signature.
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-        @pandas_udf(self.dtype)
-        def _udaf(s: pd.Series) -> float:
+        @pandas_udf(self.dtype, PandasUDFType.GROUPED_AGG)
+        def _udaf(s):
             return fn(s)
 
         return _udaf

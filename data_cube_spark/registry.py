@@ -266,6 +266,92 @@ def q_events_cube_from_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- TPC-H-shaped headline queries ------------------------------------------
 
+def q_measures_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: distinct aggregate fn per measure (min/max/sum/count) through
+    construction + a regrain (count re-aggregates as sum-of-counts,
+    reference R/measure.R:14-28, R/fact.R:27-35)."""
+    from data_cube_spark.build import from_table
+
+    t = load_tables(spark, sf_dir)
+    dc = from_table(
+        t["lineitem"],
+        {"returnflag": "l_returnflag", "linestatus": "l_linestatus"},
+        [Measure("min_qty", "l_quantity", agg="min"),
+         Measure("max_price", "l_extendedprice", agg="max"),
+         Measure("sum_disc", F.col("l_discount").cast("decimal(18,2)"), agg="sum"),
+         Measure("n_lines", "l_orderkey", agg="count")],
+    )
+    q = dc.q(linestatus=Collapse())
+    return q.fact.df.select(
+        "l_returnflag",
+        F.col("min_qty").cast("double").alias("min_qty"),
+        F.col("max_price").cast("double").alias("max_price"),
+        F.col("sum_disc").cast("double").alias("sum_disc"),
+        "n_lines",
+    )
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 distinct counting as a Measure aggregate (count_distinct)."""
+    from data_cube_spark.build import from_table
+
+    t = load_tables(spark, sf_dir)
+    dc = from_table(
+        t["orders"],
+        {"priority": "o_orderpriority"},
+        [Measure("n_customers", "o_custkey", agg="count_distinct"),
+         Measure("n_orders", "o_orderkey", agg="count")],
+    )
+    return dc.fact.df
+
+
+def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 arbitrary Python aggregate via Arrow-batched pandas UDAF
+    (reference user-supplied ``fun.aggregate`` beyond the whitelist)."""
+    from data_cube_spark.build import from_table
+
+    t = load_tables(spark, sf_dir)
+    dc = from_table(
+        t["lineitem"],
+        {"returnflag": "l_returnflag"},
+        [Measure("median_qty", "l_quantity",
+                 agg=lambda s: float(s.median()), dtype="double")],
+    )
+    return dc.fact.df
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 window function: cumulative monthly order total. The window is
+    unpartitioned but runs over the ~dozens-of-rows monthly aggregate, not
+    the raw fact — aggregate first, window after."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    monthly = t["orders"].groupBy(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_m"))
+    w = Window.orderBy("o_year", "o_month").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return monthly.select(
+        "o_year", "o_month",
+        F.col("_m").cast("double").alias("month_total"),
+        F.sum("_m").over(w).cast("double").alias("cum_total"),
+    )
+
+
+def q_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 set-op coverage: left-anti join (customers with no orders),
+    aggregated by segment."""
+    t = load_tables(spark, sf_dir)
+    idle = t["customer"].join(
+        t["orders"].select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey", "left_anti",
+    )
+    return idle.groupBy("c_mktsegment").agg(F.count("*").alias("n_idle"))
+
+
 def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape through from_table: degenerate flag dims, decimal
     sums, averages as sum/count."""
@@ -507,6 +593,11 @@ QUERIES: dict[str, QueryFn] = {
     "topk_parts_per_brand": q_topk_parts_per_brand,
     "surrogate_key": q_surrogate_key,
     "events_cube_from_table": q_events_cube_from_table,
+    "measures_heterogeneous": q_measures_heterogeneous,
+    "distinct_counts": q_distinct_counts,
+    "udaf_median": q_udaf_median,
+    "window_running_total": q_window_running_total,
+    "anti_join_idle_customers": q_anti_join_idle_customers,
     "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
@@ -792,6 +883,40 @@ ORACLE: dict[str, str] = {
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              md5(text) AS content_hash
       FROM documents
+    """,
+    "measures_heterogeneous": """
+      SELECT l_returnflag,
+             CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+             CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY 1
+    """,
+    "distinct_counts": """
+      SELECT o_orderpriority,
+             COUNT(DISTINCT o_custkey) AS n_customers,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    """,
+    "udaf_median": """
+      SELECT l_returnflag, CAST(median(l_quantity) AS DOUBLE) AS median_qty
+      FROM lineitem GROUP BY 1
+    """,
+    "window_running_total": """
+      WITH m AS (
+        SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS _m
+        FROM orders GROUP BY 1, 2)
+      SELECT o_year, o_month, CAST(_m AS DOUBLE) AS month_total,
+             CAST(SUM(_m) OVER (ORDER BY o_year, o_month
+                                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_total
+      FROM m
+    """,
+    "anti_join_idle_customers": """
+      SELECT c_mktsegment, COUNT(*) AS n_idle
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      GROUP BY 1
     """,
     "asof_last_error": """
       SELECT l.event_id, l.user_id, l.ts, r.value AS last_error_value

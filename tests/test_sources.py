@@ -1,0 +1,63 @@
+"""CSV/file ingest (S9 cranlogs pattern) + Measure NA-fill parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_cube_spark.model import Measure
+from data_cube_spark.sources.ingest import cube_from_file, surrogate_keyed_star
+
+CSV = """day,package,country,downloads
+2024-01-01,dplyr,US,10
+2024-01-01,dplyr,DE,5
+2024-01-01,ggplot2,US,7
+2024-01-02,dplyr,US,3
+"""
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("ingest") / "logs.csv"
+    p.write_text(CSV)
+    return str(p)
+
+
+def test_cube_from_csv(spark, csv_path):
+    dc = cube_from_file(
+        spark, csv_path,
+        dims={"package": "package", "country": "country"},
+        measures=[Measure("downloads", agg="sum"), Measure("n", "day", agg="count")],
+    )
+    rows = {(r.package, r.country): (r.downloads, r.n)
+            for r in dc.fact.df.collect()}
+    assert rows == {("dplyr", "US"): (13, 2), ("dplyr", "DE"): (5, 1),
+                    ("ggplot2", "US"): (7, 1)}
+    assert dc.dims["package"].base.count() == 2
+
+
+def test_surrogate_keyed_star(spark, csv_path):
+    from data_cube_spark.sources.ingest import read_source
+
+    df = read_source(spark, csv_path)
+    fact, dims = surrogate_keyed_star(
+        df, {"pkg": ["package"], "geo": ["country"]},
+        measures=[Measure("downloads", agg="sum")],
+    )
+    assert set(fact.columns) == {"pkg_key", "geo_key", "downloads", "count"}
+    assert fact.count() == 3  # (dplyr,US) (dplyr,DE) (ggplot2,US)
+    assert dims["pkg"].count() == 2 and dims["geo"].count() == 2
+    # keys join back to natural values losslessly
+    joined = fact.join(dims["pkg"], "pkg_key").join(dims["geo"], "geo_key")
+    got = {(r.package, r.country): r.downloads for r in joined.collect()}
+    assert got[("dplyr", "US")] == 13
+
+
+def test_measure_fill_all_null_group(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 2.0)], "k string, v double"
+    )
+    m_fill = Measure("s", "v", agg="sum", fill=0.0)
+    m_plain = Measure("s0", "v", agg="sum")
+    out = {r.k: (r.s, r.s0)
+           for r in df.groupBy("k").agg(m_fill.build_expr(), m_plain.build_expr()).collect()}
+    assert out["a"] == (0.0, None)  # R sum(na.rm=TRUE) parity vs SQL null
+    assert out["b"] == (2.0, 2.0)
