@@ -624,6 +624,32 @@ class DataCube:
         }
         return DataCube(Fact(out, id_vars, measures), new_dims)
 
+    def extract(
+        self,
+        i: Mapping[str, Any] | None = None,
+        j: Mapping[str, Column] | None = None,
+        by: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Reference ``[[.cube`` (A4, R/cube.R:279-282 + extract
+        R/cube.R:158-228): dice via ``i`` selectors, aggregate arbitrary
+        ``j`` expressions (any pyspark Column aggregate, aliased by key)
+        grouped ``by`` hierarchy attributes.
+
+        ``j=None`` aggregates the cube's own measures. ``by=[]`` yields a
+        single global row. The ``j`` expressions see the *fact-grain*
+        columns (measures at the cube's declared grain) plus the joined
+        attribute columns — same contract as the reference, where ``j``
+        runs over the filtered, attribute-attached fact."""
+        base = self.q(**i) if i else self
+        df, out_attrs = base.joined(list(by or []))
+        if j:
+            aggs = [expr.alias(name) for name, expr in j.items()]
+        else:
+            aggs = measure_exprs(base.measures)
+        if out_attrs:
+            return df.groupBy(*out_attrs).agg(*aggs)
+        return df.agg(*aggs)
+
     # -- base-R apply semantics (A5, R/data.cube.R:473-505) ------------------
     def apply(self, margin: Sequence[str], fun: str | Callable | None = None) -> "DataCube":
         """Keep MARGIN dimensions, collapse the rest; optional ``fun``

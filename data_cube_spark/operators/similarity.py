@@ -151,6 +151,93 @@ def lsh_topk(
     )
 
 
+# -- embedding near-duplicate pairs ----------------------------------------
+
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (``cosine >= threshold``,
+    ``id_a < id_b``). All-pairs — the verifier/baseline, quadratic by
+    construction, so it refuses corpora beyond ``max_rows`` unless the
+    caller lifts the guard. The scale path is :func:`lsh_near_pairs`."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_near_pairs is all-pairs; corpus has {n:,} rows "
+                f"(> {max_rows:,}). Use lsh_near_pairs, or pass max_rows=None."
+            )
+    v = with_norm(df, vec_col)
+    a = v.select(F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"),
+                 F.col("_norm").alias("_na"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"),
+                 F.col("_norm").alias("_nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+            .cast("double").alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 10,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: candidates are pairs sharing a
+    random-hyperplane bucket in ANY of ``n_tables`` independent tables
+    (OR-amplification), verified by exact cosine. The candidate join is an
+    equi-join on (table, bucket) — shuffle-partitioned, never a cross
+    product.
+
+    Recall: P(pair found) = 1 - (1 - (1 - θ/π)^n_planes)^n_tables. For
+    cosine 0.4 (θ≈66°) the defaults give ~0.8; raise ``n_tables`` (cost is
+    linear in tables) or lower ``n_planes`` (cost is quadratic in bucket
+    occupancy) for higher recall."""
+    v = with_norm(df, vec_col).select(F.col(id_col), "_vec", "_norm")
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("t"),
+            lsh_bucket(F.col("_vec"), _hyperplanes(dim, n_planes, seed + t))
+            .alias("b"),
+        )
+        for t in range(n_tables)
+    ])
+    banded = v.select(
+        F.col(id_col), "_vec", "_norm", F.explode(tables).alias("_tb")
+    ).select(F.col(id_col), "_vec", "_norm",
+             F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"),
+                      F.col("_norm").alias("_na"), "_t", "_b")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"),
+                      F.col("_norm").alias("_nb"), "_t", "_b")
+    return (
+        a.join(b, ["_t", "_b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+            .cast("double").alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 # -- IVF-style coarse quantization -----------------------------------------
 
 def centroid_table(df: DataFrame, group_col: str, vec_col: str = "embedding") -> DataFrame:
@@ -185,4 +272,95 @@ def ivf_assign(df: DataFrame, centroids_wide: DataFrame, id_col: str = "vec_id",
     return (
         scored.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
         .select(id_col, "cell_id")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: initial cells by hashing the id
+    (uniform, seed-free), then ``iters`` Lloyd refinements (assign to
+    nearest centroid, recompute means). Every step is a distributed
+    groupBy — no MLlib dependency, no driver-side data.
+
+    Output: (cell_id, centroid array<double>) — broadcast-sized."""
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_cells)).cast("int").alias("cell_id"),
+    )
+    cents = None
+    for _ in range(max(1, iters)):
+        long = centroid_table(assigned, "cell_id", vec_col)
+        cents = long.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+                lambda s: s["centroid_val"],
+            ).alias("centroid")
+        )
+        assigned = ivf_assign(corpus, cents, id_col, vec_col).join(
+            corpus.select(id_col, vec_col), id_col
+        )
+    return cents
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into ``n_cells`` coarse
+    cells; each query scores only vectors in its ``n_probe`` nearest cells.
+    The candidate join is an equi-join on cell_id (corpus side shuffled
+    once by cell), so the scanned fraction is ~n_probe/n_cells of the
+    corpus — the knob that makes a 10^9-vector corpus tractable."""
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col, iters).persist()
+    corpus_cells = ivf_assign(corpus, cents, id_col, vec_col).join(
+        corpus.select(id_col, vec_col), id_col
+    )
+    c = with_norm(corpus_cells, vec_col).select(
+        F.col(id_col).alias("match_id"), F.col("_vec").alias("_cvec"),
+        F.col("_norm").alias("_cnorm"), "cell_id",
+    )
+    q = with_norm(queries, vec_col)
+    cw = cents.select("cell_id", _as_double(F.col("centroid")).alias("_centvec"))
+    probes = (
+        q.crossJoin(F.broadcast(cw))
+        .select(
+            F.col(id_col).alias("query_id"), F.col("_vec").alias("_qvec"),
+            F.col("_norm").alias("_qnorm"), "cell_id",
+            dot(F.col("_vec"), F.col("_centvec")).alias("_cscore"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_cscore").desc(), F.col("cell_id").asc()
+    )
+    probed = (
+        probes.withColumn("_pr", F.row_number().over(wq))
+        .where(F.col("_pr") <= n_probe)
+        .select("query_id", "_qvec", "_qnorm", "cell_id")
+    )
+    scored = probed.join(c, "cell_id")
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("match_id"))
+    scored = scored.select(
+        "query_id", "match_id",
+        (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")))
+        .alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", F.col("cosine").cast("double").alias("cosine"),
+                F.col("rank").cast("int").alias("rank"))
     )

@@ -266,6 +266,21 @@ def q_events_cube_from_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- TPC-H-shaped headline queries ------------------------------------------
 
+def q_extract_custom_j(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 ``[[.cube`` extract: i-dice + arbitrary j aggregate expressions +
+    by-attributes in one call."""
+    dc = tpch_cube(spark, sf_dir)
+    return dc.extract(
+        i={"supplier": C(r_name=["ASIA"])},
+        j={
+            "revenue": F.sum("revenue").cast("double"),
+            "n_parts": F.countDistinct("p_partkey"),
+            "avg_qty": F.sum("sum_qty").cast("double") / F.sum("n_lines"),
+        },
+        by=["part.p_brand"],
+    )
+
+
 def q_measures_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: distinct aggregate fn per measure (min/max/sum/count) through
     construction + a regrain (count re-aggregates as sum-of-counts,
@@ -500,6 +515,30 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(queries, emb, k=5, n_planes=4)
 
 
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (>= 0.4) — the all-pairs
+    verifier; the LSH-bucketed variant is the scale path."""
+    t = load_tables(spark, sf_dir)
+    return similarity.cosine_near_pairs(t["embeddings"], threshold=0.4,
+                                        max_rows=None)
+
+
+def q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs (rows-only; recall vs the exact
+    variant asserted in tests)."""
+    t = load_tables(spark, sf_dir)
+    return similarity.lsh_near_pairs(t["embeddings"], threshold=0.4)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized approximate top-5 (rows-only; recall asserted
+    in tests)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(queries, emb, k=5, n_cells=8, n_probe=4)
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid vectors (IVF building block), long-form."""
     t = load_tables(spark, sf_dir)
@@ -593,6 +632,7 @@ QUERIES: dict[str, QueryFn] = {
     "topk_parts_per_brand": q_topk_parts_per_brand,
     "surrogate_key": q_surrogate_key,
     "events_cube_from_table": q_events_cube_from_table,
+    "extract_custom_j": q_extract_custom_j,
     "measures_heterogeneous": q_measures_heterogeneous,
     "distinct_counts": q_distinct_counts,
     "udaf_median": q_udaf_median,
@@ -612,6 +652,9 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_near_pairs": q_embedding_near_pairs,
+    "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "embedding_centroids": q_embedding_centroids,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
@@ -884,6 +927,20 @@ ORACLE: dict[str, str] = {
              md5(text) AS content_hash
       FROM documents
     """,
+    "extract_custom_j": f"""
+      SELECT p_brand,
+             CAST({SQL_REV} AS DOUBLE) AS revenue,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             CAST({SQL_QTY} AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA')
+      GROUP BY 1
+    """,
     "measures_heterogeneous": """
       SELECT l_returnflag,
              CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
@@ -955,6 +1012,19 @@ ORACLE: dict[str, str] = {
         FROM flagged)
       SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
       FROM sess GROUP BY user_id, sid
+    """,
+    "embedding_near_pairs": """
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS DOUBLE) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.4
     """,
     "ann_cosine_topk": """
       WITH v AS (

@@ -171,3 +171,28 @@ def test_reserved_grouping_name(spark):
     d = Dimension("grouping", "a", spark.createDataFrame([(1,)], "a int"))
     with pytest.raises(ValueError):
         DataCube(fact, {"grouping": d})
+
+
+def test_extract_custom_j_global(cube, duck):
+    # A4 [[.cube: j-only extract (no by) -> one global row
+    out = cube.extract(j={"n_parts": F.countDistinct("p_partkey")})
+    sql = "SELECT COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem"
+    assert_df_matches_sql(out, duck, sql)
+
+
+def test_extract_defaults_to_measures(cube, duck):
+    # j=None aggregates the cube's own measures at the by-grain
+    out = cube.extract(by=["supplier.r_name"]).select(
+        "r_name", F.col("revenue").cast("double").alias("revenue")
+    )
+    sql = """
+      SELECT r_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1
+    """
+    assert_df_matches_sql(out, duck, sql)

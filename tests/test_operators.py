@@ -108,3 +108,43 @@ def test_quality_score_range(tables):
 def test_shingles_short_doc_empty(spark):
     df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
     assert dedup.shingle_table(df, k=3).count() == 0
+
+
+def test_lsh_near_pairs_recall(tables):
+    from data_cube_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    exact = {(r.id_a, r.id_b)
+             for r in similarity.cosine_near_pairs(emb, 0.4).collect()}
+    approx = {(r.id_a, r.id_b)
+              for r in similarity.lsh_near_pairs(emb, 0.4).collect()}
+    assert approx <= exact  # bucketing never invents pairs
+    if exact:
+        assert len(approx & exact) / len(exact) >= 0.6  # OR-amplified bound ~0.8
+
+
+def test_cosine_near_pairs_guard(tables):
+    import pytest as _pytest
+
+    from data_cube_spark.operators import similarity
+
+    with _pytest.raises(ValueError):
+        similarity.cosine_near_pairs(tables["embeddings"], 0.4, max_rows=10).collect()
+
+
+def test_ivf_topk_recall_vs_brute_force(tables):
+    from data_cube_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    queries = emb.where(emb.vec_id < 10)
+    exact = similarity.cosine_topk(queries, emb, k=5)
+    ivf = similarity.ivf_topk(queries, emb, k=5, n_cells=8, n_probe=4)
+    ex = {(r.query_id, r.match_id) for r in exact.collect()}
+    ap = {(r.query_id, r.match_id) for r in ivf.collect()}
+    assert len(ap & ex) / len(ex) >= 0.5  # probing half the cells
+    # every IVF hit's score matches the exact score for that pair
+    ivf_scores = {(r.query_id, r.match_id): r.cosine for r in ivf.collect()}
+    exact_scores = {(r.query_id, r.match_id): r.cosine for r in exact.collect()}
+    for pair, s in ivf_scores.items():
+        if pair in exact_scores:
+            assert abs(s - exact_scores[pair]) < 1e-12
