@@ -80,6 +80,35 @@ def asof_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    salt: int = 16,
+    how: str = "inner",
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Skew-safe equi-join: the (large, skewed) left side gets a
+    deterministic salt in ``[0, salt)``; the (smaller) right side explodes
+    ×``salt`` so every salted partition finds its match. One hot key's rows
+    spread over ``salt`` reducers instead of one straggler.
+
+    AQE's skew-join split handles most skew automatically; explicit salting
+    is for the cases AQE can't re-plan (e.g. a skewed *aggregation* feeding
+    the join, or deterministic layout requirements). The salt is derived
+    from the whole left row's partition via ``spark_partition_id + a cheap
+    per-row counter`` — deterministic under a fixed input layout, uniform
+    regardless of key skew."""
+    on = [on] if isinstance(on, str) else list(on)
+    l = left.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+               F.lit(salt)).cast("int"),
+    )
+    r = right.withColumn(salt_col, F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    return l.join(r, [*on, salt_col], how).drop(salt_col)
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

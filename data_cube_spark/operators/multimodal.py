@@ -113,6 +113,73 @@ def decode_image(media: DataFrame, *, fake: bool = False,
     return media.mapInPandas(decode_batches, DECODED_IMAGE_SCHEMA)
 
 
+RESIZED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("height", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms", StringType(), True),  # stub: codec-less placeholder
+    ]
+)
+
+
+def resize_image(decoded_media: DataFrame, target: tuple[int, int] = (224, 224),
+                 *, fake: bool = False) -> DataFrame:
+    """Resize stage as ``mapInPandas``. STUB: real resampling needs an image
+    library; ``fake=True`` passes the payload through and rewrites the
+    dimension metadata — the batch shape, schema, and partitioning are the
+    real pipeline's."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs unavailable; pass fake=True to exercise the pipeline"
+        )
+    th, tw = int(target[0]), int(target[1])
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "height": [th] * len(pdf),
+                "width": [tw] * len(pdf),
+                "payload": pdf["payload"],
+            })
+
+    return decoded_media.mapInPandas(batches, RESIZED_IMAGE_SCHEMA)
+
+
+def audio_features(media: DataFrame, *, fake: bool = False) -> DataFrame:
+    """Audio feature extraction stage (duration + RMS energy). STUB: no
+    audio codec in this container; ``fake=True`` derives deterministic
+    features from the payload bytes."""
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs unavailable; pass fake=True to exercise the pipeline"
+        )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            sizes = [len(p) if p is not None else 0 for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "duration_ms": [s // 16 for s in sizes],  # fake: 16 B/ms
+                "rms": [f"{(s % 1000) / 1000.0:.3f}" for s in sizes],
+            })
+
+    return media.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame index,
     derived from metadata only (decoder stubbed). Shows the explode shape a

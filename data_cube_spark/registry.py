@@ -356,6 +356,20 @@ def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_format_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 per-measure format functions: currency formatting (reference
+    ``fun.format`` / currency.format, R/measure.R:51-55) through the
+    Measure.fmt machinery + sorted formatted export."""
+    from data_cube_spark.build import from_table
+    from data_cube_spark.functions import currency_format
+
+    t = load_tables(spark, sf_dir)
+    m = Measure("total", F.col("o_totalprice").cast("decimal(18,2)"),
+                agg="sum", fmt=currency_format)
+    dc = from_table(t["orders"], {"priority": "o_orderpriority"}, [m])
+    return pivot_format(dc, rows=["o_orderpriority"], formatted=True)
+
+
 def q_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 set-op coverage: left-anti join (customers with no orders),
     aggregated by segment."""
@@ -637,6 +651,7 @@ QUERIES: dict[str, QueryFn] = {
     "distinct_counts": q_distinct_counts,
     "udaf_median": q_udaf_median,
     "window_running_total": q_window_running_total,
+    "format_currency": q_format_currency,
     "anti_join_idle_customers": q_anti_join_idle_customers,
     "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
@@ -968,6 +983,16 @@ ORACLE: dict[str, str] = {
              CAST(SUM(_m) OVER (ORDER BY o_year, o_month
                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_total
       FROM m
+    """,
+    "format_currency": """
+      WITH s AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        FROM orders GROUP BY 1)
+      SELECT o_orderpriority,
+             '$' || format('{:,}', cents // 100) || '.' ||
+             lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS total
+      FROM s
     """,
     "anti_join_idle_customers": """
       SELECT c_mktsegment, COUNT(*) AS n_idle

@@ -1,13 +1,17 @@
 from data_cube_spark.streaming.cube_stream import (
     session_windows,
     sessionize_batch,
+    stateful_user_totals,
     streaming_cube,
     tumbling_agg,
+    user_totals_batch,
 )
 
 __all__ = [
     "session_windows",
     "sessionize_batch",
+    "stateful_user_totals",
     "streaming_cube",
     "tumbling_agg",
+    "user_totals_batch",
 ]

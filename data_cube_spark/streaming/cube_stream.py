@@ -91,6 +91,61 @@ def sessionize_batch(
     ).drop("_sid")
 
 
+def stateful_user_totals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (n_events, sum_value) maintained across micro-batches.
+
+    This is the extension point Spark gives for operators its built-in
+    stateful aggregations can't express (arbitrary per-key state machines).
+    State is one (n, s) pair per user — O(distinct users) across the
+    cluster, partitioned by the grouping key. Each batch emits the keys it
+    touched (update semantics).
+
+    Batch twin (the oracle): ``events.groupBy(user).agg(count, sum)`` —
+    the streaming final state must equal it, which the tests assert."""
+    import pandas as pd
+
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+
+    def update(key, pdf_iter, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n], "sum_value": [s],
+        })
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, s double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def user_totals_batch(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Batch twin of :func:`stateful_user_totals` (its differential oracle)."""
+    return events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).cast("double").alias("sum_value"),
+    )
+
+
 def streaming_cube(
     spark: SparkSession,
     source_dir: str,

@@ -87,3 +87,51 @@ def test_range_join_inclusive_bounds(spark):
     out = range_join(points, intervals, ts="ts", start="t0", end="t1",
                      bin_seconds=7)
     assert sorted(r.ts for r in out.collect()) == [0, 10]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from data_cube_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(100)] + [("cold", 0)], "k string, v int"
+    )
+    right = spark.createDataFrame([("hot", 10), ("cold", 20)], "k string, w int")
+    plain = {(r.k, r.v, r.w) for r in left.join(right, "k").collect()}
+    salted = {(r.k, r.v, r.w) for r in salted_join(left, right, "k", salt=4).collect()}
+    assert salted == plain
+
+
+def test_asof_join_plan_has_no_join_operator(spark, tables):
+    """The as-of join is join-free by construction: union + window."""
+    from data_cube_spark.operators.joins import asof_join
+    from data_cube_spark.plans import explain_str
+
+    ev = tables["events"]
+    import pyspark.sql.functions as F
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("v"))
+    out = asof_join(clicks, errors, on="ts", by="user_id", value_cols=["v"])
+    plan = explain_str(out, "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 1, plan
+
+
+def test_range_join_plan_is_equi_join(spark, tables):
+    """The range join must be a hash equi-join on the bin, never a
+    broadcast-nested-loop theta join."""
+    from data_cube_spark.operators.joins import range_join
+    from data_cube_spark.plans import explain_str
+
+    import pyspark.sql.functions as F
+    ev = tables["events"]
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t1"))
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = range_join(clicks, errors, ts="ts", start="t0", end="t1",
+                     bin_seconds=300, by="user_id")
+    plan = explain_str(out, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

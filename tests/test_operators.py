@@ -148,3 +148,24 @@ def test_ivf_topk_recall_vs_brute_force(tables):
     for pair, s in ivf_scores.items():
         if pair in exact_scores:
             assert abs(s - exact_scores[pair]) < 1e-12
+
+
+def test_multimodal_resize_and_audio_stages(tables):
+    from data_cube_spark.operators import multimodal
+
+    media = multimodal.fake_media_from_text(tables["documents"]).limit(50)
+    decoded = multimodal.decode_image(media, fake=True)
+    # resize consumes the decode output joined back to payloads
+    with_payload = decoded.join(media.select("asset_id", "payload"), "asset_id")
+    resized = multimodal.resize_image(with_payload, target=(224, 224), fake=True)
+    rows = resized.collect()
+    assert len(rows) == 50
+    assert all(r.height == 224 and r.width == 224 for r in rows)
+    feats = multimodal.audio_features(media, fake=True).collect()
+    assert len(feats) == 50
+    assert all(f.duration_ms >= 0 for f in feats)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_image(with_payload)
+    with _pytest.raises(NotImplementedError):
+        multimodal.audio_features(media)

@@ -78,3 +78,45 @@ def test_streaming_cube_foreachbatch_upsert(spark, tables, tmp_path):
     assert out.count() == batch.count()
     total_stream = out.agg(F.sum("n_events")).collect()[0][0]
     assert total_stream == ev.count()
+
+
+def test_stateful_user_totals_multibatch(spark, tables, tmp_path):
+    """applyInPandasWithState carries per-user state across micro-batches:
+    3 file chunks x maxFilesPerTrigger=1 => 3 batches; the final emitted
+    state per user equals the batch group-by."""
+    from data_cube_spark.streaming import stateful_user_totals, user_totals_batch
+
+    ev = tables["events"]
+    src = str(tmp_path / "src3")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from t_stateful").collect()
+    assert len(rows) > len(ev.select("user_id").distinct().collect()) - 1, \
+        "expected at least one emission per user"
+    # final state per user = the emission with the largest n_events
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["sum_value"])
+    batch = {r["user_id"]: (r["n_events"], r["sum_value"])
+             for r in user_totals_batch(ev).collect()}
+    assert set(final) == set(batch)
+    for uid, (n, s) in batch.items():
+        fn, fs = final[uid]
+        assert fn == n, f"user {uid}: {fn} != {n}"
+        assert abs(fs - s) < 1e-6 * max(1.0, abs(s)), f"user {uid}: {fs} != {s}"
