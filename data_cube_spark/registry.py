@@ -24,7 +24,7 @@ from data_cube_spark.groupingsets import rollup_cube
 from data_cube_spark.model import Measure
 from data_cube_spark.operators import dedup, multimodal, similarity, text
 from data_cube_spark.operators.text import LANG_STOPWORDS
-from data_cube_spark.selectors import C, Collapse, CubeOp
+from data_cube_spark.selectors import C, Collapse, CubeOp, RollupOp
 from data_cube_spark.sources.star import load_tables, tpch_cube
 from data_cube_spark.streaming import sessionize_batch, tumbling_agg
 
@@ -177,6 +177,21 @@ def q_rollup_level_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rc.fact.df.select(
         "r_name", "n_name",
         F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("grouping_level").cast("int").alias("grouping_level"),
+    )
+
+
+def q_rollup_hierarchy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 `+` rollup selector through the q() API: grouping sets over the
+    supplier dimension's geo hierarchy keys (region -> nation -> supplier),
+    other dims collapsed — the reference's parsed-but-unfinished semantics
+    (R/data.cube.R:219-227,285-299) executed as one Spark rollup."""
+    dc = tpch_cube(spark, sf_dir)
+    q = dc.q(supplier=RollupOp(), part=Collapse(), orders=Collapse())
+    return q.fact.df.select(
+        "n_regionkey", "n_nationkey", "s_suppkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("n_lines"),
         F.col("grouping_level").cast("int").alias("grouping_level"),
     )
 
@@ -640,6 +655,7 @@ QUERIES: dict[str, QueryFn] = {
     "grand_total": q_grand_total,
     "rollup_geo": q_rollup_geo,
     "rollup_level_select": q_rollup_level_select,
+    "rollup_hierarchy_q": q_rollup_hierarchy_q,
     "cube_grouping_sets": q_cube_grouping_sets,
     "denormalize_star": q_denormalize_star,
     "pivot_flag_status": q_pivot_flag_status,
@@ -826,6 +842,16 @@ ORACLE: dict[str, str] = {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP (r_name, n_name)
       HAVING GROUPING(r_name) + GROUPING(n_name) IN (1, 2)
+    """,
+    "rollup_hierarchy_q": f"""
+      SELECT n_regionkey, n_nationkey, s_suppkey,
+             CAST({SQL_REV} AS DOUBLE) AS revenue, COUNT(*) AS n_lines,
+             CAST(GROUPING(n_regionkey) + GROUPING(n_nationkey)
+                  + GROUPING(s_suppkey) AS INT) AS grouping_level
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_regionkey, n_nationkey, s_suppkey)
     """,
     "cube_grouping_sets": f"""
       SELECT l_returnflag, l_linestatus, CAST({SQL_QTY} AS DOUBLE) AS sum_qty,
