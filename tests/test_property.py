@@ -1,0 +1,98 @@
+"""Property-based differential testing (beyond the reference's fixed
+fixtures, SURVEY.md §5): hypothesis generates random dice/collapse query
+specs over a small dense cube; every query must match a pandas oracle.
+
+The cube is built once per module (hypothesis examples must not rebuild
+Spark state, so no function-scoped fixtures)."""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_cube_spark.build import from_table
+from data_cube_spark.model import Measure
+from data_cube_spark.selectors import C, Collapse
+
+DOMAIN = {"d1": [0, 1, 2], "d2": [0, 1, 2, 3], "d3": [0, 1, 2, 3, 4]}
+
+_state: dict = {}
+
+
+def _cube(spark):
+    if "dc" not in _state:
+        rows = [
+            (a, b, c, float((a * 7 + b * 3 + c + r) % 11))
+            for a in DOMAIN["d1"] for b in DOMAIN["d2"] for c in DOMAIN["d3"]
+            for r in range(2)
+        ]
+        pdf = pd.DataFrame(rows, columns=["d1", "d2", "d3", "v"])
+        sdf = spark.createDataFrame(pdf)
+        _state["pdf"] = pdf
+        _state["dc"] = from_table(
+            sdf, {"d1": "d1", "d2": "d2", "d3": "d3"},
+            [Measure("v", agg="sum"), Measure("n", "v", agg="count")],
+        )
+    return _state["dc"], _state["pdf"]
+
+
+def _op_strategy(dim):
+    vals = st.lists(st.sampled_from(DOMAIN[dim]), min_size=1, unique=True)
+    return st.one_of(
+        st.none(),                                    # untouched
+        st.tuples(st.just("dice"), vals),             # C(*values)
+        st.tuples(st.just("collapse"), st.none()),    # Collapse()
+        st.tuples(st.just("collapse_f"), vals),       # Collapse(dK=values)
+    )
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.fixed_dictionaries({d: _op_strategy(d) for d in DOMAIN}))
+def test_random_query_matches_pandas_oracle(spark, ops):
+    dc, pdf = _cube(spark)
+
+    selectors = {}
+    keep, mask = [], pd.Series(True, index=pdf.index)
+    for dim, op in ops.items():
+        if op is None:
+            keep.append(dim)
+            continue
+        kind, vals = op
+        if kind == "dice":
+            selectors[dim] = C(*vals)
+            mask &= pdf[dim].isin(vals)
+            keep.append(dim)
+        elif kind == "collapse":
+            selectors[dim] = Collapse()
+        else:
+            selectors[dim] = Collapse(**{dim: vals})
+            mask &= pdf[dim].isin(vals)
+
+    got = dc.q(**selectors).fact.df
+    rows = got.select(*keep, F.col("v").cast("double"), "n").collect()
+    actual = sorted(tuple(r) for r in rows)
+
+    sub = pdf[mask]
+    if keep:
+        oracle = sub.groupby(keep, as_index=False).agg(v=("v", "sum"), n=("v", "count"))
+        expected = sorted(
+            (*(int(t[c]) for c in keep), float(t["v"]), int(t["n"]))
+            for t in oracle.to_dict("records")
+        )
+    else:
+        # grand total over empty input = one all-null row (data.table
+        # parity: x[0, .(sum(v))] is 1 row NA; Measure(fill=) opts out)
+        expected = (
+            [(float(sub["v"].sum()), int(sub["v"].count()))]
+            if len(sub) else [(None, None)]
+        )
+    assert len(actual) == len(expected)
+    for a, e in zip(actual, expected):
+        assert a[:-2] == e[:-2]
+        if e[-2] is None:
+            assert a[-2] is None and a[-1] is None
+        else:
+            assert abs(a[-2] - e[-2]) < 1e-9 and a[-1] == e[-1]
