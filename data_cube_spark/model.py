@@ -596,9 +596,37 @@ class DataCube:
         """Aggregate measures by arbitrary attributes from any hierarchy
         level of any dimension (reference capply/aggregate.cube,
         R/cube.R:340-345 + extract R/cube.R:158-228). Returns a DataFrame
-        grouped by the attrs; one broadcast star join + one shuffle."""
-        df, out_attrs = self.joined(attrs)
-        return df.groupBy(*out_attrs).agg(*measure_exprs(self.measures, agg_override=fun))
+        grouped by the attrs; one broadcast star join + one shuffle.
+
+        Scale rewrite: when a dimension's own key is among the group attrs,
+        its other attrs are functionally dependent on it — so the fact
+        groups by the (already-present) key and the attr join runs on the
+        post-aggregation output instead of on every fact row. At 100 TB
+        that is the difference between widening 10^11 rows and widening
+        the aggregate."""
+        routed = self.resolve_attrs(attrs)
+        df = self.fact.df
+        group_cols: list[str] = []
+        out_cols: list[str] = []
+        deferred: list[tuple[Dimension, list[str]]] = []
+        for dname, fields in routed.items():
+            out_cols.extend(fields)
+            if dname == "":
+                group_cols.extend(fields)
+                continue
+            dim = self.dims[dname]
+            fields_nokey = [f for f in fields if f != dim.key]
+            if dim.key in fields:
+                group_cols.append(dim.key)
+                if fields_nokey:
+                    deferred.append((dim, fields_nokey))
+            elif fields_nokey:
+                df = df.join(F.broadcast(dim.attr_table(fields_nokey)), dim.key)
+                group_cols.extend(fields_nokey)
+        out = df.groupBy(*group_cols).agg(*measure_exprs(self.measures, agg_override=fun))
+        for dim, fields_nokey in deferred:
+            out = out.join(F.broadcast(dim.attr_table(fields_nokey)), dim.key, "left")
+        return out.select(*out_cols, *self.fact.measure_names)
 
     def capply(self, attrs: Sequence[str], fun: str | Callable | None = None) -> "DataCube":
         """Like :meth:`aggregate` but returns a cube whose dimensions are
