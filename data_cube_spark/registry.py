@@ -229,6 +229,26 @@ def q_denormalize_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_denormalize_na_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/J2 dense-array semantics: left-join the fact onto the cross
+    product of dimension members (reference CJ path, R/data.cube.R:103-105)
+    — absent cells surface as nulls. Cell-count guarded at scale."""
+    from data_cube_spark.build import from_table
+
+    t = load_tables(spark, sf_dir)
+    dc = from_table(
+        t["events"],
+        {"etype": "event_type", "user": "user_id"},
+        [Measure("sum_value", F.col("value").cast("decimal(18,6)"), agg="sum"),
+         Measure("n_events", "event_id", agg="count")],
+    )
+    df = denormalize(dc, na_fill=True)
+    return df.select(
+        "event_type", "user_id",
+        F.col("sum_value").cast("double").alias("sum_value"), "n_events",
+    )
+
+
 def q_pivot_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 pivot: returnflag rows × linestatus columns, sum_qty cells."""
     t = load_tables(spark, sf_dir)
@@ -658,6 +678,7 @@ QUERIES: dict[str, QueryFn] = {
     "rollup_hierarchy_q": q_rollup_hierarchy_q,
     "cube_grouping_sets": q_cube_grouping_sets,
     "denormalize_star": q_denormalize_star,
+    "denormalize_na_fill": q_denormalize_na_fill,
     "pivot_flag_status": q_pivot_flag_status,
     "topk_parts_per_brand": q_topk_parts_per_brand,
     "surrogate_key": q_surrogate_key,
@@ -875,6 +896,17 @@ ORACLE: dict[str, str] = {
       JOIN customer ON orders.o_custkey = customer.c_custkey
       JOIN nation cn ON customer.c_nationkey = cn.n_nationkey
       JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    """,
+    "denormalize_na_fill": """
+      WITH g AS (SELECT DISTINCT event_type FROM events),
+      u AS (SELECT DISTINCT user_id FROM events),
+      f AS (SELECT event_type, user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2)
+      SELECT g.event_type, u.user_id, f.sum_value, f.n_events
+      FROM g CROSS JOIN u
+      LEFT JOIN f ON f.event_type = g.event_type AND f.user_id = u.user_id
     """,
     "pivot_flag_status": """
       SELECT l_returnflag,
