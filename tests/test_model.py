@@ -196,3 +196,14 @@ def test_extract_defaults_to_measures(cube, duck):
       GROUP BY 1
     """
     assert_df_matches_sql(out, duck, sql)
+
+
+def test_positional_equals_named_selectors(cube):
+    """Metamorphic (reference tests-sub-.data.cube.R:282-297): the same
+    query positionally (dim declaration order) and by name is identical."""
+    pos = cube[..., C(1, 2, 3), Collapse()]  # (orders skipped, part, supplier)
+    named = cube.q(part=C(1, 2, 3), supplier=Collapse())
+    assert pos.fact.id_vars == named.fact.id_vars
+    a = sorted(map(tuple, pos.fact.df.collect()))
+    b = sorted(map(tuple, named.fact.df.collect()))
+    assert a == b
