@@ -169,3 +169,22 @@ def test_multimodal_resize_and_audio_stages(tables):
         multimodal.resize_image(with_payload)
     with _pytest.raises(NotImplementedError):
         multimodal.audio_features(media)
+
+
+def test_frame_sample_plan_shape(spark, tables):
+    from data_cube_spark.operators import multimodal
+    from pyspark.sql import functions as F
+
+    media = multimodal.fake_media_from_text(tables["documents"]).limit(20)
+    video = media.withColumn("media_type", F.lit("video"))
+    frames = multimodal.frame_sample_plan(video, every_n=30).collect()
+    assert len(frames) >= 20  # at least frame 0 per asset
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append(r.frame_index)
+    for idxs in by_asset.values():
+        assert idxs == sorted(idxs) or sorted(idxs) == idxs
+        assert all(i % 30 == 0 for i in idxs)
+    # non-video rows produce no frames
+    assert multimodal.frame_sample_plan(media.withColumn(
+        "media_type", F.lit("image")), every_n=30).count() == 0
