@@ -195,13 +195,16 @@ def minhash_signatures(
     # products stay < 2^61 — no 64-bit overflow (ANSI-mode safe).
     ab = [(int(rng.randint(1, 2**29)) * 2 + 1, int(rng.randint(1, 2**31)))
           for _ in range(num_hashes)]
-    sh = shingle_table(df, text_col, id_col, k, hashed=True)
     p = F.lit(2147483647)  # 2^31 - 1, prime
-    h = F.pmod(F.col("shingle"), p)
-    # the mod is essential: without it a*h+b is monotone in h and every
-    # "permutation" would select the same argmin shingle
+    # materialize h = shingle mod p once per row — referencing the pmod
+    # inside each of the 64 aggregates would recompute it 64×.
+    sh = shingle_table(df, text_col, id_col, k, hashed=True).select(
+        F.col(id_col), F.pmod(F.col("shingle"), p).alias("_h")
+    )
+    # the mod inside each permutation is essential: without it a*h+b is
+    # monotone in h and every "permutation" would select the same argmin
     mins = [
-        F.min(F.pmod(h * F.lit(a) + F.lit(b), p)).alias(f"_h{i}")
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), p)).alias(f"_h{i}")
         for i, (a, b) in enumerate(ab)
     ]
     sig = sh.groupBy(id_col).agg(*mins)
