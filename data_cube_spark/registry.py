@@ -611,6 +611,30 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image(media, fake=True)
 
 
+def q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (F.percentile — the exact
+    path; percentile_approx is the sketch variant for 100 TB)."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+
+
+def q_heavy_hitters_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection (exact): top-3 sources per language by doc
+    count, deterministic tie-break. The sketch path at corpus scale is
+    count_min_sketch / approx_count_distinct."""
+    t = load_tables(spark, sf_dir)
+    counts = t["documents"].groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    top = topk_per_group(counts, ["lang"],
+                         [F.col("n_docs").desc(), F.col("source").asc()], k=3)
+    return top.select("lang", "source", "n_docs",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (join-free union+window plan, operators/joins.py): for each
     click event attach the value of the user's most recent error at-or-before
@@ -710,6 +734,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_centroids": q_embedding_centroids,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "quantiles_by_type": q_quantiles_by_type,
+    "heavy_hitters_sources": q_heavy_hitters_sources,
     "asof_last_error": q_asof_last_error,
     "range_join_error_window": q_range_join_error_window,
     "events_hourly": q_events_hourly,
@@ -1057,6 +1083,19 @@ ORACLE: dict[str, str] = {
       FROM customer c
       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       GROUP BY 1
+    """,
+    "quantiles_by_type": """
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS p50,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY 1
+    """,
+    "heavy_hitters_sources": """
+      SELECT lang, source, COUNT(*) AS n_docs,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY COUNT(*) DESC, source) AS rank
+      FROM documents GROUP BY lang, source
+      QUALIFY rank <= 3
     """,
     "asof_last_error": """
       SELECT l.event_id, l.user_id, l.ts, r.value AS last_error_value
