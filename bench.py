@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "range_join_error_window",
     "window_running_total",
     "udaf_median",
+    "quantiles_by_type",
+    "heavy_hitters_sources",
 ]
 
 
