@@ -53,6 +53,28 @@ def cube_from_file(
     return from_table(df, dims, measures)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    n_buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and bucket-sorted) by join keys.
+
+    Bucketing is the storage-layout half of the 100 TB join story: two
+    tables bucketed on the same keys with the same bucket count join with
+    ZERO exchanges — the shuffle happens once at write time instead of on
+    every query. Use for the fact table and any same-grain sibling facts
+    (bucket by the highest-cardinality FK).
+    """
+    w = df.write.mode(mode).bucketBy(int(n_buckets), *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+
+
 def surrogate_keyed_star(
     df: DataFrame,
     dims: Mapping[str, Sequence[str]],

@@ -65,3 +65,26 @@ def test_attr_dice_does_not_shuffle_fact(cube_cold):
 def test_collapse_single_aggregation(cube_cold):
     q = cube_cold.apply(["supplier"])
     assert count_exchanges(q.fact.df) <= 2
+
+
+def test_bucketed_join_has_zero_exchanges(spark, tables):
+    """Co-located storage: two tables bucketed on the join key produce an
+    exchange-free join plan (the write-time shuffle replaces every
+    query-time shuffle)."""
+    from data_cube_spark.sources.ingest import write_bucketed
+
+    write_bucketed(tables["lineitem"].select("l_orderkey", "l_quantity"),
+                   "t_li_bucketed", ["l_orderkey"], n_buckets=8)
+    write_bucketed(tables["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"),
+        "t_o_bucketed", ["l_orderkey"], n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_li_bucketed").join(spark.table("t_o_bucketed"), "l_orderkey")
+        assert count_exchanges(j) == 0, explain_str(j, "simple")
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
