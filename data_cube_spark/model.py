@@ -408,6 +408,25 @@ class Fact:
         df = self.df.groupBy(*keep).agg(*measure_exprs(self.measures, agg_override=agg_override))
         return Fact(df, keep, self.measures)
 
+    def merge(self, other: "Fact") -> "Fact":
+        """Incremental maintenance: merge another fact at the same grain by
+        unioning partials and re-aggregating once. Exact for decomposable
+        aggregates (sum/min/max/count-as-sum); non-decomposable fns keep the
+        documented mean-of-partials contract (reference R/fact.R:92-98).
+
+        At 100 TB this is the batch-upsert path: the delta (small) shuffles
+        with the existing partials instead of reprocessing the raw history.
+        """
+        if other.id_vars != self.id_vars:
+            raise ValueError(
+                f"grain mismatch: {other.id_vars} vs {self.id_vars}")
+        if set(other.measures) != set(self.measures):
+            raise ValueError(
+                f"measure mismatch: {sorted(other.measures)} vs {sorted(self.measures)}")
+        u = self.df.unionByName(other.df)
+        df = u.groupBy(*self.id_vars).agg(*measure_exprs(self.measures))
+        return Fact(df, self.id_vars, self.measures)
+
     def filter_keys(self, fk: str, keys: Sequence | DataFrame) -> "Fact":
         """Dice the fact on one FK: literal ``isin`` pushdown for value lists
         (=> parquet row-group pruning), broadcast left-semi for key frames
@@ -704,6 +723,26 @@ class DataCube:
     def schema_info(self, *, counts: bool = False) -> dict:
         from data_cube_spark.export import schema_info
         return schema_info(self, counts=counts)
+
+    def merge_delta(self, delta: DataFrame) -> "DataCube":
+        """Incremental cube maintenance from raw delta rows: aggregate the
+        delta to the fact grain, merge partials (:meth:`Fact.merge`), and
+        extend each dimension's base with any new keys appearing in the
+        delta. Metamorphic contract: ``cube(a ∪ b) == cube(a).merge_delta(b)``
+        for decomposable measures."""
+        delta_fact = Fact.build(delta, self.fact.id_vars, self.fact.measures)
+        fact = self.fact.merge(delta_fact)
+        dims: dict[str, Dimension] = {}
+        for name, d in self.dims.items():
+            cols = d.base.columns
+            if all(c in delta.columns for c in cols):
+                new_base = d.base.unionByName(
+                    delta.select(*cols)).dropDuplicates([d.key])
+                dims[name] = Dimension(name, d.key, new_base, None,
+                                       d.hierarchies, unique=True)
+            else:
+                dims[name] = d
+        return DataCube(fact, dims)
 
     def persist(self) -> "DataCube":
         """Pin the cube's tables in memory — the honest Spark analog of the

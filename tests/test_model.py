@@ -207,3 +207,28 @@ def test_positional_equals_named_selectors(cube):
     a = sorted(map(tuple, pos.fact.df.collect()))
     b = sorted(map(tuple, named.fact.df.collect()))
     assert a == b
+
+
+def test_merge_delta_equals_full_build(spark, tables):
+    """Incremental maintenance metamorphic: cube(a).merge_delta(b) ==
+    cube(a union b) for decomposable measures."""
+    ev = tables["events"]
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    mk = lambda df: from_table(
+        df, {"etype": "event_type", "user": "user_id"},
+        [Measure("sum_value", F.col("value").cast("decimal(18,6)"), agg="sum"),
+         Measure("n_events", "event_id", agg="count")],
+    )
+    full = mk(ev)
+    merged = mk(a).merge_delta(b)
+    fa = sorted(map(tuple, full.fact.df.collect()))
+    fb = sorted(map(tuple, merged.fact.df.collect()))
+    assert fa == fb
+    assert sorted(r[0] for r in merged.dims["user"].members().collect()) == \
+           sorted(r[0] for r in full.dims["user"].members().collect())
+    # grain mismatch is rejected
+    other = from_table(ev, {"etype": "event_type"},
+                       [Measure("n_events", "event_id", agg="count")])
+    with pytest.raises(ValueError):
+        full.fact.merge(other.fact)
