@@ -61,3 +61,39 @@ def test_measure_fill_all_null_group(spark):
            for r in df.groupBy("k").agg(m_fill.build_expr(), m_plain.build_expr()).collect()}
     assert out["a"] == (0.0, None)  # R sum(na.rm=TRUE) parity vs SQL null
     assert out["b"] == (2.0, 2.0)
+
+
+def test_cube_save_load_round_trip(spark, tmp_path):
+    from data_cube_spark.sources.star import tpch_cube
+    from data_cube_spark.sources.store import load_cube, save_cube
+
+    from tests.conftest import SF_DIR
+
+    dc = tpch_cube(spark, SF_DIR)
+    path = str(tmp_path / "cube_store")
+    save_cube(dc, path)
+    loaded = load_cube(spark, path)
+
+    assert loaded.fact.id_vars == dc.fact.id_vars
+    assert set(loaded.measures) == set(dc.measures)
+    assert set(loaded.dims) == set(dc.dims)
+    # queries over the loaded cube equal the original
+    a = sorted(map(tuple, dc.aggregate(["supplier.r_name"]).collect()))
+    b = sorted(map(tuple, loaded.aggregate(["supplier.r_name"]).collect()))
+    assert a == b
+    # dice + collapse works on the loaded cube
+    from data_cube_spark.selectors import C, Collapse
+
+    q = loaded.q(supplier=C(r_name=["EUROPE"]), part=Collapse(),
+                 orders=Collapse())
+    assert q.fact.df.count() > 0
+
+
+def test_save_cube_rejects_callable_measures(spark, tmp_path):
+    from data_cube_spark.build import from_table
+    from data_cube_spark.sources.store import save_cube
+
+    df = spark.createDataFrame([(1, 2.0)], "k int, v double")
+    dc = from_table(df, {"d": "k"}, [Measure("m", "v", agg=lambda s: float(s.sum()))])
+    with pytest.raises(ValueError):
+        save_cube(dc, str(tmp_path / "bad"))
