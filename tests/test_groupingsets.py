@@ -103,3 +103,44 @@ def test_grouping_query_cube_selector_with_fixed_dim(cube):
     assert "s_suppkey" in q.fact.df.columns
     lv = sorted(r[0] for r in q.dims["grouping"].members().collect())
     assert lv == [0, 1]
+
+
+def test_grouping_selector_prefilter(cube, duck):
+    """`+`/`^` selector args filter the dimension BEFORE grouping (same
+    contract as Collapse pre-filter)."""
+    from data_cube_spark.selectors import Collapse
+
+    q = cube.q(supplier=RollupOp(r_name=["EUROPE", "ASIA"]),
+               part=Collapse(), orders=Collapse())
+    out = q.fact.df.select(
+        "n_regionkey", "n_nationkey", "s_suppkey",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("grouping_level").cast("int").alias("grouping_level"),
+    )
+    sql = """
+      SELECT n_regionkey, n_nationkey, s_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(GROUPING(n_regionkey) + GROUPING(n_nationkey)
+                  + GROUPING(s_suppkey) AS INT) AS grouping_level
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name IN ('EUROPE','ASIA')
+      GROUP BY ROLLUP (n_regionkey, n_nationkey, s_suppkey)
+    """
+    assert_df_matches_sql(out, duck, sql)
+
+
+def test_capply_returns_regrained_chainable_cube(cube):
+    """capply rolls dimensions to the attribute grain and stays queryable
+    (reference R/cube.R:210-217)."""
+    rc = cube.capply(["supplier.r_name", "part.p_brand"])
+    assert set(rc.dims) == {"supplier", "part"}
+    assert rc.dims["supplier"].key == "r_name"
+    n_regions = rc.dims["supplier"].base.count()
+    assert n_regions == 5
+    # chain: dice the regrained cube by its new key
+    sliced = rc.q(supplier=["EUROPE"])
+    assert sliced.fact.df.count() > 0
+    assert {r.r_name for r in sliced.fact.df.select("r_name").collect()} == {"EUROPE"}
