@@ -519,6 +519,17 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(t["documents"])
 
 
+def q_text_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-flavored subword count (word/digit/punct split) next to the
+    whitespace token count — both pure JVM expressions."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens_ws"),
+        text.subword_count("text").alias("n_subwords"),
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return t["documents"].select("doc_id", text.fingerprint("text").alias("fingerprint"))
@@ -722,6 +733,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
+    "text_subwords": q_text_subwords,
     "text_fingerprint": q_text_fingerprint,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1011,6 +1023,12 @@ ORACLE: dict[str, str] = {
     "text_quality": _quality_sql(),
     "text_langid": _langid_sql(),
     "text_fingerprint": f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
+    "text_subwords": r"""
+      SELECT doc_id,
+             CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_tokens_ws,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords
+      FROM documents
+    """,
     "ngram_jaccard_pairs": _ngram_jaccard_sql(),
     "embedding_centroids": """
       SELECT label, CAST(i - 1 AS INT) AS pos,
