@@ -21,6 +21,9 @@ BENCH_QUERIES = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_priority_counts",
+    "tpch_q14_promo_revenue",
     "topk_parts_per_brand",
     "dedup_exact",
     "ngram_jaccard_pairs",

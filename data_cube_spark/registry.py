@@ -485,6 +485,55 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure predicate + aggregate — every filter reaches
+    the parquet scan (PushedFilters), no joins."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    out = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+              * F.col("l_discount").cast("decimal(18,2)"))
+        .cast("double").alias("forecast_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return out
+
+
+def q_tpch_q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation (CASE WHEN inside sums)
+    after a fact-dim join, grouped by a degenerate dimension."""
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(t["orders"],
+                           F.col("l_orderkey") == F.col("o_orderkey"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # driver lineitem has no l_shipmode column; group the same conditional
+    # aggregation by returnflag instead
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue ratio over a broadcast part
+    join — one global row, one double division."""
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(F.broadcast(t["part"]),
+                           F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    return j.agg(
+        (F.lit(100.0) * F.sum(promo).cast("double")
+         / F.sum(rev).cast("double")).alias("promo_revenue_pct")
+    )
+
+
 # ===========================================================================
 # Pipeline operators (north-star)
 # ===========================================================================
@@ -728,6 +777,9 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+    "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+    "tpch_q12_priority_counts": q_tpch_q12_priority_counts,
+    "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "text_token_count": q_text_token_count,
@@ -1004,6 +1056,36 @@ ORACLE: dict[str, str] = {
       WHERE r_name = 'EUROPE' AND customer.c_nationkey = supplier.s_nationkey
         AND year(o_orderdate) = 1996
       GROUP BY 1
+    """,
+    "tpch_q6_forecast_revenue": """
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS forecast_revenue,
+             COUNT(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24
+    """,
+    "tpch_q12_priority_counts": """
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    """,
+    "tpch_q14_promo_revenue": """
+      SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                   ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS promo_revenue_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
     "dedup_exact": """
       SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
