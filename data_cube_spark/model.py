@@ -66,6 +66,10 @@ _BUILTIN_AGGS: dict[str, Callable[[str], Column]] = {
     "variance": F.variance,
     "median": F.median,
     "product": F.product,
+    "sum_distinct": F.sum_distinct,
+    "skewness": F.skewness,
+    "kurtosis": F.kurtosis,
+    "any_value": lambda c: F.any_value(c, ignoreNulls=True),
 }
 
 

@@ -485,6 +485,21 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates as Measures (stddev/variance from the
+    whitelist) over a degenerate dimension."""
+    from data_cube_spark.build import from_table
+
+    t = load_tables(spark, sf_dir)
+    dc = from_table(
+        t["lineitem"],
+        {"returnflag": "l_returnflag"},
+        [Measure("sd_qty", "l_quantity", agg="stddev"),
+         Measure("var_qty", "l_quantity", agg="variance")],
+    )
+    return dc.fact.df
+
+
 def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure predicate + aggregate — every filter reaches
     the parquet scan (PushedFilters), no joins."""
@@ -777,6 +792,7 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+    "stats_by_flag": q_stats_by_flag,
     "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
     "tpch_q12_priority_counts": q_tpch_q12_priority_counts,
     "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
@@ -1056,6 +1072,12 @@ ORACLE: dict[str, str] = {
       WHERE r_name = 'EUROPE' AND customer.c_nationkey = supplier.s_nationkey
         AND year(o_orderdate) = 1996
       GROUP BY 1
+    """,
+    "stats_by_flag": """
+      SELECT l_returnflag,
+             stddev_samp(l_quantity) AS sd_qty,
+             var_samp(l_quantity) AS var_qty
+      FROM lineitem GROUP BY 1
     """,
     "tpch_q6_forecast_revenue": """
       SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
