@@ -86,3 +86,49 @@ def test_schema_info(cube):
     assert info["fact"]["id_vars"] == ["o_orderkey", "p_partkey", "s_suppkey"]
     assert set(info["dimensions"]) == {"orders", "part", "supplier"}
     assert "levels" in info["dimensions"]["supplier"]
+
+
+def test_numpy_grid_differential(spark):
+    """The reference's dominant test pattern (SURVEY §5.1): every cube query
+    compared through the dense-array bridge against native array indexing
+    (tests-sub-.data.cube.R:37-121 / apply, tests-data.cube.R:148-268)."""
+    import numpy as np
+
+    from data_cube_spark.build import from_array
+    from data_cube_spark.export import to_array
+    from data_cube_spark.selectors import C, Collapse
+
+    a_vals = ["a0", "a1", "a2"]
+    b_vals = ["b0", "b1", "b2", "b3", "b4"]
+    c_vals = ["c0", "c1", "c2", "c3"]
+    arr = (np.arange(60, dtype=float) * 1.5 + 1).reshape(3, 5, 4)
+    dc = from_array(spark, arr, {"a": a_vals, "b": b_vals, "c": c_vals})
+
+    # identity round trip
+    got, dn = to_array(dc)
+    np.testing.assert_allclose(got, arr)
+    assert dn == {"a": a_vals, "b": b_vals, "c": c_vals}
+
+    # multi-value dice on two dims == np.ix_ (dims kept)
+    q = dc.q(a=C("a0", "a2"), c=C("c1", "c3"))
+    got, dn = to_array(q)
+    np.testing.assert_allclose(got, arr[np.ix_([0, 2], range(5), [1, 3])])
+    assert dn["a"] == ["a0", "a2"] and dn["c"] == ["c1", "c3"]
+
+    # scalar slice drops the dim == arr[i] squeeze
+    got, dn = to_array(dc.q(a="a1"))
+    np.testing.assert_allclose(got, arr[1])
+    assert list(dn) == ["b", "c"]
+
+    # collapse == sum over the axis (apply semantics)
+    got, dn = to_array(dc.q(b=Collapse()))
+    np.testing.assert_allclose(got, arr.sum(axis=1))
+    assert list(dn) == ["a", "c"]
+
+    # dice + collapse chained == filter then sum
+    got, _ = to_array(dc.q(a=C("a0", "a1"), b=Collapse()))
+    np.testing.assert_allclose(got, arr[[0, 1]].sum(axis=1))
+
+    # grand total
+    got, dn = to_array(dc.q(a=Collapse(), b=Collapse(), c=Collapse()))
+    np.testing.assert_allclose(np.asarray(got).ravel()[0], arr.sum())
