@@ -1,6 +1,7 @@
 from data_cube_spark.streaming.cube_stream import (
     session_windows,
     sessionize_batch,
+    stateful_sessionize,
     stateful_user_totals,
     streaming_cube,
     tumbling_agg,
@@ -10,6 +11,7 @@ from data_cube_spark.streaming.cube_stream import (
 __all__ = [
     "session_windows",
     "sessionize_batch",
+    "stateful_sessionize",
     "stateful_user_totals",
     "streaming_cube",
     "tumbling_agg",

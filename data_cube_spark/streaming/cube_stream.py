@@ -134,6 +134,75 @@ def stateful_user_totals(
     )
 
 
+def stateful_sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+):
+    """Custom sessionization state machine via ``applyInPandasWithState``
+    — the hand-rolled twin of the built-in ``session_window``, for session
+    semantics Spark's operator can't express (custom close conditions,
+    per-session payloads, side outputs).
+
+    State per user: (open-session start, last event time, count) as epoch
+    micros. Each batch folds its (sorted) events into the state, emitting
+    one row per session it touched: ``closed=true`` rows are final;
+    the trailing ``closed=false`` row is the open session's running
+    snapshot (update semantics — the last emission per (user,
+    session_start) is the session summary).
+
+    Ordering contract: events for a key must arrive in non-decreasing
+    event-time order ACROSS batches (within a batch they are sorted here).
+    On a real deployment that is the watermark+sorted-source contract; the
+    tests feed time-range-split files in order."""
+    import pandas as pd
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        sessions = []
+        pdfs = [p for p in pdf_iter if len(p)]
+        rows = pd.concat(pdfs).sort_values(ts_col) if pdfs else None
+        if rows is not None:
+            for t in rows[ts_col]:
+                t_us = t.value // 1000
+                if last_us is not None and t_us - last_us > gap_us:
+                    sessions.append((start_us, n, True))
+                    start_us, n = None, 0
+                if start_us is None:
+                    start_us = t_us
+                n += 1
+                last_us = t_us
+        state.update((start_us, last_us, n))
+        sessions.append((start_us, n, False))
+        yield pd.DataFrame({
+            "user_id": [key[0]] * len(sessions),
+            "session_start": [pd.Timestamp(s * 1000) for s, _, _ in sessions],
+            "n_events": [int(c) for _, c, _ in sessions],
+            "closed": [bool(cl) for _, _, cl in sessions],
+        })
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, session_start timestamp, n_events bigint, "
+            "closed boolean"
+        ),
+        stateStructType="start bigint, last bigint, n bigint",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def user_totals_batch(
     events: DataFrame,
     user_col: str = "user_id",

@@ -120,3 +120,54 @@ def test_stateful_user_totals_multibatch(spark, tables, tmp_path):
         fn, fs = final[uid]
         assert fn == n, f"user {uid}: {fn} != {n}"
         assert abs(fs - s) < 1e-6 * max(1.0, abs(s)), f"user {uid}: {fs} != {s}"
+
+
+def test_stateful_sessionize_multibatch(spark, tables, tmp_path):
+    """Custom sessionization state machine: events split into 3 time-range
+    files fed one per micro-batch; final emissions per (user, session_start)
+    must equal the batch gaps-and-islands oracle."""
+    import time as _time
+
+    from data_cube_spark.streaming import sessionize_batch, stateful_sessionize
+
+    ev = tables["events"]
+    src = str(tmp_path / "src_sess")
+    os.makedirs(src, exist_ok=True)
+    # three time-ordered chunks written sequentially (mtime order == file
+    # discovery order for FileStreamSource)
+    cuts = ev.select(F.col("ts").cast("double").alias("t")).approxQuantile(
+        "t", [0.33, 0.66], 0.001)
+    tsd = F.col("ts").cast("double")
+    parts = [
+        ev.where(tsd <= cuts[0]),
+        ev.where((tsd > cuts[0]) & (tsd <= cuts[1])),
+        ev.where(tsd > cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(f"{src}/chunk={i}")
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/chunk=*")
+    )
+    out = stateful_sessionize(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sessionize")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.sql("select * from t_sessionize").collect()
+    final = {}
+    for r in rows:
+        k = (r["user_id"], r["session_start"])
+        cur = final.get(k)
+        if cur is None or r["n_events"] > cur:
+            final[k] = r["n_events"]
+    batch = {(r["user_id"], r["session_start"]): r["n_events"]
+             for r in sessionize_batch(ev).collect()}
+    assert final == batch
