@@ -39,6 +39,18 @@ def _is_scalar(v: Any) -> bool:
     return isinstance(v, _SCALARS) or hasattr(v, "isoformat")  # date/datetime
 
 
+def _is_df(v: Any) -> bool:
+    # duck-typed so this module stays import-light; a DataFrame-valued filter
+    # is the reference's keyed-semi-join mode (b) (R/level.R:31-45)
+    return hasattr(v, "sparkSession") and hasattr(v, "columns")
+
+
+def _coerce(v: Any):
+    if _is_df(v):
+        return v
+    return [v] if _is_scalar(v) else list(v)
+
+
 @dataclass
 class Selector:
     """Normalized per-dimension query op.
@@ -62,7 +74,7 @@ class Selector:
         if self.values is not None:
             out[key] = list(self.values)
         for f, v in self.filters.items():
-            out[f] = [v] if _is_scalar(v) else list(v)
+            out[f] = _coerce(v)
         return out
 
     @property
@@ -81,7 +93,7 @@ def normalize(sel: Any, *, empty_ok: bool = True) -> Selector:
     if _is_scalar(sel):
         return Selector(values=[sel], drop=True)
     if isinstance(sel, Mapping):
-        return Selector(filters={k: ([v] if _is_scalar(v) else list(v)) for k, v in sel.items()})
+        return Selector(filters={k: _coerce(v) for k, v in sel.items()})
     if isinstance(sel, (list, tuple, set, frozenset)) or hasattr(sel, "__iter__"):
         return Selector(values=list(sel))
     raise TypeError(f"cannot interpret selector {sel!r}")
@@ -95,7 +107,7 @@ def C(*values: Any, **filters: Any) -> Selector:
     if values:
         sel.values = list(values)
     for f, v in filters.items():
-        sel.filters[f] = [v] if _is_scalar(v) else list(v)
+        sel.filters[f] = _coerce(v)
     return sel
 
 

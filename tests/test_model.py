@@ -232,3 +232,13 @@ def test_merge_delta_equals_full_build(spark, tables):
                        [Measure("n_events", "event_id", agg="count")])
     with pytest.raises(ValueError):
         full.fact.merge(other.fact)
+
+
+def test_dataframe_valued_filter_semi_join(cube, spark):
+    """Reference level$subset mode (b) (R/level.R:31-45): a DataFrame filter
+    value runs as a keyed broadcast semi-join and matches the literal dice."""
+    sel = spark.createDataFrame([("EUROPE",), ("ASIA",)], "r_name string")
+    a = sorted(map(tuple, cube.q(supplier=C(r_name=sel)).fact.df.collect()))
+    b = sorted(map(tuple,
+                   cube.q(supplier=C(r_name=["EUROPE", "ASIA"])).fact.df.collect()))
+    assert a == b and len(a) > 0
