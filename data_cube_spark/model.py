@@ -436,7 +436,11 @@ class Fact:
         (=> parquet row-group pruning), broadcast left-semi for key frames
         (reference semi-join J1, R/fact.R:82)."""
         if isinstance(keys, DataFrame):
-            df = self.df.join(F.broadcast(keys.select(fk)), fk, "left_semi")
+            # re-project to the original column order: a name-keyed join
+            # moves the join key to the front, and the fact schema is part
+            # of the public contract
+            df = self.df.join(F.broadcast(keys.select(fk)), fk, "left_semi") \
+                        .select(*self.df.columns)
         else:
             df = self.df.where(F.col(fk).isin(list(keys)))
         return Fact(df, self.id_vars, self.measures)

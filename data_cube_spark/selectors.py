@@ -72,7 +72,7 @@ class Selector:
         """Merge key-values and attribute filters into one field->values map."""
         out: dict[str, list] = {}
         if self.values is not None:
-            out[key] = list(self.values)
+            out[key] = self.values if _is_df(self.values) else list(self.values)
         for f, v in self.filters.items():
             out[f] = _coerce(v)
         return out
@@ -90,6 +90,9 @@ def normalize(sel: Any, *, empty_ok: bool = True) -> Selector:
         # dc[NULL] -> empty dice: matches nothing (reference
         # tests/tests-sub-.data.cube.R:83-97)
         return Selector(values=[])
+    if _is_df(sel):
+        # table-valued dice: semi-join the dimension key against the frame
+        return Selector(values=sel)
     if _is_scalar(sel):
         return Selector(values=[sel], drop=True)
     if isinstance(sel, Mapping):
@@ -104,7 +107,9 @@ def C(*values: Any, **filters: Any) -> Selector:
     hierarchy attribute. Single positional value still keeps the dimension
     (use a bare scalar in ``q()`` for slice-and-drop)."""
     sel = Selector()
-    if values:
+    if len(values) == 1 and _is_df(values[0]):
+        sel.values = values[0]
+    elif values:
         sel.values = list(values)
     for f, v in filters.items():
         sel.filters[f] = _coerce(v)

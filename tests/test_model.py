@@ -242,3 +242,12 @@ def test_dataframe_valued_filter_semi_join(cube, spark):
     b = sorted(map(tuple,
                    cube.q(supplier=C(r_name=["EUROPE", "ASIA"])).fact.df.collect()))
     assert a == b and len(a) > 0
+
+
+def test_table_valued_key_dice(cube, spark):
+    """dc.q(dim=df) semi-joins the dimension key against the frame."""
+    keys = spark.createDataFrame([(0,), (1,), (2,)], "s_suppkey bigint")
+    a = sorted(map(tuple, cube.q(supplier=keys).fact.df.collect()))
+    b = sorted(map(tuple, cube.q(supplier=C(0, 1, 2)).fact.df.collect()))
+    assert a == b and len(a) > 0
+    assert "supplier" in cube.q(supplier=keys).dims  # table dice never drops
