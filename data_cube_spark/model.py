@@ -732,6 +732,25 @@ class DataCube:
         from data_cube_spark.export import schema_info
         return schema_info(self, counts=counts)
 
+    def create_views(self, prefix: str = "cube") -> list[str]:
+        """Expose the cube to ``spark.sql``: registers temp views for the
+        fact at grain (``{prefix}_fact``), each denormalized dimension
+        (``{prefix}_dim_{name}``), and the fully denormalized star
+        (``{prefix}_wide``). The views are lazy plans — the star view costs
+        nothing until queried, and Catalyst prunes unused dimension joins
+        from queries that don't touch their columns."""
+        from data_cube_spark.export import denormalize
+
+        names = []
+        self.fact.df.createOrReplaceTempView(f"{prefix}_fact")
+        names.append(f"{prefix}_fact")
+        for n, d in self.dims.items():
+            d.denormalized().createOrReplaceTempView(f"{prefix}_dim_{n}")
+            names.append(f"{prefix}_dim_{n}")
+        denormalize(self).createOrReplaceTempView(f"{prefix}_wide")
+        names.append(f"{prefix}_wide")
+        return names
+
     def merge_delta(self, delta: DataFrame) -> "DataCube":
         """Incremental cube maintenance from raw delta rows: aggregate the
         delta to the fact grain, merge partials (:meth:`Fact.merge`), and

@@ -132,3 +132,26 @@ def test_numpy_grid_differential(spark):
     # grand total
     got, dn = to_array(dc.q(a=Collapse(), b=Collapse(), c=Collapse()))
     np.testing.assert_allclose(np.asarray(got).ravel()[0], arr.sum())
+
+
+def test_create_views_sql_access(cube, spark, duck):
+    """SQL over the registered star view matches the query-API result."""
+    from tests.conftest import assert_df_matches_sql
+
+    names = cube.create_views("t_cv")
+    assert "t_cv_wide" in names and "t_cv_fact" in names
+    out = spark.sql("""
+        SELECT r_name, CAST(SUM(revenue) AS DOUBLE) AS revenue
+        FROM t_cv_wide GROUP BY 1
+    """)
+    sql = """
+      SELECT r_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1
+    """
+    assert_df_matches_sql(out, duck, sql)
