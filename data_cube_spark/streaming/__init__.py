@@ -1,4 +1,5 @@
 from data_cube_spark.streaming.cube_stream import (
+    cube_from_materialized,
     session_windows,
     sessionize_batch,
     stateful_sessionize,
@@ -9,6 +10,7 @@ from data_cube_spark.streaming.cube_stream import (
 )
 
 __all__ = [
+    "cube_from_materialized",
     "session_windows",
     "sessionize_batch",
     "stateful_sessionize",

@@ -215,6 +215,33 @@ def user_totals_batch(
     )
 
 
+def cube_from_materialized(
+    spark: SparkSession,
+    target_dir: str,
+    keys: list[str],
+):
+    """Open the parquet target maintained by :func:`streaming_cube` as a
+    queryable :class:`DataCube`: fact at (window_start, *keys) grain with
+    sum-reaggregable measures, flat dimensions per key plus the window
+    dimension. This closes the loop — the stream maintains the cube, the
+    cube API queries it (further rollups/dices run on pre-aggregated
+    partials, never the raw event history)."""
+    from data_cube_spark.model import DataCube, Dimension, Fact, Measure
+
+    df = spark.read.parquet(target_dir).drop("window_date")
+    id_vars = ["window_start", *keys]
+    measures = {
+        "n_events": Measure("n_events", agg="sum"),
+        "sum_value": Measure("sum_value", agg="sum"),
+    }
+    fact = Fact(df, id_vars, measures)
+    dims = {"window": Dimension("window", "window_start",
+                                df.select("window_start").dropDuplicates())}
+    for k in keys:
+        dims[k] = Dimension(k, k, df.select(k).dropDuplicates())
+    return DataCube(fact, dims)
+
+
 def streaming_cube(
     spark: SparkSession,
     source_dir: str,

@@ -144,3 +144,19 @@ def test_capply_returns_regrained_chainable_cube(cube):
     sliced = rc.q(supplier=["EUROPE"])
     assert sliced.fact.df.count() > 0
     assert {r.r_name for r in sliced.fact.df.select("r_name").collect()} == {"EUROPE"}
+
+
+def test_rollup_fun_override_level0_equals_aggregate(cube):
+    """Metamorphic: rollup with FUN at level 0 == aggregate with the same
+    FUN (reference rollup FUN arg, R/rollup.R:65)."""
+    rc = rollup_cube(cube, ["supplier.r_name"], fun="max", levels=[0])
+    a = sorted(
+        (r["r_name"], float(r["sum_qty"]))
+        for r in rc.fact.df.select("r_name", "sum_qty").collect()
+    )
+    agg = cube.aggregate(["supplier.r_name"], fun="max")
+    b = sorted(
+        (r["r_name"], float(r["sum_qty"]))
+        for r in agg.select("r_name", "sum_qty").collect()
+    )
+    assert a == b

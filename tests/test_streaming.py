@@ -171,3 +171,28 @@ def test_stateful_sessionize_multibatch(spark, tables, tmp_path):
     batch = {(r["user_id"], r["session_start"]): r["n_events"]
              for r in sessionize_batch(ev).collect()}
     assert final == batch
+
+
+def test_streaming_maintained_cube_is_queryable(spark, tables, tmp_path):
+    """End-to-end loop: stream maintains the materialized cube, the cube
+    API queries it (collapse over pre-aggregated partials == batch truth)."""
+    from data_cube_spark.selectors import Collapse
+    from data_cube_spark.streaming import cube_from_materialized, streaming_cube
+
+    ev = tables["events"]
+    src = str(tmp_path / "src_mat")
+    ev.write.mode("overwrite").parquet(src)
+    target = str(tmp_path / "target_mat")
+    q = streaming_cube(spark, src, ev.schema, str(tmp_path / "ckpt_mat"),
+                       target, keys=["event_type"]).start()
+    q.awaitTermination(120)
+
+    dc = cube_from_materialized(spark, target, keys=["event_type"])
+    got = {r["event_type"]: (r["n_events"], round(r["sum_value"], 6))
+           for r in dc.q(window=Collapse()).fact.df.collect()}
+    truth = {r["event_type"]: (r["n_events"], round(r["sum_value"], 6))
+             for r in ev.groupBy("event_type").agg(
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_value")).collect()}
+    assert got == truth
