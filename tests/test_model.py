@@ -251,3 +251,29 @@ def test_table_valued_key_dice(cube, spark):
     b = sorted(map(tuple, cube.q(supplier=C(0, 1, 2)).fact.df.collect()))
     assert a == b and len(a) > 0
     assert "supplier" in cube.q(supplier=keys).dims  # table dice never drops
+
+
+def test_chained_query_equals_combined(cube):
+    """Metamorphic (reference dc[...][...] chaining): filtering in two
+    steps equals one combined query, including the re-aggregation."""
+    chained = cube.q(supplier=C(r_name=["EUROPE", "ASIA"]))\
+                  .q(orders=Collapse(o_orderpriority=["1-URGENT", "2-HIGH"]))
+    combined = cube.q(supplier=C(r_name=["EUROPE", "ASIA"]),
+                      orders=Collapse(o_orderpriority=["1-URGENT", "2-HIGH"]))
+    a = sorted(map(tuple, chained.fact.df.collect()))
+    b = sorted(map(tuple, combined.fact.df.collect()))
+    assert a == b and len(a) > 0
+    assert set(chained.dims) == set(combined.dims) == {"supplier", "part"}
+
+
+def test_collapse_then_aggregate_equals_direct(cube):
+    """Collapse first, then attribute-aggregate on the smaller cube ==
+    aggregating the full cube (decomposable measures)."""
+    small = cube.q(part=Collapse(), orders=Collapse())
+    a = sorted((r["r_name"], float(r["revenue"]))
+               for r in small.aggregate(["supplier.r_name"])
+               .select("r_name", F.col("revenue").cast("double")).collect())
+    b = sorted((r["r_name"], float(r["revenue"]))
+               for r in cube.aggregate(["supplier.r_name"])
+               .select("r_name", F.col("revenue").cast("double")).collect())
+    assert a == b
