@@ -98,7 +98,13 @@ def salted_join(
     the join, or deterministic layout requirements). The salt is derived
     from the whole left row's partition via ``spark_partition_id + a cheap
     per-row counter`` — deterministic under a fixed input layout, uniform
-    regardless of key skew."""
+    regardless of key skew.
+
+    Only ``inner``/``left`` joins are valid: the right side is replicated
+    ×``salt``, so right/full-outer would emit duplicated unmatched right
+    rows."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
     on = [on] if isinstance(on, str) else list(on)
     l = left.withColumn(
         salt_col,

@@ -135,3 +135,15 @@ def test_range_join_plan_is_equi_join(spark, tables):
     plan = explain_str(out, "simple")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_salted_join_left_and_invalid_how(spark):
+    from data_cube_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    right = spark.createDataFrame([("a", 10)], "k string, w int")
+    out = {(r.k, r.v, r.w) for r in salted_join(left, right, "k", salt=4,
+                                                how="left").collect()}
+    assert out == {("a", 1, 10), ("b", 2, None)}
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
