@@ -74,7 +74,12 @@ def main() -> None:
     total = 0.0
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
-        n = QUERIES[name](spark, sf_dir).count()
+        try:
+            n = QUERIES[name](spark, sf_dir).count()
+        except Exception as ex:  # one broken query must not zero the round
+            times[name] = None
+            print(f"# {name}: FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
+            continue
         dt = round(time.perf_counter() - t0, 3)
         times[name] = dt
         total += dt
