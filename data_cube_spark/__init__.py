@@ -21,7 +21,7 @@ Layout
 """
 
 from data_cube_spark.model import DataCube, Dimension, Fact, Hierarchy, Level, Measure
-from data_cube_spark.selectors import C, Collapse, CubeOp, RollupOp, Selector
+from data_cube_spark.selectors import AnyOf, C, Collapse, CubeOp, RollupOp, Selector
 
 __all__ = [
     "DataCube",
@@ -30,6 +30,7 @@ __all__ = [
     "Hierarchy",
     "Level",
     "Measure",
+    "AnyOf",
     "C",
     "Collapse",
     "CubeOp",

@@ -319,6 +319,15 @@ class Dimension:
                 base = base.join(F.broadcast(keys), lk, "left_semi")
         return self._with_base(base)
 
+    def subset_any(self, alternatives: Sequence[Mapping[str, Sequence]]) -> "Dimension":
+        """OR-combine filter alternatives: union of the per-alternative
+        filtered bases, deduped by key (each alternative is AND-combined by
+        :meth:`subset`). Extension beyond the reference, which documents OR
+        as unsupported (R/dimension.R:81)."""
+        bases = [self.subset(alt).base for alt in alternatives]
+        base = reduce(lambda a, b: a.unionByName(b), bases)
+        return self._with_base(base.dropDuplicates([self.key]))
+
     def _with_base(self, base: DataFrame) -> "Dimension":
         new_levels = {
             lk: lvl.semijoin(base.select(lk))
@@ -550,15 +559,21 @@ class DataCube:
             sel = normalize(selectors[name])  # explicit None => empty dice (dc[NULL])
             filters = sel.as_filters(dim.key)
 
-            key_only = set(filters) == {dim.key} and not isinstance(filters.get(dim.key), DataFrame)
-            fdim = dim.subset(filters) if filters else dim
+            if sel.or_filters:
+                fdim = dim.subset_any(sel.or_filters)
+                if filters:  # AND-combine any direct filters on top
+                    fdim = fdim.subset(filters)
+                fact = fact.filter_keys(dim.key, fdim.base.select(dim.key))
+            else:
+                key_only = set(filters) == {dim.key} and not isinstance(filters.get(dim.key), DataFrame)
+                fdim = dim.subset(filters) if filters else dim
 
-            if filters:
-                if key_only:
-                    # literal pushdown: parquet row-group pruning on the fact
-                    fact = fact.filter_keys(dim.key, filters[dim.key])
-                else:
-                    fact = fact.filter_keys(dim.key, fdim.base.select(dim.key))
+                if filters:
+                    if key_only:
+                        # literal pushdown: parquet row-group pruning on the fact
+                        fact = fact.filter_keys(dim.key, filters[dim.key])
+                    else:
+                        fact = fact.filter_keys(dim.key, fdim.base.select(dim.key))
 
             if sel.op == OP_COLLAPSE:
                 removed.add(dim.key)  # aggregate the dimension out

@@ -24,7 +24,7 @@ from data_cube_spark.groupingsets import rollup_cube
 from data_cube_spark.model import Measure
 from data_cube_spark.operators import dedup, multimodal, similarity, text
 from data_cube_spark.operators.text import LANG_STOPWORDS
-from data_cube_spark.selectors import C, Collapse, CubeOp, RollupOp
+from data_cube_spark.selectors import AnyOf, C, Collapse, CubeOp, RollupOp
 from data_cube_spark.sources.star import load_tables, tpch_cube
 from data_cube_spark.streaming import sessionize_batch, tumbling_agg
 
@@ -110,6 +110,16 @@ def q_attr_dice_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation keys -> supplier keys -> fact semi-join)."""
     dc = tpch_cube(spark, sf_dir)
     q = dc.q(supplier=C(r_name=["EUROPE", "ASIA"]), part=Collapse(), orders=Collapse())
+    return _m(q.fact.df)
+
+
+def q_attr_dice_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-combined attribute filters (AnyOf): suppliers in EUROPE OR in
+    nation JAPAN — the OR semantics the reference documents as unsupported
+    (R/dimension.R:81), executed as a union of broadcast-filtered bases."""
+    dc = tpch_cube(spark, sf_dir)
+    q = dc.q(supplier=AnyOf({"r_name": ["EUROPE"]}, {"n_name": ["JAPAN"]}),
+             part=Collapse(), orders=Collapse())
     return _m(q.fact.df)
 
 
@@ -766,6 +776,7 @@ QUERIES: dict[str, QueryFn] = {
     "dice_key_pushdown": q_dice_key_pushdown,
     "slice_scalar_drop": q_slice_scalar_drop,
     "attr_dice_snowflake": q_attr_dice_snowflake,
+    "attr_dice_or": q_attr_dice_or,
     "collapse_prefilter": q_collapse_prefilter,
     "aggregate_two_dims": q_aggregate_two_dims,
     "customer_region_revenue": q_customer_region_revenue,
@@ -912,6 +923,16 @@ ORACLE: dict[str, str] = {
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name IN ('EUROPE','ASIA'))
+      GROUP BY 1
+    """,
+    "attr_dice_or": f"""
+      SELECT l_suppkey AS s_suppkey, {_MEASURE_SQL}
+      FROM lineitem
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' OR n_name = 'JAPAN')
       GROUP BY 1
     """,
     "collapse_prefilter": f"""

@@ -58,6 +58,9 @@ class Selector:
     ``values``  — key-member dice values (pushed down as ``isin`` literals).
     ``filters`` — {field: [values]} attribute filters resolved through the
                   dimension's field->level routing (reference R/dimension.R:64-93).
+    ``or_filters`` — list of alternative filter dicts, OR-combined (each
+                  dict is AND-combined internally) — the OR semantics the
+                  reference notes as unsupported (R/dimension.R:81).
     ``drop``    — scalar-key slice => drop the dimension after filtering
                   (reference R/data.cube.R:264-272: scalar selectors drop,
                   multi-value selectors never drop).
@@ -66,6 +69,7 @@ class Selector:
     op: str = OP_SELECT
     values: list | None = None
     filters: dict[str, list] = field(default_factory=dict)
+    or_filters: list[dict] = field(default_factory=list)
     drop: bool = False
 
     def as_filters(self, key: str) -> dict[str, list]:
@@ -79,7 +83,7 @@ class Selector:
 
     @property
     def has_filter(self) -> bool:
-        return self.values is not None or bool(self.filters)
+        return self.values is not None or bool(self.filters) or bool(self.or_filters)
 
 
 def normalize(sel: Any, *, empty_ok: bool = True) -> Selector:
@@ -100,6 +104,17 @@ def normalize(sel: Any, *, empty_ok: bool = True) -> Selector:
     if isinstance(sel, (list, tuple, set, frozenset)) or hasattr(sel, "__iter__"):
         return Selector(values=list(sel))
     raise TypeError(f"cannot interpret selector {sel!r}")
+
+
+def AnyOf(*alternatives: Mapping[str, Any]) -> Selector:
+    """OR-combination of attribute filter sets: the dimension keeps members
+    matching ANY alternative (each alternative dict is AND-combined
+    internally) — implements the OR semantics the reference documents as
+    unsupported (R/dimension.R:81). Executed as a union of the
+    per-alternative broadcast-filtered bases, deduped by key."""
+    return Selector(or_filters=[
+        {k: _coerce(v) for k, v in alt.items()} for alt in alternatives
+    ])
 
 
 def C(*values: Any, **filters: Any) -> Selector:

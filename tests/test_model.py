@@ -277,3 +277,31 @@ def test_collapse_then_aggregate_equals_direct(cube):
                for r in cube.aggregate(["supplier.r_name"])
                .select("r_name", F.col("revenue").cast("double")).collect())
     assert a == b
+
+
+def test_anyof_or_filters(cube, duck):
+    """AnyOf: OR across attribute filter sets; AND within each set."""
+    from data_cube_spark import AnyOf
+
+    q = cube.q(supplier=AnyOf({"r_name": ["EUROPE"]}, {"n_name": ["JAPAN"]}),
+               part=Collapse(), orders=Collapse())
+    out = q.fact.df.select("s_suppkey",
+                           F.col("revenue").cast("double").alias("revenue"))
+    sql = """
+      SELECT l_suppkey AS s_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' OR n_name = 'JAPAN')
+      GROUP BY 1
+    """
+    assert_df_matches_sql(out, duck, sql)
+    # the surviving dimension's members match the OR predicate
+    assert "supplier" in q.dims
+    n_or = q.dims["supplier"].base.count()
+    n_europe = cube.q(supplier=C(r_name=["EUROPE"])).dims["supplier"].base.count()
+    assert n_or >= n_europe
