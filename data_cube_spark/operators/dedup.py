@@ -321,10 +321,16 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       band_bits: int = 16) -> DataFrame:
+                       band_bits: int = 16,
+                       max_hamming: int | None = None) -> DataFrame:
     """Hamming-distance blocking: split the 64-bit simhash into 64/band_bits
     bands; docs sharing any band are candidates (catches Hamming distance
-    < 64/band_bits guaranteed). Returns pairs + exact Hamming distance."""
+    < 64/band_bits guaranteed). Returns pairs + exact Hamming distance.
+
+    ``max_hamming`` filters candidates to true near-dups — without it the
+    band buckets of a clustered corpus over-generate (candidate count grows
+    superlinearly with corpus size), which is exactly what you prune before
+    any downstream join at scale."""
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     sh = simhash64(df, text_col, id_col)
@@ -346,6 +352,9 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
         a.join(b, ["band_id", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))).alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
+    if max_hamming is not None:
+        # filter BEFORE the dedup shuffle: at scale the pruned candidates
+        # never hit the exchange
+        pairs = pairs.where(F.col("hamming") <= int(max_hamming))
+    return pairs.dropDuplicates(["id_a", "id_b"])

@@ -627,9 +627,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-blocked near-dup candidates (rows-only check)."""
+    """SimHash Hamming-blocked near-dup pairs, pruned to hamming <= 8
+    before the dedup shuffle (rows-only check)."""
     t = load_tables(spark, sf_dir)
-    return dedup.simhash_near_pairs(t["documents"], band_bits=16)
+    return dedup.simhash_near_pairs(t["documents"], band_bits=16, max_hamming=8)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
