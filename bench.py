@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "ann_cosine_topk",
     "text_quality",
+    "pipeline_clean_corpus",
     "events_hourly",
     "events_sessionize",
     "asof_last_error",

@@ -755,6 +755,28 @@ def q_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("error_id").agg(F.count("*").alias("n_clicks"))
 
 
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star composite: a training-data cleaning pipeline in one
+    lazy plan — exact dedup (keep min-id) -> language filter (en) ->
+    quality filter (score >= 0.5) -> token counting. One narrow scan +
+    one dedup shuffle; every stage is JVM expressions."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    kept = dedup.dedup_exact(d)
+    lang = text.language_id(kept)
+    qual = text.quality_score(kept)
+    return (
+        kept.join(lang, "doc_id").join(qual, "doc_id")
+        .where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+        .select(
+            "doc_id",
+            text.token_count("text").alias("n_tokens"),
+            "lang_pred",
+            F.col("quality").cast("double").alias("quality"),
+        )
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch twin of the streaming op)."""
     t = load_tables(spark, sf_dir)
@@ -830,6 +852,7 @@ QUERIES: dict[str, QueryFn] = {
     "heavy_hitters_sources": q_heavy_hitters_sources,
     "asof_last_error": q_asof_last_error,
     "range_join_error_window": q_range_join_error_window,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
 }
@@ -896,6 +919,47 @@ def _ngram_jaccard_sql(threshold: float = 0.05) -> str:
              CAST(i.n AS DOUBLE) / (sa.n + sb.n - i.n) AS jaccard
       FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
       WHERE CAST(i.n AS DOUBLE) / (sa.n + sb.n - i.n) >= {threshold}
+    """
+
+
+
+def _pipeline_sql() -> str:
+    counts = _lang_counts_sql()
+    best = "greatest(" + ", ".join(f"c_{l}" for l in counts) + ")"
+    case = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+        f"WHEN c_{l} = best THEN '{l}'" for l in counts
+    ) + " END"
+    inner = ", ".join(f"{expr} AS c_{l}" for l, expr in counts.items())
+    en = LANG_STOPWORDS["en"]
+    stop_pat = r"(?i)\b(" + "|".join(en) + r")\b"
+    return f"""
+      WITH keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      d AS (SELECT doc.* FROM documents doc JOIN keep USING (doc_id)),
+      lang AS (
+        SELECT doc_id, {case.replace('best', '(' + best + ')')} AS lang_pred
+        FROM (SELECT doc_id, {inner} FROM d)),
+      feat AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
+          CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+            / length(text) AS punct_ratio,
+          CAST(len(regexp_extract_all(text, '{stop_pat}')) AS DOUBLE)
+            / len(string_split_regex(TRIM(text), '\\s+')) AS stopword_ratio,
+          CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+            / len(string_split_regex(TRIM(text), '\\s+')) AS mean_token_len
+        FROM d),
+      scored AS (
+        SELECT doc_id, n_tokens,
+               least(stopword_ratio * 4, 1.0) * 0.5
+               + CASE WHEN mean_token_len >= 3 AND mean_token_len <= 10
+                      THEN 0.3 ELSE 0.0 END
+               + CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END AS quality
+        FROM feat)
+      SELECT s.doc_id, s.n_tokens, l.lang_pred,
+             CAST(s.quality AS DOUBLE) AS quality
+      FROM scored s JOIN lang l USING (doc_id)
+      WHERE l.lang_pred = 'en' AND s.quality >= 0.5
     """
 
 
@@ -1258,6 +1322,7 @@ ORACLE: dict[str, str] = {
       FROM e JOIN c ON c.user_id = e.user_id AND c.ts >= e.t0 AND c.ts <= e.t1
       GROUP BY 1
     """,
+    "pipeline_clean_corpus": _pipeline_sql(),
     "events_hourly": """
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
              COUNT(*) AS n_events,
