@@ -288,6 +288,74 @@ def minhash_dedup_pairs(
     return est.where(F.col("est_jaccard") >= threshold)
 
 
+# -- candidate-graph clustering ---------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+    check_every: int = 2,
+) -> DataFrame:
+    """Connected components of the candidate-pair graph by iterative
+    min-label propagation: every node repeatedly takes the minimum label
+    among itself and its neighbors; at fixpoint the label IS the component
+    id (the smallest node id reachable).
+
+    This is the step that turns pairwise near-dup candidates into dedup
+    *clusters*. The loop is driver-side but each iteration is one
+    distributed join+groupBy over the candidate graph — which is orders of
+    magnitude smaller than the corpus (only docs with at least one
+    near-dup edge appear). Converges in graph-diameter iterations;
+    ``check_every`` controls how often the (action-costing) convergence
+    check runs. Output: (node id, component) for every node with an edge.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates().localCheckpoint()
+    nodes = sym.select(F.col("src").alias("id")).dropDuplicates()
+    # localCheckpoint per iteration: iterative self-reference otherwise
+    # doubles the logical plan each round (exponential analysis cost / OOM
+    # by ~iteration 15). On a cluster with an unreliable-executor budget,
+    # swap for reliable checkpoint(dir).
+    labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
+    for i in range(max_iter):
+        msgs = sym.join(labels, sym.src == labels.id).select(
+            F.col("dst").alias("id"), "label"
+        )
+        new = (
+            labels.select("id", "label").unionByName(msgs)
+            .groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        if (i + 1) % check_every == 0 or i == max_iter - 1:
+            changed = (
+                new.join(labels.withColumnRenamed("label", "_old"), "id")
+                .where(F.col("label") != F.col("_old")).limit(1).count()
+            )
+            if changed == 0:
+                labels = new
+                break
+        labels = new
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    **cc_kwargs,
+) -> DataFrame:
+    """Drop every non-representative member of each near-dup cluster (the
+    representative is the min-id node). Documents with no near-dup edge
+    pass through untouched."""
+    comp = connected_components(pairs, **cc_kwargs)
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 # -- SimHash ----------------------------------------------------------------
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

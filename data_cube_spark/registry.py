@@ -755,6 +755,19 @@ def q_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("error_id").agg(F.count("*").alias("n_clicks"))
 
 
+def q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the embedding near-dup graph (cosine >=
+    0.35): iterative distributed min-label propagation, hash-matched
+    against a recursive-CTE SQL oracle. The clustering step that turns
+    pairwise candidates into dedup groups."""
+    t = load_tables(spark, sf_dir)
+    pairs = similarity.cosine_near_pairs(t["embeddings"], threshold=0.35,
+                                         max_rows=None)
+    comp = dedup.connected_components(pairs)
+    return comp.select(F.col("id").alias("vec_id"),
+                       F.col("component").cast("bigint").alias("component"))
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star composite: a training-data cleaning pipeline in one
     lazy plan — exact dedup (keep min-id) -> language filter (en) ->
@@ -852,6 +865,7 @@ QUERIES: dict[str, QueryFn] = {
     "heavy_hitters_sources": q_heavy_hitters_sources,
     "asof_last_error": q_asof_last_error,
     "range_join_error_window": q_range_join_error_window,
+    "embedding_components": q_embedding_components,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
@@ -1321,6 +1335,29 @@ ORACLE: dict[str, str] = {
       SELECT error_id, COUNT(*) AS n_clicks
       FROM e JOIN c ON c.user_id = e.user_id AND c.ts >= e.t0 AND c.ts <= e.t1
       GROUP BY 1
+    """,
+    "embedding_components": """
+      WITH RECURSIVE v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v),
+      edges AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.35),
+      sym AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+      nodes AS (SELECT DISTINCT src AS id FROM sym),
+      lbl(id, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT s.dst, l.label FROM sym s JOIN lbl l ON l.id = s.src)
+      SELECT id AS vec_id, CAST(MIN(label) AS BIGINT) AS component
+      FROM lbl GROUP BY 1
     """,
     "pipeline_clean_corpus": _pipeline_sql(),
     "events_hourly": """

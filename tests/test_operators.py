@@ -188,3 +188,25 @@ def test_frame_sample_plan_shape(spark, tables):
     # non-video rows produce no frames
     assert multimodal.frame_sample_plan(media.withColumn(
         "media_type", F.lit("image")), every_n=30).count() == 0
+
+
+def test_connected_components_known_graph(spark):
+    from data_cube_spark.operators.dedup import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11}, isolated nodes absent
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_keeps_min_id_representative(spark):
+    from data_cube_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in range(6)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a bigint, id_b bigint")
+    kept = sorted(r.doc_id for r in dedup_clusters(docs, pairs).collect())
+    assert kept == [0, 1, 2, 4]  # 3 and 5 fold into representative 0
