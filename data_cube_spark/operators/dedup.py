@@ -327,7 +327,16 @@ def connected_components(
         new = (
             labels.select("id", "label").unionByName(msgs)
             .groupBy("id").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        )
+        # pointer jumping (label <- label's label): plain propagation moves
+        # one hop per iteration (a diameter-d chain needs d rounds); the
+        # extra self-join halves paths, giving ~O(log d) convergence
+        l2 = new.select(F.col("id").alias("_lid"), F.col("label").alias("_ll"))
+        new = (
+            new.join(l2, new.label == l2._lid, "left")
+            .select("id", F.coalesce("_ll", "label").alias("label"))
+            .localCheckpoint()
+        )
         if (i + 1) % check_every == 0 or i == max_iter - 1:
             changed = (
                 new.join(labels.withColumnRenamed("label", "_old"), "id")

@@ -210,3 +210,16 @@ def test_dedup_clusters_keeps_min_id_representative(spark):
     pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a bigint, id_b bigint")
     kept = sorted(r.doc_id for r in dedup_clusters(docs, pairs).collect())
     assert kept == [0, 1, 2, 4]  # 3 and 5 fold into representative 0
+
+
+def test_connected_components_long_chain(spark):
+    """A diameter-40 chain converges well within max_iter thanks to
+    pointer jumping (plain propagation would need 40 rounds)."""
+    from data_cube_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a bigint, id_b bigint"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 41
