@@ -768,6 +768,18 @@ def q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("component").cast("bigint").alias("component"))
 
 
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level semantic dedup end-to-end: near-dup pairs ->
+    connected components -> drop non-representatives (left-anti). The
+    surviving corpus, oracle-checked via recursive CTE + NOT IN."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    pairs = similarity.cosine_near_pairs(emb, threshold=0.35, max_rows=None)
+    kept = dedup.dedup_clusters(emb.select("vec_id", "label"), pairs,
+                                id_col="vec_id")
+    return kept.select("vec_id", F.col("label").cast("int").alias("label"))
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star composite: a training-data cleaning pipeline in one
     lazy plan — exact dedup (keep min-id) -> language filter (en) ->
@@ -866,6 +878,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_last_error": q_asof_last_error,
     "range_join_error_window": q_range_join_error_window,
     "embedding_components": q_embedding_components,
+    "semantic_dedup_keep": q_semantic_dedup_keep,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
@@ -1358,6 +1371,31 @@ ORACLE: dict[str, str] = {
         SELECT s.dst, l.label FROM sym s JOIN lbl l ON l.id = s.src)
       SELECT id AS vec_id, CAST(MIN(label) AS BIGINT) AS component
       FROM lbl GROUP BY 1
+    """,
+    "semantic_dedup_keep": """
+      WITH RECURSIVE v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v),
+      edges AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.35),
+      sym AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+      nodes AS (SELECT DISTINCT src AS id FROM sym),
+      lbl(id, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT s.dst, l.label FROM sym s JOIN lbl l ON l.id = s.src),
+      comp AS (SELECT id, MIN(label) AS component FROM lbl GROUP BY 1),
+      dropped AS (SELECT id FROM comp WHERE id <> component)
+      SELECT vec_id, CAST(label AS INT) AS label
+      FROM embeddings WHERE vec_id NOT IN (SELECT id FROM dropped)
     """,
     "pipeline_clean_corpus": _pipeline_sql(),
     "events_hourly": """
