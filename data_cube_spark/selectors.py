@@ -85,6 +85,15 @@ class Selector:
     def has_filter(self) -> bool:
         return self.values is not None or bool(self.filters) or bool(self.or_filters)
 
+    def collapsed(self) -> "Selector":
+        """Copy with the collapse op — composes with ``AnyOf``:
+        ``q(dim=AnyOf(a, b).collapsed())`` pre-filters by the OR predicate,
+        then aggregates the dimension out."""
+        return Selector(op=OP_COLLAPSE, values=self.values,
+                        filters=dict(self.filters),
+                        or_filters=[dict(d) for d in self.or_filters],
+                        drop=False)
+
 
 def normalize(sel: Any, *, empty_ok: bool = True) -> Selector:
     """Coerce user input into a Selector (reference parse.dots value rules)."""

@@ -305,3 +305,25 @@ def test_anyof_or_filters(cube, duck):
     n_or = q.dims["supplier"].base.count()
     n_europe = cube.q(supplier=C(r_name=["EUROPE"])).dims["supplier"].base.count()
     assert n_or >= n_europe
+
+
+def test_anyof_collapsed_prefilters_before_collapse(cube, duck):
+    from data_cube_spark import AnyOf
+
+    q = cube.q(supplier=AnyOf({"r_name": ["EUROPE"]},
+                              {"n_name": ["JAPAN"]}).collapsed(),
+               part=Collapse())
+    out = q.fact.df.select("o_orderkey",
+                           F.col("sum_qty").cast("double").alias("sum_qty"))
+    sql = """
+      SELECT l_orderkey AS o_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' OR n_name = 'JAPAN')
+      GROUP BY 1
+    """
+    assert_df_matches_sql(out, duck, sql)
