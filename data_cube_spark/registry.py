@@ -697,6 +697,23 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image(media, fake=True)
 
 
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract a JSON property from the
+    events ``props`` column (JVM-side get_json_object — no UDF) and
+    aggregate by its value bucket."""
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        t["events"]
+        .select(F.pmod(k, F.lit(10)).cast("int").alias("k_bucket"),
+                F.col("value"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+             .alias("sum_value"))
+    )
+
+
 def q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group (F.percentile — the exact
     path; percentile_approx is the sketch variant for 100 TB)."""
@@ -873,6 +890,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_centroids": q_embedding_centroids,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "events_props_json": q_events_props_json,
     "quantiles_by_type": q_quantiles_by_type,
     "heavy_hitters_sources": q_heavy_hitters_sources,
     "asof_last_error": q_asof_last_error,
@@ -1318,6 +1336,13 @@ ORACLE: dict[str, str] = {
       FROM customer c
       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       GROUP BY 1
+    """,
+    "events_props_json": """
+      SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT)
+               AS k_bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1
     """,
     "quantiles_by_type": """
       SELECT event_type,
