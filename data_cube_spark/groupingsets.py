@@ -122,7 +122,14 @@ def grouping_query(dc: DataCube, selectors: Mapping[str, Selector]) -> DataCube:
         dim = base.dims[name]
         any_cube = any_cube or sel.op == OP_CUBE
         if dim.hierarchies:
-            hier = next(iter(dim.hierarchies.values()))
+            if sel.hierarchy is not None:
+                if sel.hierarchy not in dim.hierarchies:
+                    raise KeyError(
+                        f"dimension {name!r} has no hierarchy {sel.hierarchy!r}; "
+                        f"have {list(dim.hierarchies)}")
+                hier = dim.hierarchies[sel.hierarchy]
+            else:
+                hier = next(iter(dim.hierarchies.values()))
             keys = [k for k in hier.level_keys if k != dim.key]
             by.extend([*keys, dim.key])
         else:

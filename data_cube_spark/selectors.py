@@ -71,6 +71,7 @@ class Selector:
     filters: dict[str, list] = field(default_factory=dict)
     or_filters: list[dict] = field(default_factory=list)
     drop: bool = False
+    hierarchy: str | None = None  # which hierarchy RollupOp/CubeOp groups by
 
     def as_filters(self, key: str) -> dict[str, list]:
         """Merge key-values and attribute filters into one field->values map."""
@@ -149,17 +150,21 @@ def Collapse(*values: Any, **filters: Any) -> Selector:
     return sel
 
 
-def RollupOp(*values: Any, **filters: Any) -> Selector:
+def RollupOp(*values: Any, hierarchy: str | None = None, **filters: Any) -> Selector:
     """Rollup grouping-sets over this dimension's hierarchy level keys —
     reference ``+`` op (parsed at R/data.cube.R:168, exec unfinished there;
-    we implement the intended semantics via Spark ``rollup``)."""
+    we implement the intended semantics via Spark ``rollup``).
+    ``hierarchy`` selects which of a multi-hierarchy dimension's hierarchies
+    to group by (default: the first declared)."""
     sel = C(*values, **filters)
     sel.op = OP_ROLLUP
+    sel.hierarchy = hierarchy
     return sel
 
 
-def CubeOp(*values: Any, **filters: Any) -> Selector:
+def CubeOp(*values: Any, hierarchy: str | None = None, **filters: Any) -> Selector:
     """Full cube grouping-sets over this dimension — reference ``^`` op."""
     sel = C(*values, **filters)
     sel.op = OP_CUBE
+    sel.hierarchy = hierarchy
     return sel

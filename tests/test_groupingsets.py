@@ -4,7 +4,7 @@ double-counting contract (reference tests/tests-021-rollup.R)."""
 from pyspark.sql import functions as F
 
 from data_cube_spark.groupingsets import LEVEL_COL, cube_table, rollup_cube, rollup_table
-from data_cube_spark.selectors import CubeOp, RollupOp
+from data_cube_spark.selectors import Collapse, CubeOp, RollupOp
 
 from tests.conftest import assert_df_matches_sql
 
@@ -160,3 +160,43 @@ def test_rollup_fun_override_level0_equals_aggregate(cube):
         for r in agg.select("r_name", "sum_qty").collect()
     )
     assert a == b
+
+
+def test_rollup_named_hierarchy(cube, duck):
+    """RollupOp(hierarchy=...) selects which hierarchy of a multi-hierarchy
+    dimension to group by (here the orders calendar instead of the default
+    customer-geo path)."""
+    q = cube.q(orders=RollupOp(hierarchy="monthly"),
+               part=Collapse(), supplier=Collapse())
+    out = q.fact.df.select(
+        F.col("d_year").cast("int").alias("d_year"),
+        F.col("d_quarter").cast("int").alias("d_quarter"),
+        F.col("d_month").cast("int").alias("d_month"),
+        F.col("d_date").cast("string").alias("d_date"), "o_orderkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("grouping_level").cast("int").alias("grouping_level"),
+    )
+    sql = """
+      SELECT CAST(year(o_orderdate) AS INT) AS d_year,
+             CAST(quarter(o_orderdate) AS INT) AS d_quarter,
+             CAST(month(o_orderdate) AS INT) AS d_month,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d_date, o_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+             CAST(GROUPING(year(o_orderdate)) + GROUPING(quarter(o_orderdate))
+                  + GROUPING(month(o_orderdate)) + GROUPING(CAST(o_orderdate AS DATE))
+                  + GROUPING(o_orderkey) AS INT) AS grouping_level
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate),
+                       month(o_orderdate), CAST(o_orderdate AS DATE), o_orderkey)
+    """
+    assert_df_matches_sql(out, duck, sql)
+
+
+def test_rollup_unknown_hierarchy_errors(cube):
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        cube.q(orders=RollupOp(hierarchy="nope"), part=Collapse(),
+               supplier=Collapse()).fact.df.columns
