@@ -585,7 +585,10 @@ class DataCube:
 
         keep = [fk for fk in fact.id_vars if fk not in removed]
         fact = fact.reaggregate(keep)
-        return DataCube(fact, new_dims)
+        # strict=False: re-queries of rollup cubes legitimately carry the
+        # reserved `grouping` dimension (reference slices rollup cubes by
+        # level, tests-021-rollup.R:72-81)
+        return DataCube(fact, new_dims, strict=False)
 
     # -- aggregate by arbitrary hierarchy attributes (capply, A3) -----------
     def resolve_attrs(self, attrs: Sequence[str]) -> dict[str, list[str]]:
@@ -692,7 +695,7 @@ class DataCube:
         measures = {
             n: (m.with_agg(fun) if fun is not None else m) for n, m in self.measures.items()
         }
-        return DataCube(Fact(out, id_vars, measures), new_dims)
+        return DataCube(Fact(out, id_vars, measures), new_dims, strict=False)
 
     def extract(
         self,
@@ -732,7 +735,8 @@ class DataCube:
         fact = self.fact.reaggregate(keep_keys, agg_override=fun)
         if fun is not None:
             fact = Fact(fact.df, fact.id_vars, {n: m.with_agg(fun) for n, m in self.measures.items()})
-        return DataCube(fact, {n: d for n, d in self.dims.items() if n in margin})
+        return DataCube(fact, {n: d for n, d in self.dims.items() if n in margin},
+                        strict=False)
 
     def grand_total(self, fun: str | Callable | None = None) -> DataFrame:
         """All dims collapsed -> 1-row frame (reference A6)."""
@@ -784,7 +788,7 @@ class DataCube:
                                        d.hierarchies, unique=True)
             else:
                 dims[name] = d
-        return DataCube(fact, dims)
+        return DataCube(fact, dims, strict=False)
 
     def persist(self) -> "DataCube":
         """Pin the cube's tables in memory — the honest Spark analog of the

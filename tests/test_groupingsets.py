@@ -200,3 +200,22 @@ def test_rollup_unknown_hierarchy_errors(cube):
     with _pytest.raises(KeyError):
         cube.q(orders=RollupOp(hierarchy="nope"), part=Collapse(),
                supplier=Collapse()).fact.df.columns
+
+
+def test_rollup_cube_level_slices_equal_prefix_aggregates(cube):
+    """Reference identity (tests-021-rollup.R:72-81): slicing a rollup cube
+    by grouping level equals the plain aggregate at that prefix — and
+    requires the rollup cube to be re-queryable through q()."""
+    rc = rollup_cube(cube, ["supplier.r_name", "supplier.n_name"])
+    # level 0 == aggregate by (r_name, n_name)
+    leaf = rc.q(grouping=[0]).fact.df.select(
+        "r_name", "n_name", F.col("revenue").cast("double").alias("revenue"))
+    agg = cube.aggregate(["supplier.r_name", "supplier.n_name"]).select(
+        "r_name", "n_name", F.col("revenue").cast("double").alias("revenue"))
+    assert sorted(map(tuple, leaf.collect())) == sorted(map(tuple, agg.collect()))
+    # level 2 == one grand-total row
+    assert rc.q(grouping=[2]).fact.df.count() == 1
+    # attribute dice keeps only rows where that key survives (rolled rows
+    # have NULL keys and drop)
+    eur = rc.q(r_name=["EUROPE"]).fact.df
+    assert eur.where(F.col("r_name").isNull()).count() == 0
