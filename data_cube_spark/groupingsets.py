@@ -90,10 +90,7 @@ def rollup_cube(
     dims[DataCube.RESERVED] = Dimension(
         DataCube.RESERVED, LEVEL_COL, rolled.select(LEVEL_COL).dropDuplicates()
     )
-    cube = DataCube.__new__(DataCube)
-    cube.fact = Fact(rolled, id_vars, measures)
-    cube.dims = dims  # bypass reserved-name validation: we ARE the rollup
-    return cube
+    return DataCube(Fact(rolled, id_vars, measures), dims, strict=False)
 
 
 def grouping_query(dc: DataCube, selectors: Mapping[str, Selector]) -> DataCube:
@@ -152,7 +149,4 @@ def grouping_query(dc: DataCube, selectors: Mapping[str, Selector]) -> DataCube:
     dims[DataCube.RESERVED] = Dimension(
         DataCube.RESERVED, LEVEL_COL, out.select(LEVEL_COL).dropDuplicates()
     )
-    cube = DataCube.__new__(DataCube)
-    cube.fact = Fact(out, id_vars, base.measures)
-    cube.dims = dims
-    return cube
+    return DataCube(Fact(out, id_vars, base.measures), dims, strict=False)
