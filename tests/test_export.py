@@ -155,3 +155,14 @@ def test_create_views_sql_access(cube, spark, duck):
       GROUP BY 1
     """
     assert_df_matches_sql(out, duck, sql)
+
+
+def test_format_rollup_na_last(cube):
+    """Reference NA-ordering contract (tests-021-format.R:17-20): formatted
+    output sorts rolled-up NULL keys last."""
+    from data_cube_spark.groupingsets import rollup_cube
+
+    rc = rollup_cube(cube, ["supplier.r_name"])
+    rows = pivot_format(rc.fact.df, rows=["r_name"]).collect()
+    assert rows[-1]["r_name"] is None
+    assert all(r["r_name"] is not None for r in rows[:-1])

@@ -32,3 +32,12 @@ def test_entry_contract(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_registry_schema_stability(spark):
+    """The driver smoke-checks a *stable schema*: two plan constructions of
+    the same query must agree exactly (names, types, nullability)."""
+    for name, fn in QUERIES.items():
+        s1 = fn(spark, SF_DIR).schema
+        s2 = fn(spark, SF_DIR).schema
+        assert s1 == s2, name
