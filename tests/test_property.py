@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from data_cube_spark.build import from_table
 from data_cube_spark.model import Measure
-from data_cube_spark.selectors import C, Collapse
+from data_cube_spark.selectors import AnyOf, C, Collapse
 
 DOMAIN = {"d1": [0, 1, 2], "d2": [0, 1, 2, 3], "d3": [0, 1, 2, 3, 4]}
 
@@ -44,6 +44,7 @@ def _op_strategy(dim):
         st.tuples(st.just("dice"), vals),             # C(*values)
         st.tuples(st.just("collapse"), st.none()),    # Collapse()
         st.tuples(st.just("collapse_f"), vals),       # Collapse(dK=values)
+        st.tuples(st.just("anyof"), st.tuples(vals, vals)),  # OR dice
     )
 
 
@@ -64,6 +65,11 @@ def test_random_query_matches_pandas_oracle(spark, ops):
         if kind == "dice":
             selectors[dim] = C(*vals)
             mask &= pdf[dim].isin(vals)
+            keep.append(dim)
+        elif kind == "anyof":
+            v1, v2 = vals
+            selectors[dim] = AnyOf({dim: v1}, {dim: v2})
+            mask &= pdf[dim].isin(sorted(set(v1) | set(v2)))
             keep.append(dim)
         elif kind == "collapse":
             selectors[dim] = Collapse()
