@@ -697,6 +697,19 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image(media, fake=True)
 
 
+def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path for 100 TB aggregation: approx_percentile (t-digest)
+    and approx_count_distinct (HLL++) per event type. Rows-only — sketch
+    internals differ across engines by design; accuracy vs the exact
+    variants is asserted in tests."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"),
+    )
+
+
 def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: extract a JSON property from the
     events ``props`` column (JVM-side get_json_object — no UDF) and
@@ -890,6 +903,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_centroids": q_embedding_centroids,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "sketch_aggregates": q_sketch_aggregates,
     "events_props_json": q_events_props_json,
     "quantiles_by_type": q_quantiles_by_type,
     "heavy_hitters_sources": q_heavy_hitters_sources,

@@ -223,3 +223,22 @@ def test_connected_components_long_chain(spark):
     comp = {r.id: r.component for r in connected_components(pairs).collect()}
     assert set(comp.values()) == {0}
     assert len(comp) == 41
+
+
+def test_sketch_aggregates_track_exact(spark, tables):
+    """HLL++/t-digest sketches land within their error bounds of the exact
+    answers (the contract that justifies the sketch path at scale)."""
+    from pyspark.sql import functions as F
+
+    ev = tables["events"]
+    exact = {r["event_type"]: (r["p50"], r["n"]) for r in ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.countDistinct("user_id").alias("n")).collect()}
+    approx = {r["event_type"]: (r["p50_approx"], r["n_users_approx"])
+              for r in ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")).collect()}
+    for et, (p50, n) in exact.items():
+        ap50, an = approx[et]
+        assert abs(ap50 - p50) <= max(1.0, 0.02 * abs(p50))
+        assert abs(an - n) <= max(2, 0.05 * n)
