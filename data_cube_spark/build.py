@@ -104,6 +104,8 @@ def snowflake_dimension(
     levels: Mapping[str, tuple[DataFrame, Sequence[str]]],
     hierarchies: Mapping[str, Mapping[str, Sequence[str]]] | None = None,
     dedup_levels: Sequence[str] = (),
+    approx_rows: int | None = None,
+    broadcast: bool | None = None,
 ) -> Dimension:
     """Assemble a snowflaked dimension (reference ``as.dimension``,
     R/as.dimension.R:33-64): ``base`` must carry the key + every level key;
@@ -117,4 +119,5 @@ def snowflake_dimension(
         for lk, (df, attrs) in levels.items()
     }
     hiers = {hn: Hierarchy(spec, hn) for hn, spec in (hierarchies or {}).items()}
-    return Dimension(name, key, base, lvls, hiers)
+    return Dimension(name, key, base, lvls, hiers,
+                     approx_rows=approx_rows, broadcast=broadcast)

@@ -31,8 +31,10 @@ def denormalize(
     """Star-join the fact to all (or selected) dimensions, attaching every
     hierarchy attribute (reference E1, R/data.cube.R:98-110).
 
-    Each dimension side is broadcast — at 100 TB the fact never shuffles;
-    the plan is a chain of BroadcastHashJoins over one fact scan.
+    Each broadcast-sized dimension side is hinted — the plan is a chain of
+    BroadcastHashJoins over one fact scan. Dimensions beyond the size gate
+    (``model.BROADCAST_MAX_ROWS``, e.g. an order-grain dimension at 100 TB)
+    join unhinted and AQE picks the strategy.
 
     ``na_fill=True`` first left-joins the fact onto the full cross product
     of dimension members (dense-array semantics, reference ``CJ`` path).
@@ -58,7 +60,9 @@ def denormalize(
         dim = dc.dims[n]
         wide = dim.denormalized()
         add = [c for c in wide.columns if c == dim.key or c not in df.columns]
-        df = df.join(F.broadcast(wide.select(*add)), dim.key, "left")
+        # beyond-broadcast dims (order-grain at 100 TB) join unhinted: a
+        # shuffled hash join AQE may still re-plan, never a forced broadcast
+        df = df.join(dim._hint(wide.select(*add)), dim.key, "left")
     return df
 
 

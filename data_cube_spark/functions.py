@@ -54,14 +54,41 @@ def currency_format(col: str | Column, symbol: str = "$", digits: int = 2) -> Co
 
 def add_surrogate_key(df: DataFrame, cols: list[str], key_name: str) -> DataFrame:
     """Dense integer surrogate key per distinct combination of ``cols``
-    (reference ``.GRP`` / add.surrogate.key, R/populate.R:1-7).
+    (reference ``.GRP`` / add.surrogate.key, R/populate.R:1-7), equivalent
+    to ``dense_rank() OVER (ORDER BY cols)``.
 
-    Implemented with ``dense_rank`` over an unpartitioned window — exact and
-    deterministic, but single-reducer for the ranking stage; for 100 TB key
-    assignment prefer :func:`add_hash_key` (distributed, collision-checked).
-    """
-    w = Window.orderBy(*cols)
-    return df.withColumn(key_name, F.dense_rank().over(w))
+    Two-stage distributed ranking — no single-reducer global window (the
+    r1 scale flaw): (1) distinct key combos are range-partitioned on the
+    sort columns (global order holds *across* partitions), ranked per
+    partition by a partition-local window; (2) per-partition combo counts
+    (one tiny row per partition) are collected and turned into additive
+    offsets, so ``key = offset[partition] + local_rank``. The only
+    driver-side data is the per-partition count list. For key assignment
+    where density/order doesn't matter, :func:`add_hash_key` is O(1)/row
+    with no sort at all."""
+    distinct = df.select(*cols).dropDuplicates()
+    parts = (
+        distinct.repartitionByRange(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    ranked = parts.withColumn("_lrank", F.row_number().over(w)).persist()
+    sizes = sorted(
+        (r["_pid"], r["_n"])
+        for r in ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in sizes:
+        offsets[pid] = acc
+        acc += n
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+    keyed = ranked.select(
+        *cols, (off + F.col("_lrank")).cast("bigint").alias(key_name)
+    )
+    return df.join(keyed, cols, "left").select(*df.columns, key_name)
 
 
 def add_hash_key(df: DataFrame, cols: list[str], key_name: str) -> DataFrame:

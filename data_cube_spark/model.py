@@ -16,8 +16,10 @@ predicate pushdown / column pruning / broadcast star joins; the only thing
 this layer adds is the OLAP bookkeeping (hierarchies, grain, drop rules).
 
 Scale design notes (100 TB fact, 1000 executors):
-- dimension tables are broadcast (`F.broadcast`) in every semi-/star-join,
-  so filtering a 100 TB fact by an attribute never shuffles the fact;
+- broadcast-sized dimension tables are hinted (`F.broadcast`) in every
+  semi-/star-join, so filtering a 100 TB fact by an attribute never
+  shuffles the fact; dimensions beyond the size gate (`BROADCAST_MAX_ROWS`,
+  e.g. order-grain dims) emit plain semi-joins and AQE picks the strategy;
 - key-value dices are pushed down as `isin` literals => parquet row-group
   pruning on the fact scan;
 - re-aggregation happens only when the grain actually changes (the
@@ -105,6 +107,7 @@ class Measure:
         self.name = name
         self.column = column if column is not None else name
         self.agg = agg
+        self._explicit_reagg = reagg is not None
         if reagg is None:
             reagg = "sum" if agg == "count" else agg
         self.reagg = reagg
@@ -150,9 +153,26 @@ class Measure:
         partial aggregation, reference R/fact.R:40-44)."""
         return self._finish(self._apply(self.agg, self.column))
 
+    #: aggregates whose per-grain outputs carry no information about the
+    #: coarser grain — re-applying them to partials is meaningless (a
+    #: count_distinct of partial distinct-counts counts distinct *values of
+    #: counts*), unlike mean-of-partials which is a documented approximation.
+    _NON_REGRAINABLE = frozenset({"count_distinct", "sum_distinct"})
+
     def reagg_expr(self, agg_override: str | Callable | None = None) -> Column:
         """Re-aggregate the measure's own output column on regrain."""
-        return self._finish(self._apply(agg_override or self.reagg, self.name))
+        agg = agg_override or self.reagg
+        if (agg_override is None and not self._explicit_reagg
+                and agg in self._NON_REGRAINABLE):
+            raise ValueError(
+                f"measure {self.name!r} uses {self.agg!r}, which cannot be "
+                "re-aggregated from partials: distinct counts at one grain "
+                "say nothing about a coarser grain. Pass an explicit "
+                "reagg= (e.g. 'sum' if partial key sets are disjoint, or "
+                "rebuild from raw keys / use approx_count_distinct), or "
+                "query the cube at its built grain."
+            )
+        return self._finish(self._apply(agg, self.name))
 
     def formatted(self) -> Column:
         col = F.col(self.name)
@@ -207,7 +227,7 @@ class Level:
     def columns(self) -> tuple[str, ...]:
         return (self.key, *self.attrs)
 
-    def subset(self, filters: Mapping[str, Sequence]) -> DataFrame:
+    def subset(self, filters: Mapping[str, Sequence], *, broadcast: bool = True) -> DataFrame:
         """Conjunctive ``isin`` filter (reference level$subset mode (a),
         R/level.R:31-45 + build.each.i R/cube.R:42-45). A DataFrame value
         means semi-join (mode (b)). No dedup anywhere: left-semi join
@@ -215,13 +235,15 @@ class Level:
         df = self.df
         for fld, vals in filters.items():
             if isinstance(vals, DataFrame):
-                df = df.join(F.broadcast(vals.select(fld)), fld, "left_semi")
+                keys = vals.select(fld)
+                df = df.join(F.broadcast(keys) if broadcast else keys, fld, "left_semi")
             else:
                 df = df.where(F.col(fld).isin(list(vals)))
         return df
 
-    def semijoin(self, keys: DataFrame) -> "Level":
-        return Level(self.key, self.df.join(F.broadcast(keys), self.key, "left_semi"), self.attrs)
+    def semijoin(self, keys: DataFrame, *, broadcast: bool = True) -> "Level":
+        keys = F.broadcast(keys) if broadcast else keys
+        return Level(self.key, self.df.join(keys, self.key, "left_semi"), self.attrs)
 
     def __repr__(self) -> str:
         return f"Level({self.key!r}, attrs={list(self.attrs)})"
@@ -248,6 +270,16 @@ class Hierarchy:
 # Dimension
 # ---------------------------------------------------------------------------
 
+#: Broadcast size gate: dimensions whose declared ``approx_rows`` exceeds
+#: this get NO ``F.broadcast`` hints anywhere in the engine — the semi-/star-
+#: joins are emitted unhinted and AQE picks the physical strategy at runtime.
+#: Rationale: a broadcast hint is an *order*, not a suggestion — hinting an
+#: order-grain dimension (same cardinality as the fact) at 100 TB means
+#: shipping hundreds of millions of keys to every executor (OOM, not a slow
+#: plan). ~4M keys × ~16 B ≈ the 64 MB autoBroadcastJoinThreshold the
+#: session sets, so the gate and the auto-threshold agree in spirit.
+BROADCAST_MAX_ROWS = 4_000_000
+
 
 class Dimension:
     """A dimension: base table (key + all level keys, the star/snowflake
@@ -255,8 +287,15 @@ class Dimension:
     hierarchies.
 
     The base table is deliberately *narrow* (keys only): any hierarchy
-    attribute resolves with at most one base->level hop, and the base is
-    small enough to broadcast, so attribute filters never shuffle the fact.
+    attribute resolves with at most one base->level hop, and for a
+    catalog-sized dimension the base broadcasts, so attribute filters never
+    shuffle the fact.
+
+    Size class: ``approx_rows`` declares the dimension's rough cardinality
+    (an upper bound is fine — filtered copies inherit it). Above
+    :data:`BROADCAST_MAX_ROWS` the engine stops hinting broadcast for this
+    dimension's joins (see the gate note above). ``broadcast`` forces the
+    decision either way.
     """
 
     def __init__(
@@ -268,10 +307,14 @@ class Dimension:
         hierarchies: Mapping[str, Hierarchy] | None = None,
         *,
         unique: bool = False,
+        approx_rows: int | None = None,
+        broadcast: bool | None = None,
     ) -> None:
         self.name = name
         self.key = key
         self.base = base
+        self.approx_rows = approx_rows
+        self.broadcast = broadcast
         if levels is None:
             # flat dimension: single level holding every attribute.
             # ``unique=True`` asserts the input is already at key grain and
@@ -281,6 +324,16 @@ class Dimension:
         if key not in self.levels:
             self.levels[key] = Level.build(base, key, [], unique=True)
         self.hierarchies = dict(hierarchies or {})
+
+    @property
+    def broadcastable(self) -> bool:
+        if self.broadcast is not None:
+            return self.broadcast
+        return self.approx_rows is None or self.approx_rows <= BROADCAST_MAX_ROWS
+
+    def _hint(self, df: DataFrame) -> DataFrame:
+        """Apply the broadcast hint iff this dimension is broadcast-sized."""
+        return F.broadcast(df) if self.broadcastable else df
 
     # -- metadata -----------------------------------------------------------
     @property
@@ -315,8 +368,13 @@ class Dimension:
                 base = base.where(F.col(field).isin(vals))
             else:
                 lk = fields[field]
-                keys = self.levels[lk].subset({field: vals}).select(lk)
-                base = base.join(F.broadcast(keys), lk, "left_semi")
+                keys = self.levels[lk].subset(
+                    {field: vals}, broadcast=self.broadcastable
+                ).select(lk)
+                # the surviving-keys frame is a subset of a *level* table —
+                # level cardinality <= dimension cardinality, so the gate is
+                # conservative for it too
+                base = base.join(self._hint(keys), lk, "left_semi")
         return self._with_base(base)
 
     def subset_any(self, alternatives: Sequence[Mapping[str, Sequence]]) -> "Dimension":
@@ -330,15 +388,16 @@ class Dimension:
 
     def _with_base(self, base: DataFrame) -> "Dimension":
         new_levels = {
-            lk: lvl.semijoin(base.select(lk))
+            lk: lvl.semijoin(base.select(lk), broadcast=self.broadcastable)
             for lk, lvl in self.levels.items()
         }
-        return Dimension(self.name, self.key, base, new_levels, self.hierarchies)
+        return Dimension(self.name, self.key, base, new_levels, self.hierarchies,
+                         approx_rows=self.approx_rows, broadcast=self.broadcast)
 
     def semijoin_keys(self, keys: DataFrame) -> "Dimension":
         """Restrict to fact-surviving keys (used after fact-side filters)."""
         return self._with_base(
-            self.base.join(F.broadcast(keys), self.key, "left_semi")
+            self.base.join(self._hint(keys), self.key, "left_semi")
         )
 
     # -- attribute resolution (capply / aggregate path) ---------------------
@@ -358,7 +417,7 @@ class Dimension:
         df = self.base
         for lk, cols in needed.items():
             lvl = self.levels[lk]
-            df = df.join(F.broadcast(lvl.df.select(lk, *[c for c in cols if c != lk])), lk, "left")
+            df = df.join(self._hint(lvl.df.select(lk, *[c for c in cols if c != lk])), lk, "left")
         return df.select(self.key, *[a for a in attrs if a != self.key])
 
     def denormalized(self) -> DataFrame:
@@ -368,7 +427,7 @@ class Dimension:
         for lk, lvl in self.levels.items():
             add = [a for a in lvl.attrs if a not in df.columns]
             if add:
-                df = df.join(F.broadcast(lvl.df.select(lk, *add)), lk, "left")
+                df = df.join(self._hint(lvl.df.select(lk, *add)), lk, "left")
         return df
 
     def members(self) -> DataFrame:
@@ -440,16 +499,20 @@ class Fact:
         df = u.groupBy(*self.id_vars).agg(*measure_exprs(self.measures))
         return Fact(df, self.id_vars, self.measures)
 
-    def filter_keys(self, fk: str, keys: Sequence | DataFrame) -> "Fact":
+    def filter_keys(self, fk: str, keys: Sequence | DataFrame,
+                    *, broadcast: bool = True) -> "Fact":
         """Dice the fact on one FK: literal ``isin`` pushdown for value lists
-        (=> parquet row-group pruning), broadcast left-semi for key frames
-        (reference semi-join J1, R/fact.R:82)."""
+        (=> parquet row-group pruning), left-semi for key frames (reference
+        semi-join J1, R/fact.R:82). ``broadcast=False`` (surviving keys of a
+        beyond-broadcast dimension) emits the semi-join unhinted — a shuffle
+        join the optimizer/AQE may still downgrade, never a forced OOM."""
         if isinstance(keys, DataFrame):
             # re-project to the original column order: a name-keyed join
             # moves the join key to the front, and the fact schema is part
             # of the public contract
-            df = self.df.join(F.broadcast(keys.select(fk)), fk, "left_semi") \
-                        .select(*self.df.columns)
+            keys = keys.select(fk)
+            df = self.df.join(F.broadcast(keys) if broadcast else keys,
+                              fk, "left_semi").select(*self.df.columns)
         else:
             df = self.df.where(F.col(fk).isin(list(keys)))
         return Fact(df, self.id_vars, self.measures)
@@ -563,7 +626,8 @@ class DataCube:
                 fdim = dim.subset_any(sel.or_filters)
                 if filters:  # AND-combine any direct filters on top
                     fdim = fdim.subset(filters)
-                fact = fact.filter_keys(dim.key, fdim.base.select(dim.key))
+                fact = fact.filter_keys(dim.key, fdim.base.select(dim.key),
+                                        broadcast=dim.broadcastable)
             else:
                 key_only = set(filters) == {dim.key} and not isinstance(filters.get(dim.key), DataFrame)
                 fdim = dim.subset(filters) if filters else dim
@@ -573,7 +637,8 @@ class DataCube:
                         # literal pushdown: parquet row-group pruning on the fact
                         fact = fact.filter_keys(dim.key, filters[dim.key])
                     else:
-                        fact = fact.filter_keys(dim.key, fdim.base.select(dim.key))
+                        fact = fact.filter_keys(dim.key, fdim.base.select(dim.key),
+                                                broadcast=dim.broadcastable)
 
             if sel.op == OP_COLLAPSE:
                 removed.add(dim.key)  # aggregate the dimension out
@@ -634,7 +699,7 @@ class DataCube:
             fields_nokey = [f for f in fields if f != dim.key]
             out_attrs.extend(fields)
             if fields_nokey:
-                df = df.join(F.broadcast(dim.attr_table(fields_nokey)), dim.key, "inner")
+                df = df.join(dim._hint(dim.attr_table(fields_nokey)), dim.key, "inner")
         return df, out_attrs
 
     def aggregate(self, attrs: Sequence[str], fun: str | Callable | None = None) -> DataFrame:
@@ -666,11 +731,11 @@ class DataCube:
                 if fields_nokey:
                     deferred.append((dim, fields_nokey))
             elif fields_nokey:
-                df = df.join(F.broadcast(dim.attr_table(fields_nokey)), dim.key)
+                df = df.join(dim._hint(dim.attr_table(fields_nokey)), dim.key)
                 group_cols.extend(fields_nokey)
         out = df.groupBy(*group_cols).agg(*measure_exprs(self.measures, agg_override=fun))
         for dim, fields_nokey in deferred:
-            out = out.join(F.broadcast(dim.attr_table(fields_nokey)), dim.key, "left")
+            out = out.join(dim._hint(dim.attr_table(fields_nokey)), dim.key, "left")
         return out.select(*out_cols, *self.fact.measure_names)
 
     def capply(self, attrs: Sequence[str], fun: str | Callable | None = None) -> "DataCube":

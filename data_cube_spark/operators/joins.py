@@ -129,17 +129,31 @@ def range_join(
     right.end]`` (inclusive), optionally also matching equi-keys ``by``.
 
     The right side explodes to one row per ``bin_seconds`` bucket its
-    interval covers; both sides equi-join on (bucket, *by), then the exact
-    predicate filters. Pick ``bin_seconds`` near the typical interval
-    length: the explosion factor is ~interval/bin and the join stays a
-    shuffled hash join on a well-distributed key (never nested-loop)."""
+    interval covers; both sides equi-join on (bucket, *by) with the exact
+    range predicate folded INTO the join condition (not a post-join WHERE,
+    which would silently drop outer-join null-extended rows). Pick
+    ``bin_seconds`` near the typical interval length: the explosion factor
+    is ~interval/bin and the join stays a shuffled hash join on a
+    well-distributed key (never nested-loop).
+
+    ``how``: ``inner`` or ``left`` only. Each left row carries exactly ONE
+    bin, so a left-outer join emits one null-extended row per unmatched
+    left row — correct outer semantics. The right side is replicated across
+    bins, so right/full outer would duplicate unmatched right rows; those
+    are rejected."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"range_join supports inner/left joins, not {how!r}")
     by = [by] if isinstance(by, str) else list(by or [])
     lb = F.floor(F.col(ts).cast("double") / bin_seconds).cast("long")
     sb = F.floor(F.col(start).cast("double") / bin_seconds).cast("long")
     eb = F.floor(F.col(end).cast("double") / bin_seconds).cast("long")
-    r = right.withColumn("_bin", F.explode(F.sequence(sb, eb)))
     l = left.withColumn("_bin", lb)
-    joined = l.join(r, ["_bin", *by], how).where(
-        (F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end))
-    )
-    return joined.drop("_bin")
+    r = right.withColumn("_bin", F.explode(F.sequence(sb, eb)))
+    for c in by:
+        r = r.withColumnRenamed(c, f"_r_{c}")
+    cond = l["_bin"] == r["_bin"]
+    for c in by:
+        cond = cond & (l[c] == r[f"_r_{c}"])
+    cond = cond & (l[ts] >= r[start]) & (l[ts] <= r[end])
+    joined = l.join(r, cond, how)
+    return joined.drop("_bin").drop(*[f"_r_{c}" for c in by])

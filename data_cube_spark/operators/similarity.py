@@ -188,6 +188,37 @@ def cosine_near_pairs(
     )
 
 
+def _lsh_buckets_udf(n_planes: int, n_tables: int, dim: int, seed: int):
+    """Arrow-vectorized bucket assignment for ALL hash tables at once: one
+    ``(batch, dim) @ (dim, tables*planes)`` matmul + sign-bit packing per
+    Arrow batch. For tens of tables this replaces hundreds of per-plane
+    ``zip_with``/``aggregate`` expression trees (which blow past the
+    whole-stage-codegen budget and fall back to interpreted eval) with a
+    single vectorized kernel — the documented exception to "stay JVM-side".
+    """
+    import numpy as np
+    import pandas as pd
+    # SCALAR declared explicitly: under ``from __future__ import
+    # annotations`` the type-hint inference path sees string annotations
+    # and rejects the signature (same pattern as model._pandas_udaf).
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    planes = np.stack([
+        np.asarray(_hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)
+    ])  # (tables, planes, dim)
+    mat = planes.reshape(n_tables * n_planes, dim).T.copy()  # (dim, tables*planes)
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    @pandas_udf("array<int>", PandasUDFType.SCALAR)
+    def buckets(v):
+        x = np.stack(v.values).astype("float64")  # (n, dim)
+        signs = (x @ mat >= 0).reshape(len(v), n_tables, n_planes)
+        b = (signs * weights).sum(axis=2).astype("int32")  # (n, tables)
+        return pd.Series(list(b))
+
+    return buckets
+
+
 def lsh_near_pairs(
     df: DataFrame,
     threshold: float,
@@ -200,27 +231,21 @@ def lsh_near_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: candidates are pairs sharing a
     random-hyperplane bucket in ANY of ``n_tables`` independent tables
-    (OR-amplification), verified by exact cosine. The candidate join is an
-    equi-join on (table, bucket) — shuffle-partitioned, never a cross
-    product.
+    (OR-amplification), verified by exact cosine (JVM-side). The candidate
+    join is an equi-join on (table, bucket) — shuffle-partitioned, never a
+    cross product.
 
     Recall: P(pair found) = 1 - (1 - (1 - θ/π)^n_planes)^n_tables. For
     cosine 0.4 (θ≈66°) the defaults give ~0.8; raise ``n_tables`` (cost is
     linear in tables) or lower ``n_planes`` (cost is quadratic in bucket
-    occupancy) for higher recall."""
+    occupancy) for higher recall. ``n_planes=4, n_tables=48`` reaches
+    recall 1.0 on the driver corpus at threshold 0.35 (asserted in tests)."""
     v = with_norm(df, vec_col).select(F.col(id_col), "_vec", "_norm")
-    tables = F.array(*[
-        F.struct(
-            F.lit(t).alias("t"),
-            lsh_bucket(F.col("_vec"), _hyperplanes(dim, n_planes, seed + t))
-            .alias("b"),
-        )
-        for t in range(n_tables)
-    ])
+    buckets = _lsh_buckets_udf(n_planes, n_tables, dim, seed)
     banded = v.select(
-        F.col(id_col), "_vec", "_norm", F.explode(tables).alias("_tb")
-    ).select(F.col(id_col), "_vec", "_norm",
-             F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+        F.col(id_col), "_vec", "_norm",
+        F.posexplode(buckets(F.col("_vec"))).alias("_t", "_b"),
+    )
     a = banded.select(F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"),
                       F.col("_norm").alias("_na"), "_t", "_b")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"),

@@ -31,6 +31,15 @@ def has_sort_merge_join(df: DataFrame) -> bool:
     return "SortMergeJoin" in explain_str(df, "simple")
 
 
+def has_broadcast_hint(df: DataFrame) -> bool:
+    """True iff the query carries an explicit broadcast join hint (checked
+    on the *analyzed* logical plan, so the answer is independent of the
+    autoBroadcastJoinThreshold-driven strategy the physical planner would
+    pick anyway for small inputs)."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
+    return "ResolvedHint" in analyzed or "UnresolvedHint" in analyzed
+
+
 def pushed_filters(df: DataFrame) -> str:
     """The PushedFilters section(s) of the scan nodes."""
     plan = explain_str(df, "formatted")

@@ -97,11 +97,17 @@ def part_dimension(t: dict[str, DataFrame]) -> Dimension:
     return Dimension("part", "p_partkey", t["part"], unique=True)
 
 
-def orders_dimension(t: dict[str, DataFrame]) -> Dimension:
+def orders_dimension(t: dict[str, DataFrame], approx_rows: int | None = None) -> Dimension:
     """orders -> customer -> nation -> region snowflake + derived calendar
     hierarchy on the order date. Customer-path attribute names are prefixed
     (``cn_``/``cr_``) so they never collide with the supplier path when both
-    are denormalized onto the same fact row."""
+    are denormalized onto the same fact row.
+
+    This dimension is **order-grain** — same cardinality class as the fact.
+    ``approx_rows`` (the orders table's row count, measured once per cube
+    build) feeds the broadcast size gate (``model.BROADCAST_MAX_ROWS``): at
+    bench scale it broadcasts; past ~4M orders the engine stops hinting and
+    its joins fall back to AQE-planned shuffles instead of an executor OOM."""
     cust_nation = t["nation"].select(
         F.col("n_nationkey").alias("c_nationkey"),
         F.col("n_name").alias("cn_name"),
@@ -146,7 +152,7 @@ def orders_dimension(t: dict[str, DataFrame]) -> Dimension:
     }
     # only the derived calendar level comes from a non-unique source
     return snowflake_dimension("orders", "o_orderkey", base, levels, hiers,
-                               dedup_levels=["d_date"])
+                               dedup_levels=["d_date"], approx_rows=approx_rows)
 
 
 def lineitem_measures() -> list[Measure]:
@@ -183,8 +189,11 @@ def tpch_cube(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataCube:
         .withColumnRenamed("l_suppkey", "s_suppkey")
     )
     fact = Fact(fdf, ["o_orderkey", "p_partkey", "s_suppkey"], fact.measures)
+    # size-class the order-grain dimension: parquet count() is a
+    # metadata-cheap job, memoized with the cube
+    n_orders = t["orders"].count()
     dims = {
-        "orders": orders_dimension(t),
+        "orders": orders_dimension(t, approx_rows=n_orders),
         "part": part_dimension(t),
         "supplier": supplier_dimension(t),
     }

@@ -123,6 +123,38 @@ def test_lsh_near_pairs_recall(tables):
         assert len(approx & exact) / len(exact) >= 0.6  # OR-amplified bound ~0.8
 
 
+def test_lsh_near_pairs_registry_params_full_recall(tables):
+    """The registered production params (n_planes=4, n_tables=48) must find
+    EVERY exact pair >= 0.35 on the driver corpus — that's what keeps
+    embedding_components / semantic_dedup_keep hash-identical to their
+    exact all-pairs oracles while the production path stays bucketed."""
+    from data_cube_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    exact = {(r.id_a, r.id_b)
+             for r in similarity.cosine_near_pairs(emb, 0.35).collect()}
+    approx = {(r.id_a, r.id_b)
+              for r in similarity.lsh_near_pairs(
+                  emb, 0.35, n_planes=4, n_tables=48).collect()}
+    assert approx == exact, (
+        f"missed={len(exact - approx)} extra={len(approx - exact)}"
+    )
+
+
+def test_ngram_max_df_bounds_candidates(spark):
+    """A hot shingle shared by every doc must not explode candidates when
+    max_df caps document frequency (the 100 TB guard, VERDICT r1)."""
+    hot = "common prefix words "  # 3-gram shared by all docs
+    rows = [(i, hot + f"unique tail {i} alpha beta gamma {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.0, k=3, cache=False)
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.0, k=3, max_df=5, cache=False)
+    # every doc shares the hot shingle => uncapped candidates are all-pairs
+    assert uncapped.count() == 40 * 39 // 2
+    # the hot shingle exceeds max_df and is dropped; no shared shingle remains
+    assert capped.count() == 0
+
+
 def test_cosine_near_pairs_guard(tables):
     import pytest as _pytest
 
