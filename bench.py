@@ -17,6 +17,8 @@ BENCH_QUERIES = [
     "aggregate_two_dims",
     "customer_region_revenue",
     "rollup_geo",
+    "rollup_hierarchy_q",
+    "cube_grouping_sets",
     "denormalize_star",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -28,6 +30,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "semantic_dedup_keep",
     "ann_cosine_topk",
     "text_quality",
     "pipeline_clean_corpus",
@@ -35,6 +38,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "asof_last_error",
     "range_join_error_window",
+    "events_props_json",
     "window_running_total",
     "udaf_median",
     "quantiles_by_type",

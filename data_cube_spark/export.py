@@ -76,7 +76,10 @@ def pivot_format(
 ) -> DataFrame:
     """Reference ``format.data.cube`` (E4, R/data.cube.R:433-458): output
     sorted by keys with NA last, per-measure format functions, optional
-    pivot (dcast) of one dimension into columns.
+    pivot (dcast) of one dimension into columns. Format and pivot COMPOSE,
+    in the reference's order: measures are formatted first, then the
+    (formatted) values are pivoted (R/data.cube.R:433-458 formats, then
+    optionally dcasts).
 
     Passing ``pivot_values`` avoids the extra distinct-collect job Spark
     otherwise runs to discover the pivot domain (matters at scale).
@@ -87,6 +90,11 @@ def pivot_format(
     else:
         df = dc_or_df
         measures = {}
+    if formatted and measures:
+        df = df.select(
+            *[F.col(c) for c in df.columns if c not in measures],
+            *[m.formatted() for m in measures.values()],
+        )
     if pivot_col is not None:
         if measure is None:
             if len(measures) != 1:
@@ -95,11 +103,6 @@ def pivot_format(
         gp = df.groupBy(*rows)
         piv = gp.pivot(pivot_col, list(pivot_values) if pivot_values else None)
         df = piv.agg(F.first(measure))
-    elif formatted and measures:
-        df = df.select(
-            *[F.col(c) for c in df.columns if c not in measures],
-            *[m.formatted() for m in measures.values()],
-        )
     return df.orderBy(*[F.col(r).asc_nulls_last() for r in rows])
 
 

@@ -71,10 +71,22 @@ def rollup_cube(
     fun: str | Callable | None = None,
     levels: Sequence[int] | None = None,
     op: str = "rollup",
+    normalize: bool = True,
 ) -> DataCube:
     """Reference ``rollup.cube`` (R/rollup.R:57-104): grouping-sets over the
     cube at attribute grain, re-normalized with a bound ``grouping``
     dimension so the result stays a cube despite heterogeneous grain.
+
+    Re-normalization (reference R/rollup.R:85-95): when a source dimension
+    contributes >= 2 attributes, the fact keeps a generated surrogate key
+    for that attribute combination and a proper normalized dimension table
+    ``(surrogate key, *attrs)`` is bound — the cube's dimensional shape
+    matches the reference's contract instead of one flat dimension per
+    attribute. Surrogate keys are 64-bit hashes of the attr combo
+    (:func:`data_cube_spark.functions.add_hash_key` semantics — O(1)/row,
+    no global sort; the reference's sequential ``.GRP`` would be a global
+    ranking at scale). ``normalize=False`` keeps every attribute as its own
+    flat dimension on the fact (the denormalized form).
 
     The double-counting contract is intentional and preserved: a rollup cube
     contains every grain simultaneously, so summing across all levels
@@ -85,12 +97,34 @@ def rollup_cube(
     fn = rollup_table if op == "rollup" else cube_table
     rolled = fn(joined, out_attrs, aggs, levels)
     measures = {n: (m.with_agg(fun) if fun is not None else m) for n, m in dc.measures.items()}
-    id_vars = [*out_attrs, LEVEL_COL]
-    dims = {a: Dimension(a, a, rolled.select(a).dropDuplicates()) for a in out_attrs}
+
+    dims: dict[str, Dimension] = {}
+    id_vars: list[str] = []
+    fact_df = rolled
+    if normalize:
+        routed = dc.resolve_attrs(attrs)
+        for dname, fields in routed.items():
+            if dname == "" or len(fields) < 2:
+                for a in fields:
+                    dims[a] = Dimension(a, a, rolled.select(a).dropDuplicates())
+                    id_vars.append(a)
+                continue
+            sk = f"{dname}_sk"
+            fact_df = fact_df.withColumn(sk, F.xxhash64(*fields))
+            dims[dname] = Dimension(
+                dname, sk, fact_df.select(sk, *fields).dropDuplicates([sk])
+            )
+            id_vars.append(sk)
+            fact_df = fact_df.drop(*fields)
+    else:
+        for a in out_attrs:
+            dims[a] = Dimension(a, a, rolled.select(a).dropDuplicates())
+            id_vars.append(a)
+    id_vars.append(LEVEL_COL)
     dims[DataCube.RESERVED] = Dimension(
-        DataCube.RESERVED, LEVEL_COL, rolled.select(LEVEL_COL).dropDuplicates()
+        DataCube.RESERVED, LEVEL_COL, fact_df.select(LEVEL_COL).dropDuplicates()
     )
-    return DataCube(Fact(rolled, id_vars, measures), dims, strict=False)
+    return DataCube(Fact(fact_df, id_vars, measures), dims, strict=False)
 
 
 def grouping_query(dc: DataCube, selectors: Mapping[str, Selector]) -> DataCube:

@@ -583,18 +583,20 @@ class DataCube:
         if isinstance(spec, Mapping):
             return self.q(**spec)
         if isinstance(spec, tuple):
-            # positional: match dims in declaration order (parse.dots
-            # positional fill, R/data.cube.R:140-160)
-            names = list(self.dims)
-            if len(spec) > len(names):
-                raise ValueError(f"{len(spec)} selectors for {len(names)} dimensions")
-            return self.q(**{names[i]: s for i, s in enumerate(spec) if s is not ...})
-        names = list(self.dims)
-        return self.q(**{names[0]: spec})
+            return self.q(*spec)
+        return self.q(spec)
 
-    def q(self, **selectors: Any) -> "DataCube":
+    def q(self, *args: Any, **selectors: Any) -> "DataCube":
         """Slice/dice/collapse query. Each kwarg names a dimension; values
         are coerced through :func:`data_cube_spark.selectors.normalize`.
+
+        Positional and named selectors MIX with the reference's positional-
+        shift rule (parse.dots, R/data.cube.R:140-160; spec tests
+        tests/tests-sub-.data.cube.R:141-150,290-297): named selectors claim
+        their dimensions first, then positional selectors fill the remaining
+        dimensions in declaration order. ``...`` (Ellipsis) skips a
+        positional slot. ``dc.q("A", time=X)`` therefore dices the first
+        non-``time`` dimension by "A".
 
         Execution order mirrors the reference lifecycle (SURVEY.md §3.1):
         filter dimensions first (broadcast-sized), then dice the fact by
@@ -604,6 +606,15 @@ class DataCube:
         unknown = set(selectors) - set(self.dims)
         if unknown:
             raise KeyError(f"unknown dimensions {sorted(unknown)}; have {list(self.dims)}")
+        if args:
+            free = [n for n in self.dims if n not in selectors]
+            if len(args) > len(free):
+                raise ValueError(
+                    f"{len(args)} positional selectors for {len(free)} unnamed "
+                    f"dimensions (named: {sorted(selectors)})")
+            for name, sel in zip(free, args):
+                if sel is not ...:
+                    selectors[name] = sel
 
         grouping_ops = {n: s for n, s in ((n, normalize(s)) for n, s in selectors.items())
                         if s.op in (OP_ROLLUP, OP_CUBE)}

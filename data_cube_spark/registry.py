@@ -171,7 +171,9 @@ def q_rollup_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bound `grouping` dimension."""
     dc = tpch_cube(spark, sf_dir)
     rc = rollup_cube(dc, ["supplier.r_name", "supplier.n_name"])
-    out = rc.fact.df
+    # the rollup cube is re-normalized (fact keyed by supplier_sk; attrs
+    # live in the bound dimension) — denormalize to the flat oracle shape
+    out = denormalize(rc)
     return out.select(
         "r_name", "n_name",
         F.col("revenue").cast("double").alias("revenue"),
@@ -184,7 +186,7 @@ def q_rollup_level_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 prefix selection (reference INDEX arg): only levels {1, 2}."""
     dc = tpch_cube(spark, sf_dir)
     rc = rollup_cube(dc, ["supplier.r_name", "supplier.n_name"], levels=[1, 2])
-    return rc.fact.df.select(
+    return denormalize(rc).select(
         "r_name", "n_name",
         F.col("sum_qty").cast("double").alias("sum_qty"),
         F.col("grouping_level").cast("int").alias("grouping_level"),
@@ -413,6 +415,22 @@ def q_format_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 agg="sum", fmt=currency_format)
     dc = from_table(t["orders"], {"priority": "o_orderpriority"}, [m])
     return pivot_format(dc, rows=["o_orderpriority"], formatted=True)
+
+
+def q_pivot_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 format+pivot composition (reference R/data.cube.R:433-458: format
+    the measures, THEN dcast): currency-formatted order totals pivoted by
+    order year into columns."""
+    from data_cube_spark.build import from_table
+    from data_cube_spark.functions import currency_format
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].withColumn("o_year", F.year("o_orderdate").cast("int"))
+    m = Measure("total", F.col("o_totalprice").cast("decimal(18,2)"),
+                agg="sum", fmt=currency_format)
+    dc = from_table(orders, {"priority": "o_orderpriority", "oyear": "o_year"}, [m])
+    return pivot_format(dc, rows=["o_orderpriority"], pivot_col="o_year",
+                        pivot_values=[1995, 1996], formatted=True)
 
 
 def q_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -889,6 +907,7 @@ QUERIES: dict[str, QueryFn] = {
     "udaf_median": q_udaf_median,
     "window_running_total": q_window_running_total,
     "format_currency": q_format_currency,
+    "pivot_formatted": q_pivot_formatted,
     "anti_join_idle_customers": q_anti_join_idle_customers,
     "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
@@ -1366,6 +1385,21 @@ ORACLE: dict[str, str] = {
              '$' || format('{:,}', cents // 100) || '.' ||
              lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS total
       FROM s
+    """,
+    "pivot_formatted": """
+      WITH s AS (
+        SELECT o_orderpriority, year(o_orderdate) AS o_year,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2),
+      f AS (
+        SELECT o_orderpriority, o_year,
+               '$' || format('{:,}', cents // 100) || '.' ||
+               lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS total
+        FROM s)
+      SELECT o_orderpriority,
+             MAX(CASE WHEN o_year = 1995 THEN total END) AS "1995",
+             MAX(CASE WHEN o_year = 1996 THEN total END) AS "1996"
+      FROM f GROUP BY 1
     """,
     "anti_join_idle_customers": """
       SELECT c_mktsegment, COUNT(*) AS n_idle

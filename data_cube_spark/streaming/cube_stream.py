@@ -228,7 +228,7 @@ def cube_from_materialized(
     partials, never the raw event history)."""
     from data_cube_spark.model import DataCube, Dimension, Fact, Measure
 
-    df = spark.read.parquet(target_dir).drop("window_date")
+    df = spark.read.parquet(target_dir).drop("window_key")
     id_vars = ["window_start", *keys]
     measures = {
         "n_events": Measure("n_events", agg="sum"),
@@ -253,32 +253,74 @@ def streaming_cube(
     window: str = "1 hour",
 ):
     """Maintain a materialized cube over a parquet-file stream with
-    ``foreachBatch`` incremental upsert: each micro-batch's partial
-    aggregates are merged into the target by overwriting only the windows
-    the batch touched (idempotent per epoch — safe on retries).
+    ``foreachBatch`` incremental upsert.
 
-    At scale the target would be a transactional table (Delta/Iceberg
-    MERGE); with vanilla parquet we partition the sink by window date so an
-    upsert rewrites only touched partitions.
+    Upsert correctness under UPDATE output mode: a micro-batch emits only
+    the ``(window, key)`` rows it TOUCHED (with their cumulative state
+    values) — not every row of every touched window, and not untouched
+    windows at all. A naive partition overwrite therefore silently deletes
+    (a) previously materialized windows sharing a coarser partition value,
+    and (b) keys of a touched window absent from this batch. Two measures
+    fix both:
+
+    - the sink is partitioned by ``window_key`` (epoch seconds of the
+      window start — a long survives the partition-directory round trip
+      that a timestamp would not), so the dynamic-overwrite unit is exactly
+      one window and untouched windows are never rewritten;
+    - within touched windows, rows for keys NOT in the batch are read back
+      from the target, materialized via ``localCheckpoint`` (the read must
+      complete before the overwrite job deletes the files), and unioned
+      with the batch rows — classic read-merge-write.
+
+    Replays of an epoch re-emit the same cumulative rows, so the merge is
+    idempotent. At scale the target would be a transactional table
+    (Delta/Iceberg MERGE doing the same thing under snapshot isolation);
+    vanilla parquet needs it spelled out.
     """
     stream = (
         spark.readStream.schema(schema).format("parquet").load(source_dir)
     )
     agg = tumbling_agg(stream, ts_col=ts_col, window=window, keys=keys)
-
-    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.withColumn("window_date", F.to_date("window_start"))
-            .repartition("window_date")
-            .write.mode("overwrite")
-            .partitionBy("window_date")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(target_dir)
-        )
-
     return (
         agg.writeStream.outputMode("update")
-        .foreachBatch(upsert)
+        .foreachBatch(make_window_upsert(spark, target_dir, keys))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def make_window_upsert(spark: SparkSession, target_dir: str, keys: list[str]):
+    """Build the read-merge-write upsert used by :func:`streaming_cube`
+    (documented there). Exposed so callers with their own source wiring
+    (e.g. maxFilesPerTrigger tuning) reuse the exact same merge logic."""
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.withColumn(
+            "window_key", F.col("window_start").cast("long")
+        ).persist()
+        touched = [r[0] for r in b.select("window_key").distinct().collect()]
+        if not touched:
+            b.unpersist()
+            return
+        out = b
+        try:
+            existing = spark.read.parquet(target_dir).where(
+                F.col("window_key").isin(touched)
+            )
+            keep = existing.join(
+                b.select("window_key", *keys).dropDuplicates(),
+                ["window_key", *keys], "left_anti",
+            ).localCheckpoint()  # eager: files are read before the overwrite
+            out = b.unionByName(keep)
+        except Exception:
+            pass  # first batch: no target yet
+        (
+            out.repartition("window_key")
+            .write.mode("overwrite")
+            .partitionBy("window_key")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(target_dir)
+        )
+        b.unpersist()
+
+    return upsert

@@ -48,6 +48,30 @@ def test_pivot(cube, tables, duck):
     assert_df_matches_sql(piv, duck, sql)
 
 
+def test_format_composes_with_pivot(spark, tables):
+    """Reference R/data.cube.R:433-458: per-measure format functions apply
+    BEFORE the optional pivot, so pivoted cells carry formatted values
+    (formatted= and pivot_col= are no longer mutually exclusive)."""
+    from data_cube_spark.functions import currency_format
+
+    orders = tables["orders"].withColumn("o_year", F.year("o_orderdate").cast("int"))
+    m = Measure("total", F.col("o_totalprice").cast("decimal(18,2)"),
+                agg="sum", fmt=currency_format)
+    dc = from_table(orders, {"priority": "o_orderpriority", "oyear": "o_year"}, [m])
+    piv = pivot_format(dc, rows=["o_orderpriority"], pivot_col="o_year",
+                       formatted=True)
+    rows = piv.collect()
+    assert rows
+    year_cols = [c for c in piv.columns if c != "o_orderpriority"]
+    assert year_cols
+    cells = [r[c] for r in rows for c in year_cols if r[c] is not None]
+    assert cells and all(c.startswith("$") for c in cells)
+    # unformatted pivot of the same cube yields numeric cells
+    raw = pivot_format(dc, rows=["o_orderpriority"], pivot_col="o_year").collect()
+    assert any(not isinstance(r[c], str)
+               for r in raw for c in year_cols if r[c] is not None)
+
+
 def test_array_round_trip(spark):
     """array -> cube -> array round-trip (reference
     tests/tests-array-data.table.R:13-50)."""

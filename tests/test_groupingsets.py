@@ -82,6 +82,37 @@ def test_rollup_cube_binds_grouping_dimension(cube):
     assert lv == [0, 1, 2]
 
 
+def test_rollup_cube_renormalizes_multi_attr_dims(cube):
+    """Reference R/rollup.R:85-95 dimensional contract: a dimension
+    contributing >= 2 attributes comes back NORMALIZED — the fact carries a
+    generated surrogate key, the attrs live in a bound dimension table —
+    and denormalize() round-trips to the flat form."""
+    from data_cube_spark.export import denormalize
+
+    rc = rollup_cube(cube, ["supplier.r_name", "supplier.n_name"])
+    # fact: surrogate key + level code, no flat attr columns
+    assert "supplier_sk" in rc.fact.df.columns
+    assert "r_name" not in rc.fact.df.columns
+    assert rc.fact.id_vars == ["supplier_sk", LEVEL_COL]
+    # bound dimension holds the attr combos keyed by the surrogate
+    dim = rc.dims["supplier"]
+    assert dim.key == "supplier_sk"
+    combos = dim.denormalized().select("r_name", "n_name").collect()
+    assert len(combos) == len({tuple(r) for r in combos})
+    # flat (normalize=False) and denormalized-normalized forms agree
+    flat = rollup_cube(cube, ["supplier.r_name", "supplier.n_name"],
+                       normalize=False)
+    cols = ["r_name", "n_name", LEVEL_COL, "sum_qty"]
+    nones_last = lambda t: tuple((x is None, x) for x in t)
+    a = sorted(map(tuple, denormalize(rc).select(*cols).collect()), key=nones_last)
+    b = sorted(map(tuple, flat.fact.df.select(*cols).collect()), key=nones_last)
+    assert a == b
+    # the normalized rollup cube stays queryable: slice one grouping level
+    leaf = rc.q(grouping=0)
+    assert leaf.fact.df.count() == flat.fact.df.where(
+        F.col(LEVEL_COL) == 0).count()
+
+
 def test_grouping_query_rollup_selector(cube):
     """`+` selector: rollup over the dimension's hierarchy keys while other
     dims are collapsed (the reference's intended unfinished semantics)."""
@@ -206,16 +237,21 @@ def test_rollup_cube_level_slices_equal_prefix_aggregates(cube):
     """Reference identity (tests-021-rollup.R:72-81): slicing a rollup cube
     by grouping level equals the plain aggregate at that prefix — and
     requires the rollup cube to be re-queryable through q()."""
+    from data_cube_spark.export import denormalize
+    from data_cube_spark.selectors import C
+
     rc = rollup_cube(cube, ["supplier.r_name", "supplier.n_name"])
-    # level 0 == aggregate by (r_name, n_name)
-    leaf = rc.q(grouping=[0]).fact.df.select(
+    # level 0 == aggregate by (r_name, n_name); the normalized rollup cube
+    # keeps attrs in the bound dimension, so compare through denormalize
+    leaf = denormalize(rc.q(grouping=[0])).select(
         "r_name", "n_name", F.col("revenue").cast("double").alias("revenue"))
     agg = cube.aggregate(["supplier.r_name", "supplier.n_name"]).select(
         "r_name", "n_name", F.col("revenue").cast("double").alias("revenue"))
     assert sorted(map(tuple, leaf.collect())) == sorted(map(tuple, agg.collect()))
     # level 2 == one grand-total row
     assert rc.q(grouping=[2]).fact.df.count() == 1
-    # attribute dice keeps only rows where that key survives (rolled rows
-    # have NULL keys and drop)
-    eur = rc.q(r_name=["EUROPE"]).fact.df
+    # attribute dice through the normalized dimension keeps only rows where
+    # that key survives (rolled rows have NULL keys and drop)
+    eur = denormalize(rc.q(supplier=C(r_name=["EUROPE"])))
     assert eur.where(F.col("r_name").isNull()).count() == 0
+    assert eur.count() > 0

@@ -209,6 +209,29 @@ def test_positional_equals_named_selectors(cube):
     assert a == b
 
 
+def test_mixed_positional_and_named_selectors(cube):
+    """Metamorphic (reference parse.dots positional shift,
+    R/data.cube.R:140-160; spec tests tests-sub-.data.cube.R:141-150,
+    290-297): named selectors claim their dims first, positional args fill
+    the REMAINING dims in declaration order — positional, named, and mixed
+    spellings of one query are identical."""
+    # dims order: (orders, part, supplier)
+    named = cube.q(part=C(1, 2, 3), supplier=C(r_name=["ASIA"]), orders=Collapse())
+    # orders claimed by name => positional args fill (part, supplier)
+    mixed1 = cube.q(C(1, 2, 3), C(r_name=["ASIA"]), orders=Collapse())
+    # part claimed by name => positional args fill (orders, supplier)
+    mixed2 = cube.q(Collapse(), C(r_name=["ASIA"]), part=C(1, 2, 3))
+    positional = cube.q(Collapse(), C(1, 2, 3), C(r_name=["ASIA"]))
+    ref = sorted(map(tuple, named.fact.df.collect()))
+    for other in (mixed1, mixed2, positional):
+        assert other.fact.id_vars == named.fact.id_vars
+        assert sorted(map(tuple, other.fact.df.collect())) == ref
+    # over-supplying positional selectors for the unnamed dims errors
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cube.q(C(1), C(2), part=C(3), supplier=C(4), orders=C(5))
+
+
 def test_merge_delta_equals_full_build(spark, tables):
     """Incremental maintenance metamorphic: cube(a).merge_delta(b) ==
     cube(a union b) for decomposable measures."""

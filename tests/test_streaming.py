@@ -80,6 +80,76 @@ def test_streaming_cube_foreachbatch_upsert(spark, tables, tmp_path):
     assert total_stream == ev.count()
 
 
+def test_streaming_cube_multibatch_no_window_loss(spark, tables, tmp_path):
+    """The ADVICE r1 data-loss scenario: multiple micro-batches, each
+    touching only SOME (window, key) rows — previously-materialized rows a
+    later batch doesn't touch must survive the upsert. Feeding 4 time-
+    ordered file chunks one per trigger (the watermark's arrival-order
+    contract; windows spanning a chunk cut still update across batches),
+    the final target must equal the batch twin row-for-row (every window,
+    every key)."""
+    import time as _time
+
+    from data_cube_spark.streaming.cube_stream import make_window_upsert
+
+    ev = tables["events"]
+    src = str(tmp_path / "src_mb")
+    os.makedirs(src, exist_ok=True)
+    tsd = F.col("ts").cast("double")
+    cuts = ev.select(tsd.alias("t")).approxQuantile("t", [0.25, 0.5, 0.75], 0.001)
+    bounds = [None, *cuts, None]
+    for i in range(4):
+        p = ev
+        if bounds[i] is not None:
+            p = p.where(tsd > bounds[i])
+        if bounds[i + 1] is not None:
+            p = p.where(tsd <= bounds[i + 1])
+        p.coalesce(1).write.mode("overwrite").parquet(f"{src}/chunk={i}")
+        _time.sleep(1.1)
+    target = str(tmp_path / "target_mb")
+    # one file per micro-batch => several update-mode batches, each emitting
+    # only the (window, key) pairs that file touched
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/chunk=*")
+    )
+    agg = tumbling_agg(stream, keys=["event_type"])
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(make_window_upsert(spark, target, ["event_type"]))
+        .option("checkpointLocation", str(tmp_path / "ckpt_mb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(target).collect()
+    }
+    truth = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in tumbling_agg(ev, keys=["event_type"]).collect()
+    }
+    assert got == truth
+
+    # close the loop (VERDICT r1 #10): the multi-batch-maintained cube is
+    # queryable through the cube API and equals the batch truth
+    from data_cube_spark.selectors import Collapse
+    from data_cube_spark.streaming import cube_from_materialized
+
+    dc = cube_from_materialized(spark, target, keys=["event_type"])
+    by_type = {r["event_type"]: (r["n_events"], round(r["sum_value"], 6))
+               for r in dc.q(window=Collapse()).fact.df.collect()}
+    batch_truth = {r["event_type"]: (r["n_events"], round(r["sum_value"], 6))
+                   for r in ev.groupBy("event_type").agg(
+                       F.count(F.lit(1)).alias("n_events"),
+                       F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                       .alias("sum_value")).collect()}
+    assert by_type == batch_truth
+
+
 def test_stateful_user_totals_multibatch(spark, tables, tmp_path):
     """applyInPandasWithState carries per-user state across micro-batches:
     3 file chunks x maxFilesPerTrigger=1 => 3 batches; the final emitted
