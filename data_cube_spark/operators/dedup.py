@@ -316,16 +316,32 @@ def connected_components(
     ``check_every`` controls how often the (action-costing) convergence
     check runs. Output: (node id, component) for every node with an edge.
     """
-    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # materialize the edge list BEFORE symmetrizing: the union references
+    # `edges` twice, so an unmaterialized (possibly expensive) upstream
+    # pair pipeline would execute once per branch
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint()
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).dropDuplicates().localCheckpoint()
+    # Size the iteration's partitioning to the GRAPH, not the session
+    # default: the candidate graph is usually orders of magnitude smaller
+    # than the corpus, and a fixed spark.sql.shuffle.partitions makes every
+    # one of the ~log(diameter) rounds pay full task-overhead (dominant at
+    # small graphs) or spill (too few partitions at huge ones). The count
+    # is free — sym is already materialized. Co-partitioning sym on the
+    # join key also keeps the per-round join exchange-free on that side.
+    n_edges = sym.count()
+    p = max(2, min(int(n_edges // 2_000_000) + 1, 2000))
+    sym = sym.repartition(p, "src").localCheckpoint()
     nodes = sym.select(F.col("src").alias("id")).dropDuplicates()
     # localCheckpoint per iteration: iterative self-reference otherwise
     # doubles the logical plan each round (exponential analysis cost / OOM
     # by ~iteration 15). On a cluster with an unreliable-executor budget,
     # swap for reliable checkpoint(dir).
-    labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
+    labels = nodes.withColumn("label", F.col("id")).repartition(
+        p, "id").localCheckpoint()
     for i in range(max_iter):
         msgs = sym.join(labels, sym.src == labels.id).select(
             F.col("dst").alias("id"), "label"
@@ -341,6 +357,7 @@ def connected_components(
         new = (
             new.join(l2, new.label == l2._lid, "left")
             .select("id", F.coalesce("_ll", "label").alias("label"))
+            .repartition(p, "id")
             .localCheckpoint()
         )
         if (i + 1) % check_every == 0 or i == max_iter - 1:

@@ -228,6 +228,7 @@ def lsh_near_pairs(
     n_tables: int = 10,
     dim: int = 64,
     seed: int = 42,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: candidates are pairs sharing a
     random-hyperplane bucket in ANY of ``n_tables`` independent tables
@@ -239,25 +240,56 @@ def lsh_near_pairs(
     cosine 0.4 (θ≈66°) the defaults give ~0.8; raise ``n_tables`` (cost is
     linear in tables) or lower ``n_planes`` (cost is quadratic in bucket
     occupancy) for higher recall. ``n_planes=4, n_tables=48`` reaches
-    recall 1.0 on the driver corpus at threshold 0.35 (asserted in tests)."""
+    recall 1.0 on the driver corpus at threshold 0.35 (asserted in tests).
+
+    Candidate generation carries IDs ONLY — shipping vectors through the
+    bucket self-join would multiply its shuffle payload by ~0.5 KB/row.
+    Verification strategy follows the corpus size class (``corpus_rows``,
+    same gate as dimension broadcasts):
+
+    - broadcast-sized corpus: the normalized matrix is broadcast once and
+      candidates are verified by a vectorized numpy gather+einsum inside an
+      Arrow-batched pandas UDF — only 16-byte id pairs ever cross the wire,
+      and no candidate dedup shuffle is needed (dedup happens on the tiny
+      surviving set);
+    - large corpus: dedup candidates first (each duplicate would pay the
+      vector-attach shuffle again, ~3x volume at default parameters), then
+      attach vectors with two equi-joins and verify JVM-side.
+    """
     v = with_norm(df, vec_col).select(F.col(id_col), "_vec", "_norm")
     buckets = _lsh_buckets_udf(n_planes, n_tables, dim, seed)
-    # candidate generation carries IDs ONLY: the bucket self-join multiplies
-    # rows (tables x bucket occupancy), and shipping the vectors through
-    # that shuffle multiplies its payload by ~1 KB/row. Dedup the id pairs
-    # first, then attach vectors with two plain equi-joins against the
-    # corpus and verify — measured ~20x less shuffle volume.
     banded = v.select(
         F.col(id_col), F.posexplode(buckets(F.col("_vec"))).alias("_t", "_b")
     )
+    # spread the bucket table across the cluster BEFORE the self-join: when
+    # one side broadcasts, the join output inherits the streamed side's
+    # partitioning — for a small corpus that is the parquet scan's single
+    # partition, serializing the (candidate-count >> corpus) verify stage
+    # into one task. Hashing on the join key is a tiny shuffle (ids only)
+    # and co-partitions both sides.
+    banded = banded.repartition("_t", "_b")
     a = banded.select(F.col(id_col).alias("id_a"), "_t", "_b")
     b = banded.select(F.col(id_col).alias("id_b"), "_t", "_b")
     cand = (
         a.join(b, ["_t", "_b"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates()
     )
+    from data_cube_spark.model import BROADCAST_MAX_ROWS
+
+    small = (
+        corpus_rows is not None
+        and corpus_rows <= BROADCAST_MAX_ROWS
+        and corpus_rows * dim * 8 <= 256 * 1024 * 1024
+    )
+    if small:
+        verify = _broadcast_cosine_udf(df.sparkSession, v, id_col)
+        return (
+            cand.withColumn("cosine", verify(F.col("id_a"), F.col("id_b")))
+            .where(F.col("cosine") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    cand = cand.dropDuplicates()
     va = v.select(F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"),
                   F.col("_norm").alias("_na"))
     vb = v.select(F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"),
@@ -271,6 +303,34 @@ def lsh_near_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def _broadcast_cosine_udf(spark, v: DataFrame, id_col: str):
+    """Pair-cosine verifier for broadcast-sized corpora: collect the
+    normalized matrix once, broadcast it, and score id pairs with a numpy
+    gather + row-wise dot per Arrow batch. Collecting here is the same
+    size-gated pattern as dimension-key broadcast (guarded by the caller);
+    per-pair cost is ~ns instead of the interpreted higher-order-function
+    evaluation of the JVM array path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    pdf = v.toPandas()
+    order = np.argsort(pdf[id_col].to_numpy())
+    ids = pdf[id_col].to_numpy()[order]
+    M = np.stack(pdf["_vec"].to_numpy()[order]).astype("float64")
+    M /= np.maximum(pdf["_norm"].to_numpy()[order], 1e-300)[:, None]
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def cos(ia, ib):
+        ids_, M_ = bc.value
+        pa = np.searchsorted(ids_, ia.to_numpy())
+        pb = np.searchsorted(ids_, ib.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", M_[pa], M_[pb]))
+
+    return cos
 
 
 # -- IVF-style coarse quantization -----------------------------------------

@@ -25,7 +25,7 @@ from data_cube_spark.model import Measure
 from data_cube_spark.operators import dedup, multimodal, similarity, text
 from data_cube_spark.operators.text import LANG_STOPWORDS
 from data_cube_spark.selectors import AnyOf, C, Collapse, CubeOp, RollupOp
-from data_cube_spark.sources.star import load_tables, tpch_cube
+from data_cube_spark.sources.star import load_tables, parquet_rows, tpch_cube
 from data_cube_spark.streaming import sessionize_batch, tumbling_agg
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -688,7 +688,8 @@ def q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs (rows-only; recall vs the exact
     variant asserted in tests)."""
     t = load_tables(spark, sf_dir)
-    return similarity.lsh_near_pairs(t["embeddings"], threshold=0.4)
+    return similarity.lsh_near_pairs(t["embeddings"], threshold=0.4,
+                                     corpus_rows=parquet_rows(sf_dir, "embeddings"))
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,7 +821,8 @@ def q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact all-pairs graph."""
     t = load_tables(spark, sf_dir)
     pairs = similarity.lsh_near_pairs(t["embeddings"], threshold=0.35,
-                                      n_planes=4, n_tables=48)
+                                      n_planes=4, n_tables=48,
+                                      corpus_rows=parquet_rows(sf_dir, "embeddings"))
     comp = dedup.connected_components(pairs)
     return comp.select(F.col("id").alias("vec_id"),
                        F.col("component").cast("bigint").alias("component"))
@@ -834,7 +836,8 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     pairs = similarity.lsh_near_pairs(emb, threshold=0.35,
-                                      n_planes=4, n_tables=48)
+                                      n_planes=4, n_tables=48,
+                                      corpus_rows=parquet_rows(sf_dir, "embeddings"))
     kept = dedup.dedup_clusters(emb.select("vec_id", "label"), pairs,
                                 id_col="vec_id")
     return kept.select("vec_id", F.col("label").cast("int").alias("label"))

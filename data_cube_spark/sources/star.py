@@ -67,6 +67,27 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return out
 
 
+def parquet_rows(sf_dir: str, table: str) -> int | None:
+    """Exact row count from parquet footer metadata — no Spark job. Used to
+    feed size-class hints (e.g. :func:`...similarity.lsh_near_pairs`'s
+    ``corpus_rows``) without an eager ``count()`` action; on a catalog-
+    backed deployment the table statistics serve the same role."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/{table}.parquet"
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path) if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def supplier_dimension(t: dict[str, DataFrame]) -> Dimension:
     """supplier -> nation -> region snowflake. Base carries the key plus all
     level keys (the reference's star/snowflake hybrid, R/dimension.R:44-46);
