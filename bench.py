@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "text_quality",
     "pipeline_clean_corpus",
+    "mixture_sample_docs",
+    "pack_sequences",
     "events_hourly",
     "events_sessionize",
     "asof_last_error",

@@ -23,6 +23,7 @@ from data_cube_spark.functions import add_surrogate_key, topk_per_group
 from data_cube_spark.groupingsets import rollup_cube
 from data_cube_spark.model import Measure
 from data_cube_spark.operators import dedup, multimodal, similarity, text
+from data_cube_spark.operators.sampling import hex_threshold as _hex_threshold
 from data_cube_spark.operators.text import LANG_STOPWORDS
 from data_cube_spark.selectors import AnyOf, C, Collapse, CubeOp, RollupOp
 from data_cube_spark.sources.star import load_tables, parquet_rows, tpch_cube
@@ -865,6 +866,75 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: source-mixture retention rates exercised by mixture_sample_docs (one
+#: full-retention source, one half, one rare, plus a default for the rest)
+MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+MIXTURE_DEFAULT = 0.05
+PACK_CAPACITY = 512
+PACK_SHARDS = 8
+
+
+def q_sample_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% corpus subsample (md5-draw filter — no shuffle,
+    pushdown-friendly; operators/sampling.py)."""
+    from data_cube_spark.operators.sampling import sample_fraction
+
+    t = load_tables(spark, sf_dir)
+    return sample_fraction(t["documents"], 0.25).select("doc_id", "lang", "source")
+
+
+def q_sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-per-language uniform quota (md5-rank window within
+    stratum; operators/sampling.py)."""
+    from data_cube_spark.operators.sampling import sample_stratified_n
+
+    t = load_tables(spark, sf_dir)
+    return sample_stratified_n(t["documents"], ["lang"], 20).select("doc_id", "lang")
+
+
+def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture re-weighting: per-source retention rates as a pure
+    CASE-threshold filter (operators/sampling.py)."""
+    from data_cube_spark.operators.sampling import mixture_sample
+
+    t = load_tables(spark, sf_dir)
+    out = mixture_sample(t["documents"], MIXTURE_WEIGHTS, default=MIXTURE_DEFAULT)
+    return out.select("doc_id", "source")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: shard by md5, cumulative token
+    offsets per shard, sequence = offset // capacity
+    (operators/packing.py)."""
+    from data_cube_spark.operators.packing import pack_concat_chunk
+    from data_cube_spark.operators.text import token_count
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    out = pack_concat_chunk(d, capacity=PACK_CAPACITY, n_shards=PACK_SHARDS)
+    return out.select("doc_id", F.col("shard").cast("int").alias("shard"),
+                      "seq", "offset", "n_tokens")
+
+
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split greedy packing (applyInPandas state scan per shard;
+    rows-only — the reset-on-overflow recurrence is not expressible in
+    one SQL pass; invariants + a local python oracle are asserted in
+    tests/test_sampling_packing.py)."""
+    from data_cube_spark.operators.packing import pack_greedy
+    from data_cube_spark.operators.text import token_count
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    out = pack_greedy(d, capacity=PACK_CAPACITY, n_shards=PACK_SHARDS)
+    return out.select("doc_id", F.col("shard").cast("int").alias("shard"),
+                      "seq", "offset", "n_tokens")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch twin of the streaming op)."""
     t = load_tables(spark, sf_dir)
@@ -946,6 +1016,11 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_components": q_embedding_components,
     "semantic_dedup_keep": q_semantic_dedup_keep,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "sample_fraction_docs": q_sample_fraction_docs,
+    "sample_stratified_docs": q_sample_stratified_docs,
+    "mixture_sample_docs": q_mixture_sample_docs,
+    "pack_sequences": q_pack_sequences,
+    "pack_greedy": q_pack_greedy,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
 }
@@ -1496,6 +1571,45 @@ ORACLE: dict[str, str] = {
       FROM embeddings WHERE vec_id NOT IN (SELECT id FROM dropped)
     """,
     "pipeline_clean_corpus": _pipeline_sql(),
+    "sample_fraction_docs": f"""
+      SELECT doc_id, lang, source FROM documents
+      WHERE md5(CAST(doc_id AS VARCHAR)) < '{_hex_threshold(0.25)}'
+    """,
+    "sample_stratified_docs": """
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR))) AS r
+        FROM documents) WHERE r <= 20
+    """,
+    "mixture_sample_docs": f"""
+      SELECT doc_id, source FROM documents
+      WHERE md5(CAST(doc_id AS VARCHAR)) <
+        CASE source
+          WHEN 'src0' THEN '{_hex_threshold(1.0)}'
+          WHEN 'src1' THEN '{_hex_threshold(0.5)}'
+          WHEN 'src2' THEN '{_hex_threshold(0.1)}'
+          ELSE '{_hex_threshold(0.05)}'
+        END
+    """,
+    "pack_sequences": r"""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+                 AS n_tokens,
+               CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 8 AS INT) AS shard
+        FROM documents),
+      c AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                 - n_tokens AS "offset"
+        FROM d)
+      SELECT doc_id, shard, CAST("offset" // 512 AS BIGINT) AS seq,
+             CAST("offset" AS BIGINT) AS "offset", n_tokens
+      FROM c
+    """,
     "events_hourly": """
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
              COUNT(*) AS n_events,
