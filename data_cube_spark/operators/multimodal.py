@@ -1,23 +1,34 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata, with the
 decode / feature-extract stages as Arrow-batched ``mapInPandas`` pipelines.
 
-The Spark-side plumbing here is real and tested — schemas, partitioning,
-UDF signatures, batch shapes. The codec internals (JPEG decode, audio
-resample, video frame-sample) are STUBBED: the image/audio libraries are
-not in this container, so ``decode_image(..., fake=False)`` raises
-``NotImplementedError`` and ``fake=True`` produces a deterministic payload
-derived from the bytes — enough to exercise the distributed pipeline
-end-to-end without the codecs.
+The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
+shapes — is real and tested, and so are the codecs for the formats
+decodable without external libraries:
+
+- **PNG** (8-bit gray/RGB/RGBA, non-interlaced): stdlib ``zlib`` inflate +
+  numpy scanline unfiltering — a real decoder, not a header sniff.
+- **BMP** (24/32-bit uncompressed): ``struct`` header parse + numpy.
+- **PGM/PPM** (binary netpbm): header parse + numpy.
+- **WAV** (PCM): stdlib ``wave`` + numpy for duration and RMS energy.
+
+JPEG / MP3 / video codecs are NOT in this container: payloads in those
+formats return ``decode_ok='unsupported:<fmt>'`` rows (null dimensions)
+rather than failing the batch, and :func:`frame_sample_plan` remains a
+metadata-only plan. ``fake=True`` keeps the deterministic hash-derived
+path for pipeline tests that don't care about bytes.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -72,43 +83,246 @@ def fake_media_from_text(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# ---------------------------------------------------------------------------
+# pure-python codecs (numpy + stdlib only)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr) -> bytes:
+    """Minimal PNG encoder (8-bit gray/RGB/RGBA, filter 0 rows): the
+    inverse of :func:`decode_png_bytes`, used to synthesize real payloads
+    in tests/fixtures."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
+    return (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_bytes(b: bytes):
+    """Decode a non-interlaced 8-bit gray/RGB/RGBA PNG: inflate the IDAT
+    stream and undo per-scanline filters (types 0-4) — stdlib zlib plus
+    numpy, no image library. Returns an (h, w, c) uint8 array."""
+    import numpy as np
+
+    if not b.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = len(_PNG_MAGIC), None, b""
+    while pos + 8 <= len(b):
+        (ln,), tag = struct.unpack(">I", b[pos:pos + 4]), b[pos + 4:pos + 8]
+        body = b[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    c = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if c is None:
+        raise ValueError(f"unsupported color type {color_type}")
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    stride = w * c
+    raw = raw.reshape(h, stride + 1)
+    ftypes, data = raw[:, 0], raw[:, 1:].astype(np.int16)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        line = data[r].copy()
+        prev = out[r - 1].astype(np.int16) if r else np.zeros(stride, np.int16)
+        ft = ftypes[r]
+        if ft == 0:
+            out[r] = line.astype(np.uint8)
+        elif ft == 2:  # Up
+            out[r] = ((line + prev) % 256).astype(np.uint8)
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth need a left-scan
+            cur = np.zeros(stride, np.int16)
+            for i in range(stride):
+                a = cur[i - c] if i >= c else 0
+                bb = prev[i]
+                if ft == 1:
+                    cur[i] = (line[i] + a) % 256
+                elif ft == 3:
+                    cur[i] = (line[i] + (a + bb) // 2) % 256
+                else:
+                    cc = prev[i - c] if i >= c else 0
+                    p = a + bb - cc
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                    cur[i] = (line[i] + pred) % 256
+            out[r] = cur.astype(np.uint8)
+        else:
+            raise ValueError(f"bad filter type {ft}")
+    return out.reshape(h, w, c)
+
+
+def encode_bmp(arr) -> bytes:
+    """Minimal 24-bit uncompressed BMP encoder (BGR, bottom-up rows)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    h, w, _ = a.shape
+    pad = (4 - (w * 3) % 4) % 4
+    rows = b"".join(
+        a[r, :, ::-1].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)
+    )
+    pix_off = 14 + 40
+    return (
+        b"BM" + struct.pack("<IHHI", pix_off + len(rows), 0, 0, pix_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+        + rows
+    )
+
+
+def decode_bmp_bytes(b: bytes):
+    """Decode an uncompressed 24/32-bit BMP to an (h, w, 3|4) uint8 array
+    (RGB order, top-down)."""
+    import numpy as np
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pix_off = struct.unpack("<I", b[10:14])[0]
+    hdr_sz = struct.unpack("<I", b[14:18])[0]
+    if hdr_sz < 40:
+        raise ValueError("BITMAPCOREHEADER unsupported")
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    comp = struct.unpack("<I", b[30:34])[0]
+    if comp not in (0, 3) or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    c = bpp // 8
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * c + 3) & ~3
+    px = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=pix_off)
+    px = px.reshape(h, stride)[:, : w * c].reshape(h, w, c)
+    if not top_down:
+        px = px[::-1]
+    # BGR(A) -> RGB(A)
+    out = px[:, :, [2, 1, 0]] if c == 3 else px[:, :, [2, 1, 0, 3]]
+    return np.ascontiguousarray(out)
+
+
+def decode_pnm_bytes(b: bytes):
+    """Decode binary netpbm (P5 gray / P6 RGB, maxval 255)."""
+    import numpy as np
+
+    if b[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM")
+    c = 1 if b[:2] == b"P5" else 3
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    px = np.frombuffer(b, dtype=np.uint8, count=w * h * c, offset=pos)
+    return px.reshape(h, w, c)
+
+
+def decode_image_bytes(b: bytes):
+    """Sniff + decode one payload. Returns (array, format) or raises."""
+    if b.startswith(_PNG_MAGIC):
+        return decode_png_bytes(b), "png"
+    if b[:2] == b"BM":
+        return decode_bmp_bytes(b), "bmp"
+    if b[:2] in (b"P5", b"P6"):
+        return decode_pnm_bytes(b), "pnm"
+    if b[:3] == b"\xff\xd8\xff":
+        raise ValueError("unsupported:jpeg")
+    if b[:4] in (b"RIFF",):
+        raise ValueError("unsupported:riff")
+    raise ValueError("unsupported:unknown")
+
+
 def decode_image(media: DataFrame, *, fake: bool = False,
                  batch_hint: int | None = None) -> DataFrame:
     """Decode image payloads to (height, width, channels) via an
     Arrow-batched ``mapInPandas`` pipeline.
 
-    Real decoding requires an image codec library not present in this
-    container — STUB: ``fake=False`` raises ``NotImplementedError`` at plan
-    time; ``fake=True`` derives deterministic dimensions from the payload
-    hash so the distributed plumbing (schema, batching, partition layout)
-    runs for real.
+    Real decoders for PNG / BMP / PGM / PPM (see module docstring);
+    formats needing codecs not in this container yield
+    ``decode_ok='unsupported:<fmt>'`` rows with null dimensions — a bad
+    byte-string never fails the batch. ``fake=True`` derives
+    deterministic dimensions from the payload hash (plumbing-only runs).
     """
-    if not fake:
-        raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True to "
-            "exercise the pipeline with deterministic fake decodes"
-        )
+    if fake:
+        def decode_batches(batches: Iterator) -> Iterator:
+            import hashlib
+
+            import pandas as pd
+
+            for pdf in batches:
+                hs = [
+                    hashlib.md5(p if p is not None else b"").digest()
+                    for p in pdf["payload"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "height": [16 + h[0] % 64 for h in hs],
+                        "width": [16 + h[1] % 64 for h in hs],
+                        "channels": [3 for _ in hs],
+                        "decode_ok": ["fake" for _ in hs],
+                    }
+                )
+
+        return media.mapInPandas(decode_batches, DECODED_IMAGE_SCHEMA)
 
     def decode_batches(batches: Iterator) -> Iterator:
-        import hashlib
-
         import pandas as pd
 
         for pdf in batches:
-            hs = [
-                hashlib.md5(p if p is not None else b"").digest()
-                for p in pdf["payload"]
-            ]
-            out = pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "height": [16 + h[0] % 64 for h in hs],
-                    "width": [16 + h[1] % 64 for h in hs],
-                    "channels": [3 for _ in hs],
-                    "decode_ok": ["fake" for _ in hs],
-                }
-            )
-            yield out
+            hh, ww, cc, ok = [], [], [], []
+            for p in pdf["payload"]:
+                try:
+                    arr, fmt = decode_image_bytes(bytes(p) if p is not None else b"")
+                    h, w, c = arr.shape
+                    hh.append(h); ww.append(w); cc.append(c); ok.append(fmt)
+                except ValueError as e:
+                    hh.append(None); ww.append(None); cc.append(None)
+                    ok.append(str(e) if str(e).startswith("unsupported")
+                              else f"error:{e}")
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "height": pd.array(hh, dtype="Int32"),
+                "width": pd.array(ww, dtype="Int32"),
+                "channels": pd.array(cc, dtype="Int32"),
+                "decode_ok": ok,
+            })
 
     return media.mapInPandas(decode_batches, DECODED_IMAGE_SCHEMA)
 
@@ -126,55 +340,120 @@ AUDIO_FEATURES_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),
         StructField("duration_ms", LongType(), True),
-        StructField("rms", StringType(), True),  # stub: codec-less placeholder
+        StructField("rms", DoubleType(), True),
     ]
 )
 
 
-def resize_image(decoded_media: DataFrame, target: tuple[int, int] = (224, 224),
+def resize_image(media: DataFrame, target: tuple[int, int] = (224, 224),
                  *, fake: bool = False) -> DataFrame:
-    """Resize stage as ``mapInPandas``. STUB: real resampling needs an image
-    library; ``fake=True`` passes the payload through and rewrites the
-    dimension metadata — the batch shape, schema, and partitioning are the
-    real pipeline's."""
-    if not fake:
-        raise NotImplementedError(
-            "image codecs unavailable; pass fake=True to exercise the pipeline"
-        )
+    """Resize stage as ``mapInPandas``: decode (PNG/BMP/PNM), nearest-
+    neighbor resample with a numpy gather, re-encode as PNG. Undecodable
+    payloads pass through with null dimensions. ``fake=True`` skips the
+    pixel work and just rewrites metadata (plumbing-only runs)."""
     th, tw = int(target[0]), int(target[1])
 
+    if fake:
+        def batches(it: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in it:
+                yield pd.DataFrame({
+                    "asset_id": pdf["asset_id"],
+                    "height": [th] * len(pdf),
+                    "width": [tw] * len(pdf),
+                    "payload": pdf["payload"],
+                })
+
+        return media.mapInPandas(batches, RESIZED_IMAGE_SCHEMA)
+
     def batches(it: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in it:
+            hh, ww, payloads = [], [], []
+            for p in pdf["payload"]:
+                try:
+                    arr, _fmt = decode_image_bytes(bytes(p) if p is not None else b"")
+                    h, w = arr.shape[:2]
+                    ri = (np.arange(th) * h // th)
+                    ci = (np.arange(tw) * w // tw)
+                    resized = arr[ri][:, ci]
+                    payloads.append(encode_png(resized))
+                    hh.append(th); ww.append(tw)
+                except ValueError:
+                    payloads.append(None); hh.append(None); ww.append(None)
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
-                "height": [th] * len(pdf),
-                "width": [tw] * len(pdf),
-                "payload": pdf["payload"],
+                "height": pd.array(hh, dtype="Int32"),
+                "width": pd.array(ww, dtype="Int32"),
+                "payload": payloads,
             })
 
-    return decoded_media.mapInPandas(batches, RESIZED_IMAGE_SCHEMA)
+    return media.mapInPandas(batches, RESIZED_IMAGE_SCHEMA)
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Minimal PCM16 mono WAV encoder (stdlib ``wave``)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
 
 
 def audio_features(media: DataFrame, *, fake: bool = False) -> DataFrame:
-    """Audio feature extraction stage (duration + RMS energy). STUB: no
-    audio codec in this container; ``fake=True`` derives deterministic
-    features from the payload bytes."""
-    if not fake:
-        raise NotImplementedError(
-            "audio codecs unavailable; pass fake=True to exercise the pipeline"
-        )
+    """Audio feature extraction (duration_ms + RMS energy over PCM
+    samples, normalized to [-1, 1]). Real decoder for WAV/PCM via stdlib
+    ``wave``; other containers (mp3/ogg/flac) yield null features.
+    ``fake=True`` derives features from byte length only."""
+    if fake:
+        def fbatches(it: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in it:
+                sizes = [len(p) if p is not None else 0 for p in pdf["payload"]]
+                yield pd.DataFrame({
+                    "asset_id": pdf["asset_id"],
+                    "duration_ms": [s // 16 for s in sizes],
+                    "rms": [(s % 1000) / 1000.0 for s in sizes],
+                })
+
+        return media.mapInPandas(fbatches, AUDIO_FEATURES_SCHEMA)
 
     def batches(it: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
         import pandas as pd
 
         for pdf in it:
-            sizes = [len(p) if p is not None else 0 for p in pdf["payload"]]
+            dur, rms = [], []
+            for p in pdf["payload"]:
+                try:
+                    with wave.open(io.BytesIO(bytes(p)), "rb") as w:
+                        n, sr, width = w.getnframes(), w.getframerate(), w.getsampwidth()
+                        raw = w.readframes(n)
+                    if width != 2:
+                        raise ValueError("only PCM16 supported")
+                    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+                    dur.append(int(round(n * 1000.0 / sr)))
+                    rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                except Exception:
+                    dur.append(None); rms.append(None)
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
-                "duration_ms": [s // 16 for s in sizes],  # fake: 16 B/ms
-                "rms": [f"{(s % 1000) / 1000.0:.3f}" for s in sizes],
+                "duration_ms": pd.array(dur, dtype="Int64"),
+                "rms": pd.array(rms, dtype="float64"),
             })
 
     return media.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
@@ -182,10 +461,73 @@ def audio_features(media: DataFrame, *, fake: bool = False) -> DataFrame:
 
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame index,
-    derived from metadata only (decoder stubbed). Shows the explode shape a
-    real sampler would produce; partition count follows the input."""
-    n_frames = (F.col("n_bytes") / 1000).cast("int")  # fake: 1 frame ~ 1KB
+    derived from metadata only (video decoders are not in this container).
+    Shows the explode shape a real sampler would produce; partition count
+    follows the input."""
+    n_frames = (F.col("n_bytes") / 1000).cast("int")  # metadata: 1 frame ~ 1KB
     idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
     return media.where(F.col("media_type") == "video").select(
         "asset_id", F.explode(idx).alias("frame_index")
     )
+
+
+def synth_image_media(df: DataFrame, id_col: str = "doc_id",
+                      fmt: str = "png") -> DataFrame:
+    """Synthesize REAL image payloads per row: dimensions derive from the
+    id (``h = 8 + id % 17``, ``w = 8 + (id * 7) % 23``), pixels from a
+    seeded byte pattern, encoded with the real PNG/BMP encoder. Because
+    the dimensions are a pure function of the id, a SQL oracle can verify
+    that :func:`decode_image` truly parsed the bytes."""
+    import numpy as np
+    import pandas as pd
+
+    enc = {"png": encode_png, "bmp": encode_bmp}[fmt]
+    out_schema = StructType([
+        StructField("asset_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ])
+
+    def gen(it: Iterator) -> Iterator:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                h, w = 8 + int(i) % 17, 8 + (int(i) * 7) % 23
+                base = np.arange(h * w * 3, dtype=np.int64) * (int(i) % 251 + 1)
+                arr = (base % 256).astype(np.uint8).reshape(h, w, 3)
+                payloads.append(enc(arr))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    media = df.select(F.col(id_col)).mapInPandas(gen, out_schema)
+    return as_media_table(media, "asset_id", "payload")
+
+
+def synth_wav_media(df: DataFrame, id_col: str = "doc_id",
+                    sample_rate: int = 8000) -> DataFrame:
+    """Synthesize real PCM16 WAV payloads: ``n_samples = 400 + (id % 50) *
+    80`` of a constant-amplitude square wave with amplitude
+    ``(1 + id % 9) / 10`` — duration and RMS are pure functions of the id,
+    so a SQL oracle can verify the decoder."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = StructType([
+        StructField("asset_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ])
+
+    def gen(it: Iterator) -> Iterator:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                n = 400 + (int(i) % 50) * 80
+                amp = (1 + int(i) % 9) / 10.0
+                x = np.full(n, int(round(amp * 32768)), dtype=np.int64)
+                x[1::2] *= -1
+                payloads.append(encode_wav(np.clip(x, -32768, 32767),
+                                           sample_rate))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    media = df.select(F.col(id_col)).mapInPandas(gen, out_schema)
+    return as_media_table(media, "asset_id", "payload", media_type="audio")

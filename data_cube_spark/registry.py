@@ -718,11 +718,23 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode pipeline with the deterministic fake codec
-    (rows-only: hashlib-derived dims are not SQL-expressible)."""
+    """REAL image decode loop: per-row PNG payloads are synthesized (real
+    encoder; dimensions a pure function of the id), then parsed back by
+    the pure-python PNG decoder inside mapInPandas. The SQL oracle
+    computes the expected dimensions from the id — the only way Spark
+    matches it is by actually decoding the bytes."""
     t = load_tables(spark, sf_dir)
-    media = multimodal.fake_media_from_text(t["documents"])
-    return multimodal.decode_image(media, fake=True)
+    media = multimodal.synth_image_media(t["documents"], fmt="png")
+    return multimodal.decode_image(media)
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode: synthesized PCM16 square waves (duration and
+    amplitude pure functions of the id), decoded with stdlib wave + numpy
+    RMS. Oracle computes duration_ms and RMS arithmetically."""
+    t = load_tables(spark, sf_dir)
+    media = multimodal.synth_wav_media(t["documents"])
+    return multimodal.audio_features(media)
 
 
 def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,6 +1019,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_centroids": q_embedding_centroids,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_audio": q_multimodal_audio,
     "sketch_aggregates": q_sketch_aggregates,
     "events_props_json": q_events_props_json,
     "quantiles_by_type": q_quantiles_by_type,
@@ -1410,6 +1423,20 @@ ORACLE: dict[str, str] = {
       SELECT CAST(doc_id AS BIGINT) AS asset_id, 'image' AS media_type,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              md5(text) AS content_hash
+      FROM documents
+    """,
+    "multimodal_decode": """
+      SELECT CAST(doc_id AS BIGINT) AS asset_id,
+             CAST(8 + doc_id % 17 AS INT) AS height,
+             CAST(8 + (doc_id * 7) % 23 AS INT) AS width,
+             CAST(3 AS INT) AS channels,
+             'png' AS decode_ok
+      FROM documents
+    """,
+    "multimodal_audio": """
+      SELECT CAST(doc_id AS BIGINT) AS asset_id,
+             CAST(50 + (doc_id % 50) * 10 AS BIGINT) AS duration_ms,
+             ROUND((1 + doc_id % 9) / 10.0 * 32768) / 32768.0 AS rms
       FROM documents
     """,
     "extract_custom_j": f"""

@@ -83,9 +83,71 @@ def test_multimodal_decode_plumbing(tables):
         assert r["channels"] == 3
 
 
-def test_multimodal_real_decode_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(None, fake=False)
+def test_codec_round_trips():
+    """The pure-python codecs decode their own encoders' output exactly:
+    PNG (zlib+unfilter), BMP (24-bit), WAV (PCM16 duration+RMS)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 9, 3), (12, 4, 3), (6, 6, 4), (7, 3, 1)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got, fmt = multimodal.decode_image_bytes(multimodal.encode_png(arr))
+        assert fmt == "png" and np.array_equal(got, arr)
+    arr = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    got, fmt = multimodal.decode_image_bytes(multimodal.encode_bmp(arr))
+    assert fmt == "bmp" and np.array_equal(got, arr)
+    # PNM: hand-built P6 header + raw pixels
+    pnm = b"P6\n7 9\n255\n" + arr.tobytes()
+    got, fmt = multimodal.decode_image_bytes(pnm)
+    assert fmt == "pnm" and np.array_equal(got, arr)
+    # unsupported formats classify, not crash
+    with pytest.raises(ValueError, match="unsupported:jpeg"):
+        multimodal.decode_image_bytes(b"\xff\xd8\xff\xe0rest")
+
+
+def test_png_decoder_handles_all_filter_types():
+    """Decode a PNG whose scanlines use filters 1-4 (our encoder only
+    emits 0; a spec-compliant decoder must undo Sub/Up/Average/Paeth)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    c, stride = 3, 6 * 3
+    rows = []
+    prev = np.zeros(stride, np.int16)
+    for r, ft in enumerate([1, 2, 3, 4]):
+        cur = arr[r].reshape(-1).astype(np.int16)
+        enc = np.zeros(stride, np.int16)
+        for i in range(stride):
+            a = cur[i - c] if i >= c else 0
+            b = prev[i]
+            cc = prev[i - c] if i >= c else 0
+            if ft == 1:
+                enc[i] = (cur[i] - a) % 256
+            elif ft == 2:
+                enc[i] = (cur[i] - b) % 256
+            elif ft == 3:
+                enc[i] = (cur[i] - (a + b) // 2) % 256
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                enc[i] = (cur[i] - pred) % 256
+        rows.append(bytes([ft]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(tag, body):
+        return (_struct.pack(">I", len(body)) + tag + body
+                + _struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = _struct.pack(">IIBBBBB", 6, 4, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", _zlib.compress(b"".join(rows)))
+           + chunk(b"IEND", b""))
+    got = multimodal.decode_png_bytes(png)
+    assert np.array_equal(got, arr)
 
 
 def test_language_id_on_synthetic_sentences(spark):
@@ -196,11 +258,56 @@ def test_multimodal_resize_and_audio_stages(tables):
     feats = multimodal.audio_features(media, fake=True).collect()
     assert len(feats) == 50
     assert all(f.duration_ms >= 0 for f in feats)
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        multimodal.resize_image(with_payload)
-    with _pytest.raises(NotImplementedError):
-        multimodal.audio_features(media)
+
+
+def test_multimodal_real_decode_resize_audio(tables):
+    """Real codecs through the distributed pipeline: synthesized PNG
+    payloads decode to their id-derived dimensions; resize re-encodes
+    decodable PNGs at the target size (and round-trips pixels); WAV
+    features match the synthesized duration/amplitude."""
+    import io
+    import wave
+
+    import numpy as np
+
+    docs = tables["documents"].limit(40)
+    media = multimodal.synth_image_media(docs, fmt="png")
+    for r in multimodal.decode_image(media).collect():
+        i = r["asset_id"]
+        assert (r["height"], r["width"], r["channels"], r["decode_ok"]) == (
+            8 + i % 17, 8 + (i * 7) % 23, 3, "png")
+    # bmp payloads decode identically (dims don't depend on format)
+    bmp = multimodal.synth_image_media(docs, fmt="bmp")
+    got = {r["asset_id"]: (r["height"], r["width"]) for r in
+           multimodal.decode_image(bmp).collect()}
+    assert got == {r["asset_id"]: (8 + r["asset_id"] % 17,
+                                   8 + (r["asset_id"] * 7) % 23)
+                   for r in media.select("asset_id").collect()}
+    # real resize: output payloads are valid PNGs at the target size,
+    # nearest-neighbor gather of source pixels
+    resized = multimodal.resize_image(media, target=(16, 16)).collect()
+    assert len(resized) == 40
+    for r in resized[:5]:
+        arr, fmt = multimodal.decode_image_bytes(bytes(r["payload"]))
+        assert fmt == "png" and arr.shape == (16, 16, 3)
+    # undecodable payload -> null row, batch survives
+    junk = multimodal.as_media_table(
+        docs.limit(3).selectExpr("doc_id", "encode(text, 'UTF-8') AS p"),
+        "doc_id", "p")
+    jr = multimodal.decode_image(junk).collect()
+    assert all(r["height"] is None and r["decode_ok"].startswith("unsupported")
+               for r in jr)
+    # real WAV decode
+    wavs = multimodal.synth_wav_media(docs)
+    for r in multimodal.audio_features(wavs).collect():
+        i = r["asset_id"]
+        assert r["duration_ms"] == 50 + (i % 50) * 10
+        v = round((1 + i % 9) / 10.0 * 32768)
+        assert abs(r["rms"] - v / 32768.0) < 1e-12
+    # and the payloads are genuine WAV containers
+    one = wavs.limit(1).collect()[0]
+    with wave.open(io.BytesIO(bytes(one["payload"])), "rb") as w:
+        assert w.getframerate() == 8000 and w.getsampwidth() == 2
 
 
 def test_frame_sample_plan_shape(spark, tables):
