@@ -26,6 +26,12 @@ BENCH_QUERIES = [
     "tpch_q6_forecast_revenue",
     "tpch_q12_priority_counts",
     "tpch_q14_promo_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
     "topk_parts_per_brand",
     "dedup_exact",
     "ngram_jaccard_pairs",

@@ -578,6 +578,221 @@ def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rev_expr():
+    """Exact decimal line revenue (built lazily: F.col needs a live session)."""
+    return (F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
+
+
+def q_tpch_q4_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery as a left-semi join
+    (orders with at least one returned line), counted by priority.
+
+    Driver lineitem has no l_commitdate/l_receiptdate, so the EXISTS
+    predicate is ``l_returnflag = 'R'`` instead of late-delivery — same
+    semi-join + count-by-degenerate-dim plan shape. Shuffles once on
+    orderkey (semi), once on priority (agg); neither side broadcast."""
+    t = load_tables(spark, sf_dir)
+    returned = t["lineitem"].where(F.col("l_returnflag") == "R").select("l_orderkey")
+    sem = t["orders"].join(returned, F.col("o_orderkey") == F.col("l_orderkey"),
+                           "left_semi")
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair filter, revenue by
+    (supp_nation, cust_nation, year). Supplier+nation broadcast (small
+    dims); customer joined on custkey after orders — the two big joins
+    shuffle on their keys and AQE coalesces."""
+    t = load_tables(spark, sf_dir)
+    sn = (t["supplier"]
+          .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cn = (t["nation"]
+          .select(F.col("n_nationkey").alias("cn_nationkey"),
+                  F.col("n_name").alias("cust_nation")))
+    j = (t["lineitem"]
+         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_nationkey")))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (j.where(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum(_rev_expr()).cast("double").alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional revenue per year —
+    conditional sum over the full denormalized star, ECONOMY parts only,
+    ASIA customers only. Part filter pushes to the broadcast side."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    sn = (t["supplier"]
+          .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    asia = (t["nation"]
+            .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+            .where(F.col("r_name") == "ASIA")
+            .select(F.col("n_nationkey").alias("cn_nationkey")))
+    j = (t["lineitem"]
+         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(asia), F.col("c_nationkey") == F.col("cn_nationkey"))
+         .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey")))
+    target = F.when(F.col("supp_nation") == "NATION_3", _rev_expr()).otherwise(
+        F.lit(0).cast("decimal(18,2)"))
+    return (j.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg((F.sum(target).cast("double")
+                  / F.sum(_rev_expr()).cast("double")).alias("mkt_share"),
+                 F.sum(_rev_expr()).cast("double").alias("total_revenue")))
+
+
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer in one
+    quarter, top-20 with deterministic tie-break on custkey."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    j = (li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(t["nation"]),
+               F.col("c_nationkey") == F.col("n_nationkey")))
+    agg = (j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+           .agg(F.sum(_rev_expr()).alias("rev")))
+    return (agg.orderBy(F.col("rev").desc(), F.col("c_custkey").asc())
+            .limit(20)
+            .select("c_custkey", "c_name",
+                    F.col("rev").cast("double").alias("revenue"),
+                    "c_acctbal", "n_name"))
+
+
+def q_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram — left join so
+    zero-order customers survive, two cheap aggregations."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (t["customer"]
+                .join(t["orders"].select("o_custkey", "o_orderkey"),
+                      F.col("c_custkey") == F.col("o_custkey"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue view + global max — the max is
+    a 1-row broadcast joined back on exact DECIMAL equality (no double
+    drift), suppliers broadcast."""
+    t = load_tables(spark, sf_dir)
+    rev = (t["lineitem"]
+           .where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+           .groupBy("l_suppkey")
+           .agg(F.sum(_rev_expr()).alias("total_rev")))
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    top = rev.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
+    return (top.join(F.broadcast(t["supplier"]),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.col("total_rev").cast("double").alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average threshold. The
+    per-part avg is a window over the already-joined fact (one shuffle on
+    partkey), expressed as exact decimal-sum / count so the threshold is
+    bit-identical to the oracle. Driver part has no p_container; the
+    scope filter is brand + size."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    part = (t["part"]
+            .where((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10))
+            .select("p_partkey"))
+    j = t["lineitem"].join(F.broadcast(part),
+                           F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    thresh = (F.lit(0.2)
+              * (F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w)
+                 .cast("double") / F.count(F.lit(1)).over(w)))
+    small = j.withColumn("qty_thresh", thresh).where(F.col("l_quantity") < F.col("qty_thresh"))
+    return small.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+         / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped fact (orders with >200 total
+    qty), re-joined to orders + customer; top-100 by totalprice with
+    orderkey tie-break."""
+    t = load_tables(spark, sf_dir)
+    big = (t["lineitem"].groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+           .where(F.col("sum_qty") > 200))
+    j = (big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey")))
+    return (j.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(100)
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice",
+                    F.col("sum_qty").cast("double").alias("sum_qty")))
+
+
+def q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity conjuncts —
+    one broadcast part join, OR-of-ANDs predicate, single revenue row.
+    Driver part has no p_container; size ranges stand in for container
+    classes."""
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(F.broadcast(t["part"]),
+                           F.col("l_partkey") == F.col("p_partkey"))
+    pred = (
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(pred).agg(
+        F.sum(_rev_expr()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+def q_tpch_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (avg positive balance) as a
+    1-row broadcast cross join + anti join against orders, grouped by
+    nation. Driver customer has no c_phone; nation plays the country-code
+    role."""
+    t = load_tables(spark, sf_dir)
+    avg_bal = (t["customer"].where(F.col("c_acctbal") > 0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                     .cast("double")
+                     / F.count(F.lit(1))).alias("avg_bal")))
+    rich = (t["customer"]
+            .crossJoin(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("avg_bal")))
+    idle = rich.join(t["orders"].select("o_custkey"),
+                     F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (idle.join(F.broadcast(t["nation"]),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count("*").alias("numcust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                 .cast("double").alias("totacctbal")))
+
+
 # ===========================================================================
 # Pipeline operators (north-star)
 # ===========================================================================
@@ -1001,6 +1216,16 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
     "tpch_q12_priority_counts": q_tpch_q12_priority_counts,
     "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+    "tpch_q4_priority_returns": q_tpch_q4_priority_returns,
+    "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+    "tpch_q8_market_share": q_tpch_q8_market_share,
+    "tpch_q10_returned_items": q_tpch_q10_returned_items,
+    "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
+    "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
+    "tpch_q18_large_orders": q_tpch_q18_large_orders,
+    "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
+    "tpch_q22_idle_balance": q_tpch_q22_idle_balance,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "text_token_count": q_text_token_count,
@@ -1385,6 +1610,133 @@ ORACLE: dict[str, str] = {
                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
              AS promo_revenue_pct
       FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    "tpch_q4_priority_returns": """
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY 1
+    """,
+    "tpch_q7_volume_shipping": f"""
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST({SQL_REV} AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+         OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+      GROUP BY 1, 2, 3
+    """,
+    "tpch_q8_market_share": """
+      SELECT year(o_orderdate) AS o_year,
+             CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS mkt_share,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS total_revenue
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+      GROUP BY 1
+    """,
+    "tpch_q10_returned_items": f"""
+      SELECT c_custkey, c_name, CAST({SQL_REV} AS DOUBLE) AS revenue,
+             c_acctbal, n_name
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1, 2, 4, 5
+      ORDER BY {SQL_REV} DESC, c_custkey LIMIT 20
+    """,
+    "tpch_q13_order_distribution": """
+      WITH per_cust AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1)
+      SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY 1
+    """,
+    "tpch_q15_top_supplier": f"""
+      WITH rev AS (
+        SELECT l_suppkey, {SQL_REV} AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+      ORDER BY s_suppkey
+    """,
+    "tpch_q17_small_qty_revenue": """
+      WITH j AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#1' AND p_size <= 10),
+      t AS (
+        SELECT l_partkey,
+               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*)) AS qty_thresh
+        FROM j GROUP BY 1)
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+             COUNT(*) AS n_lines
+      FROM j JOIN t USING (l_partkey)
+      WHERE l_quantity < qty_thresh
+    """,
+    "tpch_q18_large_orders": """
+      WITH big AS (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             CAST(sum_qty AS DOUBLE) AS sum_qty
+      FROM big
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "tpch_q19_disjunctive_revenue": f"""
+      SELECT CAST({SQL_REV} AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q22_idle_balance": """
+      WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0)
+      SELECT n_name, COUNT(*) AS numcust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM customer, avg_bal
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_acctbal > avg_bal
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY 1
     """,
     "dedup_exact": """
       SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups

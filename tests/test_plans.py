@@ -136,6 +136,40 @@ def test_lsh_pair_source_never_cross_joins(tables):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_tpch_breadth_plans_never_cartesian(spark):
+    """The ten TPC-H breadth queries: no unbounded nested-loop joins.
+    The only BroadcastNestedLoopJoin allowed is the intended 1-row scalar
+    subquery join (q22 avg-balance cross join); everything else must plan
+    as hash/sort-merge equi-joins."""
+    from data_cube_spark import registry
+
+    one_row_scalar_ok = {"tpch_q22_idle_balance"}
+    names = [
+        "tpch_q4_priority_returns", "tpch_q7_volume_shipping",
+        "tpch_q8_market_share", "tpch_q10_returned_items",
+        "tpch_q13_order_distribution", "tpch_q15_top_supplier",
+        "tpch_q17_small_qty_revenue", "tpch_q18_large_orders",
+        "tpch_q19_disjunctive_revenue", "tpch_q22_idle_balance",
+    ]
+    for name in names:
+        df = registry.QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = explain_str(df, "simple")
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+        if name not in one_row_scalar_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name}:\n{plan}"
+
+
+def test_tpch_breadth_small_dims_broadcast(spark):
+    """Star-shaped breadth queries broadcast their small dimension sides
+    (part/nation/supplier) instead of shuffling the fact."""
+    from data_cube_spark import registry
+
+    for name in ("tpch_q7_volume_shipping", "tpch_q8_market_share",
+                 "tpch_q10_returned_items", "tpch_q19_disjunctive_revenue"):
+        df = registry.QUERIES[name](spark, "/root/testdata/sf0.001")
+        assert has_broadcast_join(df), explain_str(df, "simple")
+
+
 def test_bucketed_join_has_zero_exchanges(spark, tables):
     """Co-located storage: two tables bucketed on the join key produce an
     exchange-free join plan (the write-time shuffle replaces every
