@@ -219,6 +219,23 @@ def _lsh_buckets_udf(n_planes: int, n_tables: int, dim: int, seed: int):
     return buckets
 
 
+def effective_planes(n_planes: int, corpus_rows: int | None,
+                     max_bucket_rows: int) -> int:
+    """Occupancy guard (the quadratic scale-killer): candidate volume per
+    LSH table is ~buckets * occupancy^2 / 2, and expected occupancy =
+    corpus / 2^planes grows linearly with the corpus if planes are fixed.
+    Bounding occupancy by ``max_bucket_rows`` raises planes by ~log2 of the
+    corpus growth instead of letting candidates grow quadratically. More
+    planes lower per-table recall (p^planes) — callers wanting a recall
+    floor raise ``n_tables`` with it (cost linear in tables, vs quadratic
+    in occupancy)."""
+    if corpus_rows is None or corpus_rows <= max_bucket_rows:
+        return n_planes
+    import math
+
+    return max(n_planes, math.ceil(math.log2(corpus_rows / max_bucket_rows)))
+
+
 def lsh_near_pairs(
     df: DataFrame,
     threshold: float,
@@ -229,6 +246,7 @@ def lsh_near_pairs(
     dim: int = 64,
     seed: int = 42,
     corpus_rows: int | None = None,
+    max_bucket_rows: int = 1024,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: candidates are pairs sharing a
     random-hyperplane bucket in ANY of ``n_tables`` independent tables
@@ -256,6 +274,7 @@ def lsh_near_pairs(
       vector-attach shuffle again, ~3x volume at default parameters), then
       attach vectors with two equi-joins and verify JVM-side.
     """
+    n_planes = effective_planes(n_planes, corpus_rows, max_bucket_rows)
     v = with_norm(df, vec_col).select(F.col(id_col), "_vec", "_norm")
     buckets = _lsh_buckets_udf(n_planes, n_tables, dim, seed)
     banded = v.select(
@@ -283,11 +302,15 @@ def lsh_near_pairs(
         and corpus_rows * dim * 8 <= 256 * 1024 * 1024
     )
     if small:
+        # dedup BEFORE verify: OR-amplification makes the same pair collide
+        # in ~p^planes * tables tables in expectation (≈3x at the registry's
+        # 4-plane/48-table setting), so the pre-verify dedup shuffle (16-byte
+        # id pairs) is ~3x cheaper than verifying every duplicate.
+        cand = cand.dropDuplicates(["id_a", "id_b"])
         verify = _broadcast_cosine_udf(df.sparkSession, v, id_col)
         return (
             cand.withColumn("cosine", verify(F.col("id_a"), F.col("id_b")))
             .where(F.col("cosine") >= threshold)
-            .dropDuplicates(["id_a", "id_b"])
         )
     cand = cand.dropDuplicates()
     va = v.select(F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"),
@@ -303,6 +326,82 @@ def lsh_near_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def blocked_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-pairs for a broadcast-sized corpus: the normalized matrix
+    is broadcast once, and each ``mapInPandas`` batch computes its
+    (batch x corpus) cosine block with one matmul, emitting only the
+    above-threshold ``id_a < id_b`` pairs.
+
+    This is the below-the-gate tier of :func:`near_pairs`: O(n^2) flops but
+    ZERO joins and ZERO shuffle — no O(n^2) data movement, which is what
+    made the naive crossJoin a scale-killer. The same pattern ANN libraries
+    use (brute force below a size cutoff, index above it)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    v = with_norm(df, vec_col).select(F.col(id_col), "_vec", "_norm")
+    pdf = v.toPandas()  # caller size-gated, same contract as dim broadcast
+    order = np.argsort(pdf[id_col].to_numpy())
+    ids = pdf[id_col].to_numpy()[order].astype("int64")
+    M = np.stack(pdf["_vec"].to_numpy()[order]).astype("float64")
+    M /= np.maximum(pdf["_norm"].to_numpy()[order], 1e-300)[:, None]
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    def gen(batches):
+        import pandas as pd
+
+        ids_, M_ = bc.value
+        for b in batches:
+            X = np.stack(b["_vec"].to_numpy()).astype("float64")
+            X /= np.maximum(b["_norm"].to_numpy(), 1e-300)[:, None]
+            row_ids = b[id_col].to_numpy().astype("int64")
+            S = X @ M_.T  # (batch, corpus) cosine block
+            hit = (S >= threshold) & (row_ids[:, None] < ids_[None, :])
+            r, c = np.nonzero(hit)
+            yield pd.DataFrame({
+                "id_a": row_ids[r], "id_b": ids_[c], "cosine": S[r, c],
+            })
+
+    return v.mapInPandas(gen, "id_a bigint, id_b bigint, cosine double")
+
+
+def near_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_rows: int | None = None,
+    dim: int = 64,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Size-dispatched embedding near-pair source — the production entry
+    point for near-dup candidate generation, gated exactly like dimension
+    broadcasts:
+
+    - corpus within the broadcast gate → :func:`blocked_near_pairs`
+      (exact, join-free, shuffle-free matmul blocks);
+    - larger → :func:`lsh_near_pairs` (bucketed equi-join candidates,
+      occupancy-guarded planes, approximate).
+
+    Neither tier ever plans a crossJoin/CartesianProduct."""
+    from data_cube_spark.model import BROADCAST_MAX_ROWS
+
+    small = (
+        corpus_rows is not None
+        and corpus_rows <= BROADCAST_MAX_ROWS
+        and corpus_rows * dim * 8 <= 256 * 1024 * 1024
+    )
+    if small:
+        return blocked_near_pairs(df, threshold, id_col=id_col, vec_col=vec_col)
+    return lsh_near_pairs(df, threshold, id_col=id_col, vec_col=vec_col,
+                          dim=dim, corpus_rows=corpus_rows, **lsh_kwargs)
 
 
 def _broadcast_cosine_udf(spark, v: DataFrame, id_col: str):

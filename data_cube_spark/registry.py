@@ -1042,30 +1042,32 @@ def q_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the embedding near-dup graph (cosine >=
-    0.35): candidate pairs from bucketed LSH (the scale path — equi-join on
-    (table, bucket), no cross product; params reach recall 1.0 on this
-    corpus, asserted in tests), then iterative distributed min-label
-    propagation, hash-matched against a recursive-CTE SQL oracle computing
-    the exact all-pairs graph."""
+    0.35): candidate pairs from the size-dispatched near_pairs source
+    (blocked matmul below the broadcast gate — join-free, shuffle-free;
+    bucketed LSH equi-join above it, recall 1.0 on this corpus asserted in
+    tests — never a cross product either way), then iterative distributed
+    min-label propagation, hash-matched against a recursive-CTE SQL oracle
+    computing the exact all-pairs graph."""
     t = load_tables(spark, sf_dir)
-    pairs = similarity.lsh_near_pairs(t["embeddings"], threshold=0.35,
-                                      n_planes=4, n_tables=48,
-                                      corpus_rows=parquet_rows(sf_dir, "embeddings"))
+    pairs = similarity.near_pairs(t["embeddings"], threshold=0.35,
+                                  n_planes=4, n_tables=48,
+                                  corpus_rows=parquet_rows(sf_dir, "embeddings"))
     comp = dedup.connected_components(pairs)
     return comp.select(F.col("id").alias("vec_id"),
                        F.col("component").cast("bigint").alias("component"))
 
 
 def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-level semantic dedup end-to-end: LSH-bucketed near-dup
-    pairs (scale path, full recall on this corpus) -> connected components
-    -> drop non-representatives (left-anti). The surviving corpus,
-    oracle-checked via an exact all-pairs recursive CTE + NOT IN."""
+    """Embedding-level semantic dedup end-to-end: size-dispatched near-dup
+    pairs (blocked matmul under the gate / bucketed LSH above, never a
+    cross product) -> connected components -> drop non-representatives
+    (left-anti). The surviving corpus, oracle-checked via an exact
+    all-pairs recursive CTE + NOT IN."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    pairs = similarity.lsh_near_pairs(emb, threshold=0.35,
-                                      n_planes=4, n_tables=48,
-                                      corpus_rows=parquet_rows(sf_dir, "embeddings"))
+    pairs = similarity.near_pairs(emb, threshold=0.35,
+                                  n_planes=4, n_tables=48,
+                                  corpus_rows=parquet_rows(sf_dir, "embeddings"))
     kept = dedup.dedup_clusters(emb.select("vec_id", "label"), pairs,
                                 id_col="vec_id")
     return kept.select("vec_id", F.col("label").cast("int").alias("label"))
@@ -1175,6 +1177,34 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(t["events"])
 
 
+def q_events_stream_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming loop as driver evidence (VERDICT r1 #10): events
+    are staged into a file-stream source, the availableNow foreachBatch
+    upsert maintains the materialized cube target, cube_from_materialized
+    reopens it through the cube API, and the materialized
+    (window_start, event_type) grain is returned. Oracle: plain batch
+    GROUP BY over the same events — the stream==batch contract. Per-window
+    sums are decimal-exact in the stream, so values hash-match."""
+    import os
+    import tempfile
+
+    from data_cube_spark.streaming import cube_from_materialized, streaming_cube
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    work = tempfile.mkdtemp(prefix="stream_cube_")
+    src = os.path.join(work, "src")
+    ev.write.mode("overwrite").parquet(src)
+    q = streaming_cube(spark, src, ev.schema, os.path.join(work, "ckpt"),
+                       os.path.join(work, "target"),
+                       keys=["event_type"]).start()
+    q.awaitTermination(300)
+    dc = cube_from_materialized(spark, os.path.join(work, "target"),
+                                keys=["event_type"])
+    return dc.fact.df.select("window_start", "event_type", "n_events",
+                             "sum_value")
+
+
 # ===========================================================================
 # Registry + oracles
 # ===========================================================================
@@ -1261,6 +1291,7 @@ QUERIES: dict[str, QueryFn] = {
     "pack_greedy": q_pack_greedy,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
+    "events_stream_cube": q_events_stream_cube,
 }
 
 
@@ -1990,6 +2021,12 @@ ORACLE: dict[str, str] = {
       FROM c
     """,
     "events_hourly": """
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    """,
+    "events_stream_cube": """
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
              COUNT(*) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -203,6 +203,51 @@ def test_lsh_near_pairs_registry_params_full_recall(tables):
     )
 
 
+def test_lsh_occupancy_guard_scales_planes():
+    """effective_planes bounds expected bucket occupancy: a 100x corpus
+    raises plane count logarithmically instead of letting candidate volume
+    grow quadratically."""
+    from data_cube_spark.operators.similarity import effective_planes
+
+    assert effective_planes(4, None, 1024) == 4          # unknown corpus: as-is
+    assert effective_planes(4, 1000, 1024) == 4          # under the bound
+    assert effective_planes(4, 2000, 1024) == 4          # ceil(log2(2)) = 1 < 4
+    assert effective_planes(4, 1_000_000, 1024) == 10    # 2^10 buckets
+    assert effective_planes(4, 100_000_000, 1024) == 17
+    # occupancy after the guard is within 2x of the bound
+    assert 100_000_000 / 2 ** 17 <= 1024
+
+
+def test_lsh_near_pairs_guard_never_invents_pairs(tables):
+    """With a tiny occupancy bound forcing extra planes, results stay a
+    subset of the exact pair set (precision is exact — only recall moves)."""
+    from data_cube_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    exact = {(r.id_a, r.id_b)
+             for r in similarity.cosine_near_pairs(emb, 0.4).collect()}
+    guarded = {(r.id_a, r.id_b)
+               for r in similarity.lsh_near_pairs(
+                   emb, 0.4, n_planes=4, n_tables=48, corpus_rows=500,
+                   max_bucket_rows=32).collect()}
+    assert guarded <= exact
+
+
+def test_blocked_near_pairs_equals_exact(tables):
+    """The blocked matmul tier is EXACT: identical pair set and cosines
+    (within fp) to the crossJoin verifier."""
+    from data_cube_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in similarity.cosine_near_pairs(emb, 0.35).collect()}
+    blocked = {(r.id_a, r.id_b): r.cosine
+               for r in similarity.blocked_near_pairs(emb, 0.35).collect()}
+    assert set(blocked) == set(exact)
+    for k, v in blocked.items():
+        assert abs(v - exact[k]) < 1e-9
+
+
 def test_ngram_max_df_bounds_candidates(spark):
     """A hot shingle shared by every doc must not explode candidates when
     max_df caps document frequency (the 100 TB guard, VERDICT r1)."""

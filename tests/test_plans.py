@@ -136,6 +136,26 @@ def test_lsh_pair_source_never_cross_joins(tables):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_near_pairs_dispatch_both_tiers(tables):
+    """near_pairs below the gate plans a join-free mapInPandas block scan;
+    above the gate it takes the LSH equi-join path. Neither tier ever
+    cross-joins."""
+    from data_cube_spark.model import BROADCAST_MAX_ROWS
+    from data_cube_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    small = similarity.near_pairs(emb, 0.35, corpus_rows=500)
+    plan_small = explain_str(small, "simple")
+    assert "Join" not in plan_small and "Exchange" not in plan_small, plan_small
+
+    big = similarity.near_pairs(emb, 0.35, n_planes=4, n_tables=8,
+                                corpus_rows=BROADCAST_MAX_ROWS + 1)
+    plan_big = explain_str(big, "simple")
+    assert "CartesianProduct" not in plan_big, plan_big
+    assert "BroadcastNestedLoopJoin" not in plan_big, plan_big
+    assert "Join" in plan_big  # the bucketed equi-join tier
+
+
 def test_tpch_breadth_plans_never_cartesian(spark):
     """The ten TPC-H breadth queries: no unbounded nested-loop joins.
     The only BroadcastNestedLoopJoin allowed is the intended 1-row scalar
