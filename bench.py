@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "semantic_dedup_keep",
     "ann_cosine_topk",
     "text_quality",
+    "text_repetition",
     "pipeline_clean_corpus",
     "mixture_sample_docs",
     "pack_sequences",

@@ -21,7 +21,7 @@ Layout
 """
 
 from data_cube_spark.model import DataCube, Dimension, Fact, Hierarchy, Level, Measure
-from data_cube_spark.selectors import AnyOf, C, Collapse, CubeOp, RollupOp, Selector
+from data_cube_spark.selectors import AnyOf, C, Collapse, CubeOp, Range, RollupOp, Selector
 
 __all__ = [
     "DataCube",
@@ -34,6 +34,7 @@ __all__ = [
     "C",
     "Collapse",
     "CubeOp",
+    "Range",
     "RollupOp",
     "Selector",
 ]

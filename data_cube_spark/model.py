@@ -42,9 +42,25 @@ from data_cube_spark.selectors import (
     OP_COLLAPSE,
     OP_CUBE,
     OP_ROLLUP,
+    Range,
     Selector,
     normalize,
 )
+
+
+def range_cond(col: Column, rng: Range) -> Column:
+    """Column predicate for a :class:`Range` selector value — comparison
+    filters that push to the parquet scan (GreaterThan/LessThan in
+    PushedFilters), the structural alternative to post-hoc WHEREs."""
+    conds = []
+    if rng.lo is not None:
+        conds.append(col >= rng.lo if rng.lo_incl else col > rng.lo)
+    if rng.hi is not None:
+        conds.append(col <= rng.hi if rng.hi_incl else col < rng.hi)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
 
 # ---------------------------------------------------------------------------
 # Measure
@@ -237,6 +253,8 @@ class Level:
             if isinstance(vals, DataFrame):
                 keys = vals.select(fld)
                 df = df.join(F.broadcast(keys) if broadcast else keys, fld, "left_semi")
+            elif isinstance(vals, Range):
+                df = df.where(range_cond(F.col(fld), vals))
             else:
                 df = df.where(F.col(fld).isin(list(vals)))
         return df
@@ -363,8 +381,10 @@ class Dimension:
         for field, vals in filters.items():
             if field not in fields:
                 raise KeyError(f"dimension {self.name!r} has no field {field!r}")
-            vals = list(vals) if not isinstance(vals, DataFrame) else vals
-            if field in base.columns and not isinstance(vals, DataFrame):
+            vals = list(vals) if not isinstance(vals, (DataFrame, Range)) else vals
+            if field in base.columns and isinstance(vals, Range):
+                base = base.where(range_cond(F.col(field), vals))
+            elif field in base.columns and not isinstance(vals, DataFrame):
                 base = base.where(F.col(field).isin(vals))
             else:
                 lk = fields[field]
@@ -513,6 +533,10 @@ class Fact:
             keys = keys.select(fk)
             df = self.df.join(F.broadcast(keys) if broadcast else keys,
                               fk, "left_semi").select(*self.df.columns)
+        elif isinstance(keys, Range):
+            # range dice on the FK itself: comparison filters push to the
+            # fact scan, no dimension round-trip at all
+            df = self.df.where(range_cond(F.col(fk), keys))
         else:
             df = self.df.where(F.col(fk).isin(list(keys)))
         return Fact(df, self.id_vars, self.measures)

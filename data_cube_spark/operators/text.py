@@ -119,6 +119,43 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(F.encode(normalized(col), "UTF-8"))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals (the Gopher-style "excessive
+    repetition" quality rules): distinct-token ratio, most-frequent-token
+    fraction, most-frequent-bigram fraction.
+
+    Pure array expressions over the whitespace token list — the per-token
+    counting is O(distinct x tokens) INSIDE one row (documents are bounded;
+    ~hundreds of tokens), so the operator is still one narrow projection:
+    zero shuffles, zero UDFs, linear in the corpus."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # count of each distinct token via filter-within-row; max count on top
+    top_tok = F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    ))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    nb = F.size(bigrams)
+    top_bg = F.array_max(F.transform(
+        F.array_distinct(bigrams),
+        lambda t: F.size(F.filter(bigrams, lambda x: x == t)),
+    ))
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n).alias("distinct_ratio"),
+        (top_tok.cast("double") / n).alias("top_token_frac"),
+        F.when(nb > 0, top_bg.cast("double") / nb)
+        .otherwise(F.lit(None).cast("double")).alias("top_bigram_frac"),
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-stop per-document profile: token counts + fingerprint + langid."""
     lang = language_id(df, text_col, id_col)

@@ -46,9 +46,30 @@ def _is_df(v: Any) -> bool:
 
 
 def _coerce(v: Any):
-    if _is_df(v):
+    if _is_df(v) or isinstance(v, Range):
         return v
     return [v] if _is_scalar(v) else list(v)
+
+
+@dataclass(frozen=True)
+class Range:
+    """Half-open (by default) range predicate for an attribute filter:
+    ``C(o_orderdate=Range(hi="1998-01-01"))`` dices by ``< hi`` structurally
+    — the bound reaches the dimension scan as a pushed comparison filter
+    instead of relying on the optimizer to push a post-aggregation WHERE
+    through (the membership-only selector gap noted for tpch_q3).
+
+    ``lo``/``hi`` may each be None (one-sided). Inclusivity flags default to
+    the SQL-conventional closed-open ``[lo, hi)``."""
+
+    lo: Any = None
+    hi: Any = None
+    lo_incl: bool = True
+    hi_incl: bool = False
+
+    def __post_init__(self) -> None:
+        if self.lo is None and self.hi is None:
+            raise ValueError("Range needs at least one bound")
 
 
 @dataclass
@@ -77,7 +98,9 @@ class Selector:
         """Merge key-values and attribute filters into one field->values map."""
         out: dict[str, list] = {}
         if self.values is not None:
-            out[key] = self.values if _is_df(self.values) else list(self.values)
+            out[key] = (self.values
+                        if _is_df(self.values) or isinstance(self.values, Range)
+                        else list(self.values))
         for f, v in self.filters.items():
             out[f] = _coerce(v)
         return out
@@ -107,6 +130,9 @@ def normalize(sel: Any, *, empty_ok: bool = True) -> Selector:
     if _is_df(sel):
         # table-valued dice: semi-join the dimension key against the frame
         return Selector(values=sel)
+    if isinstance(sel, Range):
+        # bare Range: range-dice on the dimension KEY
+        return Selector(values=sel)
     if _is_scalar(sel):
         return Selector(values=[sel], drop=True)
     if isinstance(sel, Mapping):
@@ -132,7 +158,7 @@ def C(*values: Any, **filters: Any) -> Selector:
     hierarchy attribute. Single positional value still keeps the dimension
     (use a bare scalar in ``q()`` for slice-and-drop)."""
     sel = Selector()
-    if len(values) == 1 and _is_df(values[0]):
+    if len(values) == 1 and (_is_df(values[0]) or isinstance(values[0], Range)):
         sel.values = values[0]
     elif values:
         sel.values = list(values)

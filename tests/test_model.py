@@ -140,6 +140,48 @@ def test_chainability(cube):
     assert "supplier" in q.dims
 
 
+def test_range_dice_on_attribute(cube, duck):
+    """Range selector on a dimension attribute == SQL BETWEEN through the
+    snowflake (structural pushdown, no post-hoc WHERE)."""
+    from data_cube_spark.selectors import Range
+
+    q = cube.q(part=C(p_size=Range(lo=10, hi=20, hi_incl=True)),
+               supplier=Collapse(), orders=Collapse())
+    out = q.fact.df.groupBy().agg(
+        F.sum(F.col("sum_qty").cast("double")).alias("sum_qty"),
+        F.sum("n_lines").alias("n_lines"))
+    sql = """
+      SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size BETWEEN 10 AND 20
+    """
+    assert_df_matches_sql(out, duck, sql)
+
+
+def test_range_dice_on_key_equals_membership(cube):
+    """Metamorphic: a Range on the dimension KEY returns exactly the rows
+    of the equivalent membership dice (and filters the fact scan directly,
+    no dimension round-trip)."""
+    from data_cube_spark.selectors import Range
+
+    by_range = cube.q(supplier=Range(lo=0, hi=5)).fact.df
+    by_members = cube.q(supplier=C(0, 1, 2, 3, 4)).fact.df
+    assert sorted(map(tuple, by_range.collect())) == \
+        sorted(map(tuple, by_members.collect()))
+
+
+def test_range_one_sided_and_validation(cube):
+    from data_cube_spark.selectors import Range
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        Range()
+    n_all = cube.fact.df.count()
+    n_hi = cube.q(part=C(p_size=Range(hi=1_000_000))).fact.df.count()
+    assert n_hi == n_all  # one-sided bound covering everything
+
+
 def test_fun_override_apply(cube, duck):
     out = cube.apply(["supplier"], fun="max").fact.df.select(
         "s_suppkey", F.col("sum_qty").cast("double").alias("sum_qty")

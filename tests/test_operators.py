@@ -167,6 +167,23 @@ def test_quality_score_range(tables):
     assert all(0.0 <= r["quality"] <= 1.0 for r in out)
 
 
+def test_repetition_stats_values(spark):
+    """Hand-computed repetition signals: 'a a a b' -> distinct 2/4, top
+    token 3/4, top bigram 'a a' 2/3; single-token doc -> null bigram frac."""
+    from data_cube_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x"), (3, "one two three four")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].n_tokens == 4
+    assert abs(rows[1].distinct_ratio - 0.5) < 1e-12
+    assert abs(rows[1].top_token_frac - 0.75) < 1e-12
+    assert abs(rows[1].top_bigram_frac - 2 / 3) < 1e-12
+    assert rows[2].n_tokens == 1 and rows[2].top_bigram_frac is None
+    assert rows[3].distinct_ratio == 1.0 and rows[3].top_token_frac == 0.25
+
+
 def test_shingles_short_doc_empty(spark):
     df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
     assert dedup.shingle_table(df, k=3).count() == 0

@@ -44,6 +44,16 @@ def test_key_dice_pushes_literals_to_scan(cube_cold):
     assert "l_suppkey" in pf, f"expected suppkey isin pushdown, got: {pf}"
 
 
+def test_range_dice_pushes_comparison_to_scan(cube_cold):
+    """A Range on the dimension key becomes comparison PushedFilters on the
+    FACT scan — structural pushdown, not optimizer-dependent."""
+    from data_cube_spark.selectors import Range
+
+    q = cube_cold.q(supplier=Range(lo=0, hi=5), part=Collapse(), orders=Collapse())
+    pf = pushed_filters(q.fact.df)
+    assert "GreaterThanOrEqual(l_suppkey" in pf and "LessThan(l_suppkey" in pf, pf
+
+
 def test_aggregate_prunes_fact_columns(cube_cold):
     out = cube_cold.aggregate(["supplier.r_name"]).select("r_name", "revenue")
     cols = read_schema_columns(out)
