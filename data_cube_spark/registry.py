@@ -1186,6 +1186,45 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(t["events"])
 
 
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join as driver evidence: lineitem (skewable
+    fact side) salted against orders replicated x salt, then aggregated by
+    priority. Salting never changes join semantics, so the oracle is the
+    plain join."""
+    from data_cube_spark.operators.joins import salted_join
+
+    t = load_tables(spark, sf_dir)
+    j = salted_join(
+        t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
+        t["orders"].select(F.col("o_orderkey").alias("l_orderkey"),
+                           "o_orderpriority"),
+        on="l_orderkey", salt=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.sum(_rev_expr()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 window frames: 3-month moving average of monthly order totals,
+    PARTITIONED by year (the frame resets at year boundaries, so the window
+    parallelizes across years — no single-reducer funnel)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    monthly = t["orders"].groupBy(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_m"))
+    w = (Window.partitionBy("o_year").orderBy("o_month")
+         .rowsBetween(-2, 0))
+    return monthly.select(
+        "o_year", "o_month",
+        F.col("_m").cast("double").alias("month_total"),
+        (F.sum("_m").over(w).cast("double")
+         / F.count(F.lit(1)).over(w)).alias("moving_avg_3m"),
+    )
+
+
 def q_merge_delta_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cube maintenance (S-family): build the cube on half the
     events (even event_id), merge_delta the other half, return the merged
@@ -1341,6 +1380,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_stream_cube": q_events_stream_cube,
     "merge_delta_incremental": q_merge_delta_incremental,
     "cube_store_roundtrip": q_cube_store_roundtrip,
+    "salted_join_agg": q_salted_join_agg,
+    "window_moving_avg": q_window_moving_avg,
 }
 
 
@@ -2110,6 +2151,23 @@ ORACLE: dict[str, str] = {
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
              COUNT(event_id) AS n_events
       FROM events GROUP BY 1
+    """,
+    "salted_join_agg": f"""
+      SELECT o_orderpriority, CAST({SQL_REV} AS DOUBLE) AS revenue,
+             COUNT(*) AS n_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    """,
+    "window_moving_avg": """
+      WITH monthly AS (
+        SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        FROM orders GROUP BY 1, 2)
+      SELECT o_year, o_month, CAST(m AS DOUBLE) AS month_total,
+             CAST(SUM(m) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg_3m
+      FROM monthly
+      WINDOW w AS (PARTITION BY o_year ORDER BY o_month
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
     "cube_store_roundtrip": f"""
       SELECT r_name, {_MEASURE_SQL}
