@@ -794,6 +794,176 @@ def q_tpch_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("totacctbal")))
 
 
+def _ps_catalog(t: dict[str, DataFrame]) -> DataFrame:
+    """partsupp surrogate: the driver star has no partsupp table, so the
+    (part, supplier) catalog is derived from the fact — distinct
+    (l_partkey, l_suppkey) with ``supply_cost = MIN(l_extendedprice /
+    l_quantity)``. MIN over a group is order-independent, so the double
+    matches the oracle bit-for-bit. One shuffle on the composite key;
+    at 100 TB this is the same partial-agg shape as any fact rollup."""
+    return (t["lineitem"]
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("supply_cost")))
+
+
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for STANDARD size-15 parts, the EUROPE supplier
+    with the minimum supply cost — correlated-min as a window over
+    partkey (one shuffle), equality join back on the exact double.
+    partsupp is the derived catalog (`_ps_catalog`); supplier/nation/
+    region and the filtered part list broadcast."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    ps = _ps_catalog(t)
+    parts = (t["part"]
+             .where((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+             .select("p_partkey", "p_brand"))
+    eu = (t["supplier"]
+          .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+          .where(F.col("r_name") == "EUROPE")
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    j = (ps.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+         .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey")))
+    w = Window.partitionBy("p_partkey")
+    j = j.withColumn("min_cost", F.min("supply_cost").over(w))
+    return (j.where(F.col("supply_cost") == F.col("min_cost"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                    "s_suppkey", "supply_cost")
+            .orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc(),
+                     F.col("p_partkey").asc())
+            .limit(100))
+
+
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus cost) by supplier nation and
+    order year for 'red …' parts. Driver has no ps_supplycost; cost is
+    ``p_retailprice * l_quantity`` (exact decimal, same multi-join
+    dataflow: part broadcast, orders shuffled on orderkey, supplier+
+    nation broadcast)."""
+    t = load_tables(spark, sf_dir)
+    red = (t["part"].where(F.col("p_name").startswith("red"))
+           .select("p_partkey", "p_retailprice"))
+    sn = (t["supplier"]
+          .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", F.col("n_name").alias("nation")))
+    cost = (F.col("p_retailprice").cast("decimal(18,2)")
+            * F.col("l_quantity").cast("decimal(18,2)"))
+    j = (t["lineitem"]
+         .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+         .join(t["orders"].select("o_orderkey", "o_orderdate"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey")))
+    return (j.groupBy("nation", F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(_rev_expr() - cost).cast("double").alias("sum_profit"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part catalog value for one nation's suppliers,
+    kept where it exceeds a fraction of the global total — the total is a
+    1-row broadcast cross join (scalar subquery), never a second scan
+    group-by-all. Value = supply_cost-weighted line count per part from
+    the derived catalog."""
+    t = load_tables(spark, sf_dir)
+    supp_n = (t["supplier"]
+              .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+              .where(F.col("n_name") == "NATION_7")
+              .select("s_suppkey"))
+    val = (t["lineitem"]
+           .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+           .groupBy("l_partkey")
+           .agg(F.sum(_rev_expr()).alias("value")))
+    tot = val.agg(F.sum("value").alias("total"))
+    return (val.crossJoin(F.broadcast(tot))
+            .where(F.col("value").cast("double")
+                   > F.lit(0.001) * F.col("total").cast("double"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.col("value").cast("double").alias("part_value")))
+
+
+def q_tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts by (brand, type, size)
+    over the derived catalog, excluding parts of one brand and suppliers
+    with negative balance (the complaints NOT-IN stand-in, expressed as a
+    broadcast anti join)."""
+    t = load_tables(spark, sf_dir)
+    ps = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    bad = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = (t["part"]
+             .where((F.col("p_brand") != "Brand#5")
+                    & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+             .select("p_partkey", "p_brand", "p_type", "p_size"))
+    j = (ps.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+                 "left_anti")
+         .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")))
+    return (j.groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def q_tpch_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers of 'red …' parts whose all-time shipped
+    quantity exceeds twice their 1996 quantity (availqty stand-in), for
+    one nation — nested-IN subqueries expressed as two fact rollups
+    joined on the composite key, then a semi join up to suppliers."""
+    t = load_tables(spark, sf_dir)
+    red = t["part"].where(F.col("p_name").startswith("red")).select("p_partkey")
+    q96 = (t["lineitem"]
+           .where(F.year("l_shipdate") == 1996)
+           .groupBy("l_partkey", "l_suppkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q96")))
+    qall = (t["lineitem"]
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qall")))
+    cand = (qall.join(q96, ["l_partkey", "l_suppkey"])
+            .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+            .where(F.col("qall") > F.lit(2) * F.col("q96"))
+            .select("l_suppkey"))
+    sn = (t["supplier"]
+          .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+          .where(F.col("n_name") == "NATION_4")
+          .select("s_suppkey", "s_name"))
+    return (sn.join(cand, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+            .orderBy("s_name"))
+
+
+def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers (one nation) with a returned line on a
+    finalized multi-supplier order where no OTHER supplier's line was
+    returned — EXISTS as a left-semi join with an inequality conjunct,
+    NOT EXISTS as the matching left-anti join (both shuffled hash joins
+    on orderkey, the non-equi suppkey predicate evaluated join-side).
+    Driver lineitem has no receipt/commit dates; l_returnflag='R' is the
+    lateness stand-in (as in Q4)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey")
+    late = t["lineitem"].where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey")
+    sn = (t["supplier"]
+          .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+          .where(F.col("n_name") == "NATION_2")
+          .select("s_suppkey", "s_name"))
+    fin = t["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (late
+          .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+          .join(fin, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"))
+    l2 = li.select(F.col("l_orderkey").alias("o2_orderkey"),
+                   F.col("l_suppkey").alias("o2_suppkey"))
+    l3 = late.select(F.col("l_orderkey").alias("o3_orderkey"),
+                     F.col("l_suppkey").alias("o3_suppkey"))
+    l1 = l1.join(
+        l2, (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")), "left_semi")
+    l1 = l1.join(
+        l3, (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")), "left_anti")
+    return (l1.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+            .limit(100))
+
+
 # ===========================================================================
 # Pipeline operators (north-star)
 # ===========================================================================
@@ -1341,6 +1511,12 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
     "tpch_q22_idle_balance": q_tpch_q22_idle_balance,
+    "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+    "tpch_q9_product_profit": q_tpch_q9_product_profit,
+    "tpch_q11_important_stock": q_tpch_q11_important_stock,
+    "tpch_q16_supplier_counts": q_tpch_q16_supplier_counts,
+    "tpch_q20_excess_stock": q_tpch_q20_excess_stock,
+    "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "text_token_count": q_text_token_count,
@@ -1858,6 +2034,103 @@ ORACLE: dict[str, str] = {
       WHERE c_acctbal > avg_bal
         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       GROUP BY 1
+    """,
+    "tpch_q2_min_cost_supplier": """
+      WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS supply_cost
+        FROM lineitem GROUP BY 1, 2)
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, s_suppkey,
+             supply_cost
+      FROM ps
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND p_size = 15 AND p_type = 'STANDARD'
+      QUALIFY supply_cost = MIN(supply_cost) OVER (PARTITION BY p_partkey)
+      ORDER BY s_acctbal DESC, s_suppkey, p_partkey LIMIT 100
+    """,
+    "tpch_q9_product_profit": f"""
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      - CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_profit,
+             COUNT(*) AS n_lines
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE 'red%'
+      GROUP BY 1, 2
+    """,
+    "tpch_q11_important_stock": f"""
+      WITH val AS (
+        SELECT l_partkey, {SQL_REV} AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY 1)
+      SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS part_value
+      FROM val
+      WHERE CAST(value AS DOUBLE) > 0.001 * (SELECT CAST(SUM(value) AS DOUBLE)
+                                             FROM val)
+    """,
+    "tpch_q16_supplier_counts": """
+      WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      SELECT p_brand, p_type, p_size,
+             COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM ps JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#5'
+        AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+    """,
+    "tpch_q20_excess_stock": """
+      WITH q96 AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q96
+        FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1, 2),
+      qall AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qall
+        FROM lineitem GROUP BY 1, 2)
+      SELECT s_suppkey, s_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_4'
+        AND s_suppkey IN (
+          SELECT qall.l_suppkey
+          FROM qall JOIN q96 USING (l_partkey, l_suppkey)
+          WHERE qall.l_partkey IN (SELECT p_partkey FROM part
+                                   WHERE p_name LIKE 'red%')
+            AND qall > 2 * q96)
+      ORDER BY s_name
+    """,
+    "tpch_q21_waiting_suppliers": """
+      WITH sn AS (
+        SELECT s_suppkey, s_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_2')
+      SELECT s_name, COUNT(*) AS numwait
+      FROM lineitem l1
+      JOIN sn ON l1.l_suppkey = s_suppkey
+      WHERE l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM orders
+                    WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY 1
+      ORDER BY numwait DESC, s_name LIMIT 100
     """,
     "dedup_exact": """
       SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
