@@ -1274,6 +1274,20 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scores: docs with doc_id % 97 == 0 play
+    the eval set; every other doc is scored by 3-gram shingle overlap
+    against the broadcast benchmark shingle set (flag at >= 0.5).
+    Corpus-side: one explode + per-doc count, no self-join."""
+    from data_cube_spark.operators.decontam import contamination_overlap
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return contamination_overlap(corpus, bench, k=3, threshold=0.5)
+
+
 #: source-mixture retention rates exercised by mixture_sample_docs (one
 #: full-retention source, one half, one rare, plus a default for the rest)
 MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
@@ -1546,6 +1560,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_components": q_embedding_components,
     "semantic_dedup_keep": q_semantic_dedup_keep,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "decontaminate_overlap": q_decontaminate_overlap,
     "sample_fraction_docs": q_sample_fraction_docs,
     "sample_stratified_docs": q_sample_stratified_docs,
     "mixture_sample_docs": q_mixture_sample_docs,
@@ -2368,6 +2383,27 @@ ORACLE: dict[str, str] = {
       FROM embeddings WHERE vec_id NOT IN (SELECT id FROM dropped)
     """,
     "pipeline_clean_corpus": _pipeline_sql(),
+    "decontaminate_overlap": f"""
+      WITH toks AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM toks WHERE len(t) >= 3)),
+      bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+      sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh
+             WHERE doc_id % 97 <> 0 GROUP BY 1),
+      hits AS (SELECT doc_id, COUNT(*) AS n_overlap
+               FROM sh JOIN bench USING (shingle)
+               WHERE doc_id % 97 <> 0 GROUP BY 1)
+      SELECT sz.doc_id, n_shingles,
+             COALESCE(n_overlap, 0) AS n_overlap,
+             CAST(COALESCE(n_overlap, 0) AS DOUBLE) / n_shingles
+               AS contamination_frac,
+             CAST(CAST(COALESCE(n_overlap, 0) AS DOUBLE) / n_shingles >= 0.5
+                  AS INT) AS contaminated
+      FROM sz LEFT JOIN hits USING (doc_id)
+    """,
     "sample_fraction_docs": f"""
       SELECT doc_id, lang, source FROM documents
       WHERE md5(CAST(doc_id AS VARCHAR)) < '{_hex_threshold(0.25)}'

@@ -443,3 +443,52 @@ def test_sketch_aggregates_track_exact(spark, tables):
         ap50, an = approx[et]
         assert abs(ap50 - p50) <= max(1.0, 0.02 * abs(p50))
         assert abs(an - n) <= max(2, 0.05 * n)
+
+
+# -- decontamination --------------------------------------------------------
+
+def _decontam_corpus(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over something else entirely now"),
+         (3, "completely unrelated vocabulary with zero shared trigrams here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    return corpus, bench
+
+
+def test_contamination_overlap_scores(spark):
+    from data_cube_spark.operators.decontam import contamination_overlap
+
+    corpus, bench = _decontam_corpus(spark)
+    rows = {r["doc_id"]: r for r in
+            contamination_overlap(corpus, bench, k=3).collect()}
+    assert rows[1]["contamination_frac"] == 1.0 and rows[1]["contaminated"] == 1
+    assert 0.0 < rows[2]["contamination_frac"] < 1.0  # shares a prefix
+    assert rows[3]["n_overlap"] == 0 and rows[3]["contaminated"] == 0
+
+
+def test_decontaminate_removes_flagged(spark):
+    from data_cube_spark.operators.decontam import decontaminate
+
+    corpus, bench = _decontam_corpus(spark)
+    # doc 2 shares exactly 4/8 trigrams => flagged at 0.5, kept at 0.6
+    kept = sorted(r["doc_id"] for r in
+                  decontaminate(corpus, bench, k=3, threshold=0.6).collect())
+    assert kept == [2, 3]
+    kept_strict = sorted(r["doc_id"] for r in
+                         decontaminate(corpus, bench, k=3, threshold=0.5).collect())
+    assert kept_strict == [3]
+
+
+def test_decontaminate_short_docs_unscored_but_kept(spark):
+    """Docs with < k tokens have no shingles: never flagged, never dropped."""
+    from data_cube_spark.operators.decontam import (contamination_overlap,
+                                                    decontaminate)
+
+    corpus = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "too short")], "doc_id long, text string")
+    assert contamination_overlap(corpus, bench, k=3).count() == 0
+    assert decontaminate(corpus, bench, k=3).count() == 1
