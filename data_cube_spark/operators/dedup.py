@@ -176,6 +176,63 @@ def ngram_jaccard_pairs(
     return out
 
 
+# -- paragraph-level exact dedup --------------------------------------------
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep_pattern: str = r"\n+",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup (the Lee-et-al 'Deduplicating Training
+    Data' sub-document pass): each distinct paragraph survives only at its
+    globally FIRST occurrence — min (doc_id, position) — and every document
+    reassembles its surviving paragraphs in original order. Repeated
+    boilerplate (footers, license blocks, navigation chrome) collapses to
+    one copy corpus-wide; documents left with zero surviving paragraphs
+    are dropped.
+
+    Returns (id, n_paras, n_kept, text) — original paragraph count, kept
+    count, reassembled text.
+
+    Scale: explode -> first-occurrence agg shuffles only (8-byte
+    paragraph hash, min-struct with map-side partial agg) -> hash join
+    back -> one doc_id shuffle for ordered reassembly. The paragraph
+    strings shuffle once (reassembly); the dedup decision never moves
+    them.
+    """
+    paras = (
+        df.select(F.col(id_col),
+                  F.posexplode(F.split(F.col(text_col), sep_pattern))
+                  .alias("idx", "para"))
+        .where(F.col("para") != "")
+    )
+    first = (
+        paras.select(F.xxhash64("para").alias("_ph"),
+                     F.struct(id_col, "idx").alias("_pos"))
+        .groupBy("_ph").agg(F.min("_pos").alias("_keep"))
+    )
+    kept = (
+        paras.withColumn("_ph", F.xxhash64("para"))
+        .join(first, "_ph")
+        .where((F.col(f"_keep.{id_col}") == F.col(id_col))
+               & (F.col("_keep.idx") == F.col("idx")))
+    )
+    sizes = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.concat_ws(
+                 join_sep,
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                     lambda s: s["para"])).alias(text_col))
+    )
+    return sizes.join(rebuilt, id_col)
+
+
 # -- MinHash + LSH ----------------------------------------------------------
 
 def minhash_signatures(

@@ -1288,6 +1288,77 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_overlap(corpus, bench, k=3, threshold=0.5)
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup: every doc gets the same
+    synthesized boilerplate footer paragraph appended; the operator must
+    keep the footer only at its first global occurrence (min doc_id) and
+    strip it everywhere else — the boilerplate-removal use case."""
+    t = load_tables(spark, sf_dir)
+    aug = t["documents"].select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"),
+                    F.lit("subscribe to our newsletter for updates"))
+        .alias("text"))
+    return dedup.paragraph_dedup(aug)
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministic synthesized contact
+    info appended (the driver corpus is PII-free by construction, so the
+    query plants one of each kind per doc — counts verify detection, the
+    redacted-text md5 verifies the exact rewrite). Pure codegen
+    expressions, zero shuffles."""
+    from data_cube_spark.operators import pii
+
+    t = load_tables(spark, sf_dir)
+    aug = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 call +1 555-123-4567"),
+        ).alias("text"))
+    s = pii.pii_stats(aug)
+    return s.select(
+        "doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone",
+        F.length("redacted").alias("redacted_len"),
+        F.md5(F.encode(F.col("redacted"), "UTF-8")).alias("redacted_md5"))
+
+
+def _pii_sql() -> str:
+    """Oracle twin of q_pii_redaction, generated from the same
+    PII_PATTERNS cascade (DuckDB regexp_replace needs the explicit 'g'
+    flag; Spark's replaces all occurrences by default)."""
+    from data_cube_spark.operators.pii import PII_PATTERNS
+
+    sql = """
+      WITH c0 AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com ip 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR)
+                    || '.7 ssn 123-45-6789 call +1 555-123-4567' AS t
+        FROM documents)"""
+    prev, acc = "c0", []
+    for i, (kind, (pat, token)) in enumerate(PII_PATTERNS.items(), 1):
+        carried = "".join(f"{c}, " for c in acc)
+        sql += f""",
+      c{i} AS (
+        SELECT doc_id, {carried}
+               len(regexp_extract_all(t, '{pat}')) AS n_{kind},
+               regexp_replace(t, '{pat}', '{token}', 'g') AS t
+        FROM {prev})"""
+        prev = f"c{i}"
+        acc.append(f"n_{kind}")
+    kinds = ", ".join(f"n_{k}" for k in PII_PATTERNS)
+    return sql + f"""
+      SELECT doc_id, {kinds}, length(t) AS redacted_len,
+             md5(t) AS redacted_md5
+      FROM {prev}"""
+
+
 #: source-mixture retention rates exercised by mixture_sample_docs (one
 #: full-retention source, one half, one rare, plus a default for the rest)
 MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
@@ -1561,6 +1632,8 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_dedup_keep": q_semantic_dedup_keep,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "decontaminate_overlap": q_decontaminate_overlap,
+    "pii_redaction": q_pii_redaction,
+    "paragraph_dedup": q_paragraph_dedup,
     "sample_fraction_docs": q_sample_fraction_docs,
     "sample_stratified_docs": q_sample_stratified_docs,
     "mixture_sample_docs": q_mixture_sample_docs,
@@ -2383,6 +2456,32 @@ ORACLE: dict[str, str] = {
       FROM embeddings WHERE vec_id NOT IN (SELECT id FROM dropped)
     """,
     "pipeline_clean_corpus": _pipeline_sql(),
+    "pii_redaction": _pii_sql(),
+    "paragraph_dedup": r"""
+      WITH aug AS (
+        SELECT doc_id,
+               text || chr(10) || 'subscribe to our newsletter for updates'
+                 AS text
+        FROM documents),
+      sp AS (SELECT doc_id, string_split_regex(text, '\n+') AS p FROM aug),
+      paras AS (
+        SELECT doc_id, i - 1 AS idx, p[i] AS para
+        FROM (SELECT doc_id, p, unnest(generate_series(1, len(p))) AS i
+              FROM sp)
+        WHERE p[i] <> ''),
+      ranked AS (
+        SELECT doc_id, idx, para,
+               ROW_NUMBER() OVER (PARTITION BY para
+                                  ORDER BY doc_id, idx) AS rn
+        FROM paras),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY 1),
+      kept AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(para, chr(10) ORDER BY idx) AS text
+        FROM ranked WHERE rn = 1 GROUP BY doc_id)
+      SELECT doc_id, n_paras, n_kept, text
+      FROM sizes JOIN kept USING (doc_id)
+    """,
     "decontaminate_overlap": f"""
       WITH toks AS (
         SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),

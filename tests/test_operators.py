@@ -492,3 +492,56 @@ def test_decontaminate_short_docs_unscored_but_kept(spark):
     bench = spark.createDataFrame([(9, "too short")], "doc_id long, text string")
     assert contamination_overlap(corpus, bench, k=3).count() == 0
     assert decontaminate(corpus, bench, k=3).count() == 1
+
+
+# -- PII redaction ----------------------------------------------------------
+
+def test_pii_stats_counts_and_redacts(spark):
+    from data_cube_spark.operators.pii import pii_stats
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com and c.d+x@e.org, ip 10.0.0.1, ssn 123-45-6789, "
+             "call +1 555-123-4567 end"),
+         (2, "nothing sensitive here")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in pii_stats(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_ssn"], r1["n_phone"]) == (2, 1, 1, 1)
+    assert r1["redacted"] == ("mail <EMAIL> and <EMAIL>, ip <IPV4>, "
+                              "ssn <SSN>, call <PHONE> end")
+    r2 = rows[2]
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_ssn"], r2["n_phone"]) == (0, 0, 0, 0)
+    assert r2["redacted"] == "nothing sensitive here"
+
+
+def test_pii_cascade_attributes_ssn_not_phone(spark):
+    """An SSN span is phone-shaped too; the cascade must claim it as SSN
+    only (counts computed on progressively redacted text)."""
+    from data_cube_spark.operators.pii import pii_stats
+
+    df = spark.createDataFrame([(1, "id 987-65-4321 only")],
+                               "doc_id long, text string")
+    r = pii_stats(df).collect()[0]
+    assert r["n_ssn"] == 1 and r["n_phone"] == 0
+    assert r["redacted"] == "id <SSN> only"
+
+
+# -- paragraph-level dedup --------------------------------------------------
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    rows = [(1, "alpha body one\nshared footer"),
+            (2, "beta body two\nshared footer"),
+            (3, "shared footer")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(df).collect()}
+    assert out[1]["text"] == "alpha body one\nshared footer"
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["text"] == "beta body two"
+    assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+    assert 3 not in out  # fully redundant doc is dropped
+
+
+def test_paragraph_dedup_within_doc_repeats(spark):
+    df = spark.createDataFrame([(7, "x\ny\nx\nz")], "doc_id long, text string")
+    r = dedup.paragraph_dedup(df).collect()[0]
+    assert r["text"] == "x\ny\nz" and r["n_paras"] == 4 and r["n_kept"] == 3
