@@ -353,12 +353,53 @@ def minhash_dedup_pairs(
 
 # -- candidate-graph clustering ---------------------------------------------
 
+#: edge count at or below which components are solved on the driver with
+#: union-find (path compression + min-root union): one collect + O(E α)
+#: beats ~log(diameter) distributed rounds of join+groupBy+checkpoint,
+#: each of which costs a full job of task overhead on a tiny graph.
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Union-find on a collected edge list. Min-root union (the larger
+    root is parented under the smaller) makes every tree root the minimum
+    node id of its component — identical labels to the distributed
+    min-label fixpoint. Returns a LocalRelation, so downstream joins
+    against it re-evaluate for free."""
+    spark = edges.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes: set = set()
+    for r in edges.collect():
+        a, b = r[0], r[1]
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(n, find(n)) for n in sorted(nodes)]
+    schema = "id bigint, component bigint"
+    if not out:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 20,
     check_every: int = 2,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components of the candidate-pair graph by iterative
     min-label propagation: every node repeatedly takes the minimum label
@@ -372,6 +413,11 @@ def connected_components(
     near-dup edge appear). Converges in graph-diameter iterations;
     ``check_every`` controls how often the (action-costing) convergence
     check runs. Output: (node id, component) for every node with an edge.
+
+    Graphs of at most ``driver_max_edges`` (default
+    :data:`DRIVER_CC_MAX_EDGES`; pass 0 to force the distributed loop)
+    are solved driver-side by union-find — the same size-gated escape
+    hatch as the near-pair driver tier.
     """
     # materialize the edge list BEFORE symmetrizing: the union references
     # `edges` twice, so an unmaterialized (possibly expensive) upstream
@@ -379,6 +425,9 @@ def connected_components(
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).localCheckpoint()
+    gate = DRIVER_CC_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    if edges.count() <= gate:
+        return _driver_components(edges)
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).dropDuplicates().localCheckpoint()

@@ -372,6 +372,53 @@ def blocked_near_pairs(
     return v.mapInPandas(gen, "id_a bigint, id_b bigint, cosine double")
 
 
+#: below this row count the whole pair computation runs on the driver:
+#: one numpy matmul beats a distributed job's fixed overhead by ~10x, and
+#: the LocalRelation result makes downstream re-evaluation (components
+#: loop, anti joins) free. 8192^2 similarities blocked to ~16 MB peak.
+DRIVER_PAIRS_MAX_ROWS = 8192
+
+
+def driver_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block: int = 1024,
+) -> DataFrame:
+    """Tiny-corpus exact near-pairs, computed driver-side: collect the
+    normalized matrix (same size-gated collect contract as
+    :func:`blocked_near_pairs` — the caller has proven it broadcast-sized)
+    and scan blocked matmul rows on the driver. Returns a LocalRelation:
+    no Python workers, no broadcast, and every downstream re-evaluation
+    of the pair set costs nothing — which matters because the components
+    loop and the keep-representatives anti join both consume it."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    v = with_norm(df, vec_col).select(F.col(id_col), "_vec", "_norm")
+    pdf = v.toPandas()
+    schema = "id_a bigint, id_b bigint, cosine double"
+    if not len(pdf):
+        return spark.createDataFrame([], schema)
+    order = np.argsort(pdf[id_col].to_numpy())
+    ids = pdf[id_col].to_numpy()[order].astype("int64")
+    M = np.stack(pdf["_vec"].to_numpy()[order]).astype("float64")
+    M /= np.maximum(pdf["_norm"].to_numpy()[order], 1e-300)[:, None]
+    out = []
+    for i0 in range(0, len(ids), block):
+        S = M[i0:i0 + block] @ M.T
+        hit = (S >= threshold) & (ids[i0:i0 + block, None] < ids[None, :])
+        r, c = np.nonzero(hit)
+        if len(r):
+            out.append(pd.DataFrame({
+                "id_a": ids[i0 + r], "id_b": ids[c], "cosine": S[r, c]}))
+    if not out:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(pd.concat(out, ignore_index=True), schema)
+
+
 def near_pairs(
     df: DataFrame,
     threshold: float,
@@ -385,14 +432,18 @@ def near_pairs(
     point for near-dup candidate generation, gated exactly like dimension
     broadcasts:
 
+    - corpus below :data:`DRIVER_PAIRS_MAX_ROWS` → :func:`driver_near_pairs`
+      (exact, one driver matmul, LocalRelation result);
     - corpus within the broadcast gate → :func:`blocked_near_pairs`
       (exact, join-free, shuffle-free matmul blocks);
     - larger → :func:`lsh_near_pairs` (bucketed equi-join candidates,
       occupancy-guarded planes, approximate).
 
-    Neither tier ever plans a crossJoin/CartesianProduct."""
+    No tier ever plans a crossJoin/CartesianProduct."""
     from data_cube_spark.model import BROADCAST_MAX_ROWS
 
+    if corpus_rows is not None and corpus_rows <= DRIVER_PAIRS_MAX_ROWS:
+        return driver_near_pairs(df, threshold, id_col=id_col, vec_col=vec_col)
     small = (
         corpus_rows is not None
         and corpus_rows <= BROADCAST_MAX_ROWS

@@ -391,14 +391,16 @@ def test_frame_sample_plan_shape(spark, tables):
         "media_type", F.lit("image")), every_n=30).count() == 0
 
 
-def test_connected_components_known_graph(spark):
+@pytest.mark.parametrize("gate", [None, 0], ids=["driver", "distributed"])
+def test_connected_components_known_graph(spark, gate):
     from data_cube_spark.operators.dedup import connected_components
 
     # components: {1,2,3,4} (chain), {10,11}, isolated nodes absent
     pairs = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
     )
-    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    comp = {r.id: r.component
+            for r in connected_components(pairs, driver_max_edges=gate).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
@@ -413,15 +415,18 @@ def test_dedup_clusters_keeps_min_id_representative(spark):
     assert kept == [0, 1, 2, 4]  # 3 and 5 fold into representative 0
 
 
-def test_connected_components_long_chain(spark):
+@pytest.mark.parametrize("gate", [None, 0], ids=["driver", "distributed"])
+def test_connected_components_long_chain(spark, gate):
     """A diameter-40 chain converges well within max_iter thanks to
-    pointer jumping (plain propagation would need 40 rounds)."""
+    pointer jumping (plain propagation would need 40 rounds); the
+    driver union-find tier must label it identically."""
     from data_cube_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a bigint, id_b bigint"
     )
-    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    comp = {r.id: r.component
+            for r in connected_components(pairs, driver_max_edges=gate).collect()}
     assert set(comp.values()) == {0}
     assert len(comp) == 41
 
@@ -545,3 +550,14 @@ def test_paragraph_dedup_within_doc_repeats(spark):
     df = spark.createDataFrame([(7, "x\ny\nx\nz")], "doc_id long, text string")
     r = dedup.paragraph_dedup(df).collect()[0]
     assert r["text"] == "x\ny\nz" and r["n_paras"] == 4 and r["n_kept"] == 3
+
+
+def test_driver_near_pairs_equals_exact(tables):
+    emb = tables["embeddings"]
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in similarity.cosine_near_pairs(emb, 0.35).collect()}
+    driver = {(r["id_a"], r["id_b"]): r["cosine"]
+              for r in similarity.driver_near_pairs(emb, 0.35).collect()}
+    assert set(driver) == set(exact)
+    for k in exact:
+        assert abs(driver[k] - exact[k]) < 1e-9
