@@ -1,0 +1,137 @@
+"""Corpus-curation operators: per-group caps, percentile filters, document
+chunking, vocabulary extraction.
+
+Greenfield (no reference analog — the reference is a batch OLAP engine);
+these are the standard curation passes of a large-scale training-data
+pipeline, built from the same deterministic-draw primitives as
+``operators/sampling.py`` so every selection is reproducible across engines
+and cluster runs.
+
+Scale notes
+-----------
+- ``cap_per_group`` / ``percentile_filter`` are one shuffle on the group
+  key each (window functions); no global windows anywhere.
+- ``chunk_texts`` is a per-row explode — linear output, no shuffle.
+- ``token_vocab`` is explode + hash aggregate; the post-aggregation
+  vocabulary is many orders of magnitude smaller than the corpus, and the
+  final top-N runs as TakeOrderedAndProject (per-partition partial top-N,
+  then a single small merge — never a full global sort of the corpus).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_cube_spark.operators.sampling import draw_hex
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    order: list[Column] | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group — the per-domain/source cap that
+    stops a single crawl host from dominating a corpus.
+
+    ``order`` decides WHICH rows survive (e.g. quality score descending to
+    keep the best); default is the deterministic md5 draw, i.e. a uniform
+    random cap that is reproducible across engines. One shuffle on
+    ``group_cols``; Spark applies per-partition partial top-k before the
+    exchange when ``n`` is small."""
+    if order is None:
+        order = [draw_hex(F.concat_ws("\x1f", *df.columns))]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= n)
+        .drop("_r")
+    )
+
+
+def percentile_filter(
+    df: DataFrame,
+    score_col: str,
+    group_cols: list[str],
+    keep_frac: float,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of rows by ``score_col`` within each
+    group (e.g. top 70% quality per language) via ``percent_rank`` over
+    (score DESC, tiebreak ASC).
+
+    The tiebreak column (default: first group-external column) makes the
+    ordering total, so the percentile cut is deterministic and matches any
+    engine computing the same window. One shuffle on ``group_cols``."""
+    tb = tiebreak or df.columns[0]
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), F.col(tb).asc()
+    )
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .where(F.col("_pr") <= keep_frac)
+        .drop("_pr")
+    )
+
+
+def chunk_texts(
+    df: DataFrame,
+    chunk_chars: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with
+    ``overlap`` characters of context carried between consecutive chunks
+    (training-sequence preparation).
+
+    Chunk ``i`` covers ``[i*stride, i*stride + chunk_chars)`` with
+    ``stride = chunk_chars - overlap``; the last chunk is the first one
+    reaching the end of the text, so short documents yield exactly one
+    chunk. Pure per-row explode — linear work, no shuffle, survives
+    column pruning (only ``id_col``/``text_col`` are read)."""
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError("require 0 <= overlap < chunk_chars")
+    stride = chunk_chars - overlap
+    n = F.length(F.col(text_col))
+    n_chunks = F.when(n <= chunk_chars, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_chars)) / F.lit(stride)) + 1
+    )
+    return (
+        df.withColumn(
+            "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1))
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.col(text_col)
+            .substr(F.col("chunk_id") * stride + 1, F.lit(chunk_chars))
+            .alias("chunk_text"),
+        )
+        .withColumn("n_chunk_chars", F.length("chunk_text").cast("bigint"))
+    )
+
+
+def token_vocab(
+    df: DataFrame,
+    top_n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_n`` whitespace tokens by total
+    occurrence count, with document frequency alongside (the input to
+    stopword lists, df-caps, and tf-idf weights).
+
+    Explode + one hash aggregate on token (map-side partial counts), then
+    a deterministic top-N (count DESC, token ASC — ties at the cutoff are
+    stable). The aggregated vocabulary is tiny relative to the corpus, and
+    the ordered limit runs as TakeOrderedAndProject, not a global sort."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    return counts.orderBy(F.col("n_total").desc(), F.col("token").asc()).limit(top_n)

@@ -95,3 +95,54 @@ def mixture_sample(
         thr = F.when(F.col(source_col) == src,
                      F.lit(hex_threshold(wgt))).otherwise(thr)
     return df.where(draw_hex(key, salt) < thr)
+
+
+def assign_split(
+    df: DataFrame,
+    splits: Mapping[str, float],
+    key: str = "doc_id",
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: partition the md5 draw's
+    [0,1) range into one interval per split (insertion order of
+    ``splits``, fractions must sum to <= 1; any remainder falls into the
+    LAST split). A pure per-row CASE over the draw — no shuffle, no
+    join, stable under reruns and engine changes, and a document never
+    migrates between splits when the corpus grows (the draw depends only
+    on the row key)."""
+    fracs = list(splits.items())
+    if not fracs:
+        raise ValueError("splits must be non-empty")
+    expr = F.lit(fracs[-1][0])  # remainder → last split
+    acc = 0.0
+    draw = draw_hex(key, salt)
+    conds = []
+    for name, frac in fracs[:-1]:
+        acc += float(frac)
+        conds.append((name, hex_threshold(acc)))
+    for name, thr in reversed(conds):
+        expr = F.when(draw < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def shuffle_positions(
+    df: DataFrame,
+    key: str = "doc_id",
+    salt: str = "shuffle",
+    pos_col: str = "position",
+) -> DataFrame:
+    """Global deterministic shuffle order for training: assign each row a
+    dense position 1..N ordered by its md5 draw — a reproducible uniform
+    permutation of the corpus.
+
+    Distributed two-stage ranking (``functions.add_surrogate_key`` over
+    the draw): range-partition on the draw, rank per partition, add
+    collected per-partition offsets — never a single-reducer global
+    window. The draw of a unique key is collision-free at corpus scale
+    (128-bit), so positions are dense and unique."""
+    from data_cube_spark.functions import add_surrogate_key
+
+    with_draw = df.withColumn("_draw", draw_hex(key, salt))
+    out = add_surrogate_key(with_draw, ["_draw"], pos_col)
+    return out.drop("_draw")

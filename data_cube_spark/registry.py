@@ -1395,6 +1395,77 @@ def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (keep a deterministic uniform 15 per
+    source): window row_number over the md5 draw, one shuffle on source
+    (operators/curation.py)."""
+    from data_cube_spark.operators.curation import cap_per_group
+    from data_cube_spark.operators.sampling import draw_hex
+
+    t = load_tables(spark, sf_dir)
+    out = cap_per_group(
+        t["documents"], ["source"], 15, order=[draw_hex("doc_id", salt="cap")]
+    )
+    return out.select("doc_id", "source")
+
+
+def q_quality_percentile_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the longest 60% of documents per language: percent_rank window
+    over (n_chars DESC, doc_id) — the percentile-cut curation pass
+    (operators/curation.py)."""
+    from data_cube_spark.operators.curation import percentile_filter
+
+    t = load_tables(spark, sf_dir)
+    out = percentile_filter(
+        t["documents"], "n_chars", ["lang"], 0.6, tiebreak="doc_id"
+    )
+    return out.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size character chunking with overlap (200-char chunks,
+    50-char overlap): per-row explode, no shuffle
+    (operators/curation.py)."""
+    from data_cube_spark.operators.curation import chunk_texts
+
+    t = load_tables(spark, sf_dir)
+    return chunk_texts(t["documents"], chunk_chars=200, overlap=50)
+
+
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 whitespace tokens by occurrence with
+    document frequency — explode + hash aggregate + TakeOrdered top-N
+    (operators/curation.py)."""
+    from data_cube_spark.operators.curation import token_vocab
+
+    t = load_tables(spark, sf_dir)
+    return token_vocab(t["documents"], 20)
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment from the salted md5
+    draw — pure per-row CASE, no shuffle; a document never migrates when
+    the corpus grows (operators/sampling.py)."""
+    from data_cube_spark.operators.sampling import assign_split
+
+    t = load_tables(spark, sf_dir)
+    out = assign_split(
+        t["documents"], {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.select("doc_id", "split")
+
+
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle for training order: dense position by
+    salted md5 draw via two-stage distributed ranking — no single-reducer
+    window (operators/sampling.py)."""
+    from data_cube_spark.operators.sampling import shuffle_positions
+
+    t = load_tables(spark, sf_dir)
+    out = shuffle_positions(t["documents"])
+    return out.select("doc_id", F.col("position").cast("bigint").alias("position"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: shard by md5, cumulative token
     offsets per shard, sequence = offset // capacity
@@ -1637,6 +1708,12 @@ QUERIES: dict[str, QueryFn] = {
     "sample_fraction_docs": q_sample_fraction_docs,
     "sample_stratified_docs": q_sample_stratified_docs,
     "mixture_sample_docs": q_mixture_sample_docs,
+    "domain_cap": q_domain_cap,
+    "quality_percentile_keep": q_quality_percentile_keep,
+    "chunk_documents": q_chunk_documents,
+    "token_vocab": q_token_vocab,
+    "split_assign": q_split_assign,
+    "shuffle_order": q_shuffle_order,
     "pack_sequences": q_pack_sequences,
     "pack_greedy": q_pack_greedy,
     "events_hourly": q_events_hourly,
@@ -2524,6 +2601,65 @@ ORACLE: dict[str, str] = {
           WHEN 'src2' THEN '{_hex_threshold(0.1)}'
           ELSE '{_hex_threshold(0.05)}'
         END
+    """,
+    "domain_cap": """
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY md5('cap' || CAST(doc_id AS VARCHAR))) AS r
+        FROM documents) WHERE r <= 15
+    """,
+    "quality_percentile_keep": """
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               PERCENT_RANK() OVER (
+                 PARTITION BY lang
+                 ORDER BY n_chars DESC, doc_id) AS pr
+        FROM documents) WHERE pr <= 0.6
+    """,
+    "chunk_documents": """
+      WITH d AS (
+        SELECT doc_id, text,
+               CASE WHEN length(text) <= 200 THEN 1
+                    ELSE CAST(CEIL((length(text) - 200) / 150.0) AS BIGINT) + 1
+               END AS n_chunks
+        FROM documents),
+      u AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        FROM d)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             substr(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk_text,
+             CAST(length(substr(text, CAST(chunk_id * 150 + 1 AS INT), 200))
+                  AS BIGINT) AS n_chunk_chars
+      FROM u
+    """,
+    "token_vocab": r"""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(TRIM(text), '\s+')) AS token
+        FROM documents)
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM tok WHERE token <> ''
+      GROUP BY token ORDER BY n_total DESC, token LIMIT 20
+    """,
+    "split_assign": f"""
+      SELECT doc_id,
+             CASE WHEN md5('split' || CAST(doc_id AS VARCHAR))
+                    < '{_hex_threshold(0.9)}' THEN 'train'
+                  WHEN md5('split' || CAST(doc_id AS VARCHAR))
+                    < '{_hex_threshold(0.95)}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    """,
+    "shuffle_order": """
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('shuffle' || CAST(doc_id AS VARCHAR)))
+               AS BIGINT) AS position
+      FROM documents
     """,
     "pack_sequences": r"""
       WITH d AS (

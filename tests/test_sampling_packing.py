@@ -117,3 +117,114 @@ def test_packing_stats_fill_rate(toks):
     assert stats
     for r in stats:
         assert 0 < r["fill_rate"] <= 1.01
+
+
+# -- curation operators ------------------------------------------------------
+
+def test_cap_per_group_binds_and_is_deterministic(tables):
+    from data_cube_spark.operators.curation import cap_per_group
+    from data_cube_spark.operators.sampling import draw_hex
+
+    docs = tables["documents"]
+    out = cap_per_group(docs, ["source"], 5,
+                        order=[draw_hex("doc_id", salt="cap")])
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 5 for n in per.values())
+    again = cap_per_group(docs, ["source"], 5,
+                          order=[draw_hex("doc_id", salt="cap")])
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+
+
+def test_percentile_filter_keeps_top_fraction(spark):
+    from data_cube_spark.operators.curation import percentile_filter
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(11)], "id long, g string, s double"
+    )
+    kept = sorted(r["id"] for r in
+                  percentile_filter(df, "s", ["g"], 0.5, tiebreak="id").collect())
+    # percent_rank over s DESC: ids 10..5 have pr 0.0..0.5
+    assert kept == [5, 6, 7, 8, 9, 10]
+
+
+def test_percentile_filter_single_row_group_kept(spark):
+    from data_cube_spark.operators.curation import percentile_filter
+
+    df = spark.createDataFrame([(1, "solo", 0.0)], "id long, g string, s double")
+    assert percentile_filter(df, "s", ["g"], 0.0, tiebreak="id").count() == 1
+
+
+def test_chunk_texts_covers_text_exactly(spark):
+    from data_cube_spark.operators.curation import chunk_texts
+
+    text = "abcdefghij" * 10  # 100 chars
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(chunk_texts(df, 30, overlap=10).collect(),
+                  key=lambda r: r["chunk_id"])
+    # stride 20; n_chunks = ceil((100-30)/20)+1 = 5
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3, 4]
+    for r in rows:
+        start = r["chunk_id"] * 20
+        assert r["chunk_text"] == text[start:start + 30]
+    # reconstruction: strip the 10-char overlap from every chunk after the first
+    rebuilt = rows[0]["chunk_text"] + "".join(
+        r["chunk_text"][10:] for r in rows[1:])
+    assert rebuilt == text
+
+
+def test_chunk_texts_short_doc_single_chunk(spark):
+    from data_cube_spark.operators.curation import chunk_texts
+
+    df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    rows = chunk_texts(df, 200, overlap=50).collect()
+    assert len(rows) == 1 and rows[0]["chunk_text"] == "tiny"
+    with pytest.raises(ValueError):
+        chunk_texts(df, 100, overlap=100)
+
+
+def test_token_vocab_counts(spark):
+    from data_cube_spark.operators.curation import token_vocab
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c  b"), (3, " a ")],
+        "doc_id long, text string",
+    )
+    rows = {r["token"]: (r["n_total"], r["n_docs"])
+            for r in token_vocab(df, 10).collect()}
+    assert rows == {"a": (3, 2), "b": (3, 2), "c": (1, 1)}
+    top = token_vocab(df, 1).collect()
+    assert len(top) == 1 and top[0]["token"] == "a"  # tie broken by token asc
+
+
+def test_assign_split_partitions_everything(tables):
+    from data_cube_spark.operators.sampling import assign_split
+
+    docs = tables["documents"]
+    out = assign_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0) + counts.get("test", 0)
+    # stability: a subset of the corpus gets identical assignments
+    sub = assign_split(docs.where(F.col("doc_id") < 100),
+                       {"train": 0.9, "val": 0.05, "test": 0.05})
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_shuffle_positions_dense_permutation(tables):
+    from data_cube_spark.operators.sampling import shuffle_positions
+
+    docs = tables["documents"].limit(200)
+    out = shuffle_positions(docs)
+    pos = sorted(r["position"] for r in out.collect())
+    assert pos == list(range(1, 201))
+    # deterministic across invocations
+    again = {r["doc_id"]: r["position"]
+             for r in shuffle_positions(docs).collect()}
+    first = {r["doc_id"]: r["position"] for r in out.collect()}
+    assert first == again
