@@ -43,6 +43,16 @@ BENCH_QUERIES = [
     "pipeline_clean_corpus",
     "mixture_sample_docs",
     "pack_sequences",
+    "domain_cap",
+    "quality_percentile_keep",
+    "chunk_documents",
+    "token_vocab",
+    "split_assign",
+    "shuffle_order",
+    "decontaminate_overlap",
+    "pii_redaction",
+    "paragraph_dedup",
+    "embedding_components",
     "events_hourly",
     "events_sessionize",
     "asof_last_error",
