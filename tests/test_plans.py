@@ -221,3 +221,43 @@ def test_bucketed_join_has_zero_exchanges(spark, tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+
+def test_chunk_documents_no_exchange(spark):
+    """Chunking is a pure per-row explode: zero shuffles, and only the
+    two needed columns are read from the scan."""
+    from data_cube_spark import registry
+
+    df = registry.QUERIES["chunk_documents"](spark, "/root/testdata/sf0.001")
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
+    cols = read_schema_columns(df)
+    assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_split_assign_no_exchange(spark):
+    """Split assignment is a per-row CASE on the md5 draw — no shuffle."""
+    from data_cube_spark import registry
+
+    df = registry.QUERIES["split_assign"](spark, "/root/testdata/sf0.001")
+    assert count_exchanges(df) == 0, explain_str(df, "simple")
+
+
+def test_domain_cap_single_group_shuffle(spark):
+    """The per-source cap shuffles once on the group key (hash exchange
+    for the window), nothing else."""
+    from data_cube_spark import registry
+
+    df = registry.QUERIES["domain_cap"](spark, "/root/testdata/sf0.001")
+    assert count_exchanges(df) == 1, explain_str(df, "simple")
+
+
+def test_shuffle_order_uses_range_partitioning(spark):
+    """Global shuffle positions come from two-stage ranking: the plan
+    range-partitions on the draw — never a single-partition global
+    window (which would appear as an Exchange SinglePartition)."""
+    from data_cube_spark import registry
+
+    df = registry.QUERIES["shuffle_order"](spark, "/root/testdata/sf0.001")
+    plan = explain_str(df, "simple")
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "SinglePartition" not in plan, plan
