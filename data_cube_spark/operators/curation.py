@@ -135,3 +135,55 @@ def token_vocab(
         F.countDistinct(id_col).alias("n_docs"),
     )
     return counts.orderBy(F.col("n_total").desc(), F.col("token").asc()).limit(top_n)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Top-``top_k`` characteristic terms per document by smoothed tf-idf
+    (``tf * (ln((N+1)/(df+1)) + 1)``, the sklearn-style smoothing that
+    keeps corpus-universal terms finite) — document keywording for
+    clustering, routing, and quality triage.
+
+    Shuffle budget: one hash aggregate on (doc, token) for tf, one on
+    token for document frequency, a join on token to attach idf (vocab is
+    post-aggregation — orders of magnitude smaller than the corpus; AQE
+    picks broadcast when it fits), a broadcast 1-row corpus count, and
+    one per-doc window for the top-k. Ties break on token ASC, so the
+    cut is deterministic.
+
+    ``round_digits`` rounds the score BEFORE ranking: ``ln`` is a
+    transcendental whose last ulp may differ between libm
+    implementations, so cross-engine-reproducible ranking (e.g. vs a
+    DuckDB oracle) needs the ordering key quantized — at 9 digits the
+    quantization (1e-9 absolute) is far above ulp noise and far below
+    any real score gap."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct(id_col).alias("df_t"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_corpus"))
+    score = (
+        F.col("tf")
+        * (F.log((F.col("n_corpus") + 1) / (F.col("df_t") + 1)) + 1)
+    ).cast("double")
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(id_col, "token", "tf", score.alias("tfidf"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("term_rank") <= top_k)
+    )

@@ -1466,6 +1466,50 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("position").cast("bigint").alias("position"))
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed tf-idf: tf and
+    document-frequency hash aggregates, vocab-sized idf join, broadcast
+    1-row corpus count, per-doc top-k window (operators/curation.py)."""
+    from data_cube_spark.operators.curation import tfidf_top_terms
+
+    t = load_tables(spark, sf_dir)
+    return tfidf_top_terms(t["documents"], 3, round_digits=9).select(
+        "doc_id", "token", F.col("tf").cast("bigint").alias("tf"),
+        "tfidf", "term_rank",
+    )
+
+
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once restoration: the events table is staged
+    TWICE into a file-stream source (at-least-once redelivery), streaming
+    ``dropDuplicates`` on event_id with watermark-bounded state removes
+    the second delivery, and the appended parquet target aggregates back
+    to the per-type totals of the ORIGINAL events — the oracle is plain
+    batch GROUP BY over the single-copy table
+    (streaming/cube_stream.py::streaming_dedup)."""
+    import os
+    import tempfile
+
+    from data_cube_spark.streaming.cube_stream import streaming_dedup
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(work, "src")
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)  # duplicate delivery
+    q = streaming_dedup(spark, src, ev.schema, os.path.join(work, "ckpt"),
+                        os.path.join(work, "target"),
+                        id_cols=["event_id"]).start()
+    q.awaitTermination(300)
+    out = spark.read.parquet(os.path.join(work, "target"))
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+        .alias("sum_value"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: shard by md5, cumulative token
     offsets per shard, sequence = offset // capacity
@@ -1714,6 +1758,8 @@ QUERIES: dict[str, QueryFn] = {
     "token_vocab": q_token_vocab,
     "split_assign": q_split_assign,
     "shuffle_order": q_shuffle_order,
+    "tfidf_keywords": q_tfidf_keywords,
+    "events_stream_dedup": q_events_stream_dedup,
     "pack_sequences": q_pack_sequences,
     "pack_greedy": q_pack_greedy,
     "events_hourly": q_events_hourly,
@@ -2660,6 +2706,35 @@ ORACLE: dict[str, str] = {
                ORDER BY md5('shuffle' || CAST(doc_id AS VARCHAR)))
                AS BIGINT) AS position
       FROM documents
+    """,
+    "tfidf_keywords": r"""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(TRIM(text), '\s+')) AS token
+        FROM documents),
+      tok2 AS (SELECT * FROM tok WHERE token <> ''),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+      dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df_t
+                FROM tok2 GROUP BY 1),
+      n AS (SELECT COUNT(DISTINCT doc_id) AS n_corpus FROM documents),
+      scored AS (
+        SELECT doc_id, token, tf,
+               ROUND(tf * (ln((n_corpus + 1.0) / (df_t + 1.0)) + 1), 9)
+                 AS tfidf
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+      r AS (
+        SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+               CAST(tfidf AS DOUBLE) AS tfidf,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY tfidf DESC, token)
+                 AS BIGINT) AS term_rank
+        FROM scored)
+      SELECT * FROM r WHERE term_rank <= 3
+    """,
+    "events_stream_dedup": """
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type
     """,
     "pack_sequences": r"""
       WITH d AS (

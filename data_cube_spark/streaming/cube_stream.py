@@ -324,3 +324,40 @@ def make_window_upsert(spark: SparkSession, target_dir: str, keys: list[str]):
         b.unpersist()
 
     return upsert
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    target_dir: str,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "24 hours",
+    max_files_per_trigger: int | None = None,
+):
+    """Exactly-once restoration over an at-least-once stream: drop
+    duplicate deliveries by ``id_cols`` with watermark-bounded state.
+    ``max_files_per_trigger`` throttles micro-batch size (and lets tests
+    force redeliveries into LATER batches — state must carry across).
+
+    ``dropDuplicates`` keys streaming state by the id columns; the
+    watermark on ``ts_col`` lets Spark evict state older than the
+    watermark delay, so state size is bounded by the duplicate-arrival
+    horizon (a redelivery later than ``watermark`` would survive — size
+    the delay to the delivery SLA, e.g. a Kafka retention window).
+    Deduplicated rows append to a parquet target: append mode means each
+    unique row is emitted exactly once, on first sight."""
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(source_dir)
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicates(id_cols)
+    return (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", target_dir)
+    )

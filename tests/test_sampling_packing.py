@@ -228,3 +228,21 @@ def test_shuffle_positions_dense_permutation(tables):
              for r in shuffle_positions(docs).collect()}
     first = {r["doc_id"]: r["position"] for r in out.collect()}
     assert first == again
+
+
+def test_tfidf_hand_computed(spark):
+    import math
+
+    from data_cube_spark.operators.curation import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    rows = {(r["doc_id"], r["token"]): (r["tf"], r["tfidf"], r["term_rank"])
+            for r in tfidf_top_terms(df, 2).collect()}
+    idf_rare = math.log(3 / 2) + 1       # df=1, N=2
+    # doc 1: a (tf=2, idf=1) -> 2.0 ranks above b (1*idf_rare ~ 1.405)
+    assert rows[(1, "a")][2] == 1 and abs(rows[(1, "a")][1] - 2.0) < 1e-12
+    assert rows[(1, "b")][2] == 2 and abs(rows[(1, "b")][1] - idf_rare) < 1e-12
+    # doc 2: rare c outranks universal a
+    assert rows[(2, "c")][2] == 1 and rows[(2, "a")][2] == 2

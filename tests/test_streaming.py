@@ -266,3 +266,43 @@ def test_streaming_maintained_cube_is_queryable(spark, tables, tmp_path):
                  F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
                  .alias("sum_value")).collect()}
     assert got == truth
+
+
+def test_streaming_dedup_across_batches(spark, tables, tmp_path):
+    """Redeliveries landing in a LATER micro-batch are still dropped:
+    dedup state is keyed on event_id and carried across batches
+    (maxFilesPerTrigger=1 forces each delivery into its own batch)."""
+    from data_cube_spark.streaming.cube_stream import streaming_dedup
+
+    ev = tables["events"].where(F.col("event_id") < 500)
+    src = str(tmp_path / "src")
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)  # full redelivery, separate files
+    q = streaming_dedup(
+        spark, src, ev.schema, str(tmp_path / "ckpt"), str(tmp_path / "tgt"),
+        id_cols=["event_id"], watermark="3650 days", max_files_per_trigger=1,
+    ).start()
+    q.awaitTermination(300)
+    out = spark.read.parquet(str(tmp_path / "tgt"))
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_streaming_dedup_preserves_row_content(spark, tables, tmp_path):
+    from data_cube_spark.streaming.cube_stream import streaming_dedup
+
+    ev = tables["events"].where(F.col("event_id") < 100)
+    src = str(tmp_path / "src")
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)
+    q = streaming_dedup(
+        spark, src, ev.schema, str(tmp_path / "ckpt"), str(tmp_path / "tgt"),
+        id_cols=["event_id"], watermark="3650 days",
+    ).start()
+    q.awaitTermination(300)
+    out = spark.read.parquet(str(tmp_path / "tgt"))
+    got = {r["event_id"]: (r["user_id"], r["event_type"], r["value"])
+           for r in out.collect()}
+    want = {r["event_id"]: (r["user_id"], r["event_type"], r["value"])
+            for r in ev.collect()}
+    assert got == want
