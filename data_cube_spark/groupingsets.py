@@ -65,6 +65,29 @@ def cube_table(
     return out
 
 
+def grouping_sets_table(
+    df: DataFrame,
+    sets: Sequence[Sequence[str]],
+    by: Sequence[str],
+    aggs: Sequence[Column],
+    level_col: str = LEVEL_COL,
+    id_col: str = "grouping_id",
+) -> DataFrame:
+    """Explicit GROUPING SETS (ANSI SQL; generalizes the reference's
+    rollup/cube ops to arbitrary set lists). Uses the native
+    ``DataFrame.groupingSets`` so the single-shuffle ``Expand`` generates
+    ONLY the requested sets — for k sets over n columns that is k
+    expansion rows per input row, not the 2^n of ``cube(...)`` + filter
+    (the difference between 3x and 1024x scan amplification at n=10).
+
+    ``grouping_id`` bitmask (first ``by`` column = most significant bit)
+    and its bit-count level are emitted like the rollup/cube paths."""
+    by = list(by)
+    gd = df.groupingSets([[F.col(c) for c in s] for s in sets], *by)
+    out = gd.agg(*aggs, F.grouping_id(*by).alias(id_col))
+    return out.withColumn(level_col, F.bit_count(F.col(id_col)).cast("int"))
+
+
 def rollup_cube(
     dc: DataCube,
     attrs: Sequence[str],

@@ -1466,6 +1466,37 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("position").cast("bigint").alias("position"))
 
 
+def q_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI GROUPING SETS with an arbitrary (non-rollup, non-cube) set
+    list: {(flag,status), (flag,year), ()} — the native groupingSets
+    Expand generates exactly these three sets in one shuffle
+    (groupingsets.py::grouping_sets_table)."""
+    from data_cube_spark.groupingsets import grouping_sets_table
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.col("l_quantity"),
+    )
+    out = grouping_sets_table(
+        li,
+        [["flag", "status"], ["flag", "ship_year"], []],
+        ["flag", "status", "ship_year"],
+        [
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ],
+    )
+    return out.select(
+        "flag", "status", "ship_year", "sum_qty", "n_rows",
+        F.col("grouping_id").cast("int").alias("grouping_id"),
+        F.col("grouping_level").cast("int").alias("grouping_level"),
+    )
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed tf-idf: tf and
     document-frequency hash aggregates, vocab-sized idf join, broadcast
@@ -1760,6 +1791,7 @@ QUERIES: dict[str, QueryFn] = {
     "shuffle_order": q_shuffle_order,
     "tfidf_keywords": q_tfidf_keywords,
     "events_stream_dedup": q_events_stream_dedup,
+    "grouping_sets_explicit": q_grouping_sets_explicit,
     "pack_sequences": q_pack_sequences,
     "pack_greedy": q_pack_greedy,
     "events_hourly": q_events_hourly,
@@ -2735,6 +2767,22 @@ ORACLE: dict[str, str] = {
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY event_type
+    """,
+    "grouping_sets_explicit": """
+      SELECT l_returnflag AS flag, l_linestatus AS status,
+             CAST(year(l_shipdate) AS INT) AS ship_year,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+                  + GROUPING(year(l_shipdate)) AS INT) AS grouping_id,
+             CAST(GROUPING(l_returnflag) + GROUPING(l_linestatus)
+                  + GROUPING(year(l_shipdate)) AS INT) AS grouping_level
+      FROM lineitem
+      GROUP BY GROUPING SETS (
+        (l_returnflag, l_linestatus),
+        (l_returnflag, year(l_shipdate)),
+        ())
     """,
     "pack_sequences": r"""
       WITH d AS (

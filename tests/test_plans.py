@@ -261,3 +261,20 @@ def test_shuffle_order_uses_range_partitioning(spark):
     plan = explain_str(df, "simple")
     assert "rangepartitioning" in plan.lower(), plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_grouping_sets_expand_only_requested(spark):
+    """Native groupingSets: one Expand with exactly the 3 requested
+    projections (cube(3 cols)+filter would expand 8), one shuffle."""
+    from data_cube_spark import registry
+
+    df = registry.QUERIES["grouping_sets_explicit"](spark, "/root/testdata/sf0.001")
+    plan = explain_str(df, "extended")
+    assert plan.count("Expand") >= 1, plan
+    # the Expand operator lists its projections; count the set rows in
+    # the optimized logical plan's Expand arg (3 sets requested)
+    import re
+    m = re.search(r"Expand \[\[(.*?)\]\], ", plan.replace("\n", " "))
+    assert m, plan
+    n_sets = m.group(1).count("], [") + 1
+    assert n_sets == 3, f"expected 3 grouping sets, got {n_sets}"
