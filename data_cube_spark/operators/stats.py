@@ -1,0 +1,78 @@
+"""Robust measure statistics: winsorization and trimming.
+
+Greenfield (no reference analog): outlier-robust aggregate passes for
+measure columns — the standard defense before training on noisy numeric
+features or reporting means over heavy-tailed facts.
+
+Percentile cuts use the NEAREST-RANK definition (the value at sorted
+position ``ceil(q*n)``), not interpolation: every cut is an actual data
+value, so the computation involves no transcendental or interpolated
+floating-point — bit-for-bit reproducible across engines (the DuckDB
+oracles run the identical rank logic), and sums of clipped values stay
+decimal-exact.
+
+Scale: one shuffle on the group key for the rank window, a second for the
+final aggregate. The per-group bounds table is aggregated (one row per
+group) and joins back broadcast-sized.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def winsorize_stats(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    lo_frac: float = 0.05,
+    hi_frac: float = 0.95,
+) -> DataFrame:
+    """Winsorized per-group statistics: clip ``value_col`` to the
+    [nearest-rank ``lo_frac``, ``hi_frac``] cuts within each group, then
+    aggregate. Output per group: the two cuts, row count, number of rows
+    clipped low/high, and the winsorized mean (decimal-exact sum of
+    clipped values over n, surfaced as double).
+
+    Two shuffles on ``by`` (rank window + final aggregate); the clip
+    itself is a pure projection."""
+    w = Window.partitionBy(*by)
+    ranked = df.select(*by, value_col).withColumn(
+        "_rn", F.row_number().over(
+            Window.partitionBy(*by).orderBy(F.col(value_col).asc())
+        )
+    ).withColumn("_n", F.count(F.lit(1)).over(w))
+    lo_pos = F.greatest(F.ceil(F.lit(lo_frac) * F.col("_n")), F.lit(1))
+    hi_pos = F.greatest(F.ceil(F.lit(hi_frac) * F.col("_n")), F.lit(1))
+    cuts = ranked.groupBy(*by).agg(
+        F.max(F.when(F.col("_rn") == lo_pos, F.col(value_col))).alias("lo_cut"),
+        F.max(F.when(F.col("_rn") == hi_pos, F.col(value_col))).alias("hi_cut"),
+    )
+    clipped = (
+        df.select(*by, value_col)
+        .join(F.broadcast(cuts), by)
+        .select(
+            *by,
+            "lo_cut",
+            "hi_cut",
+            F.least(
+                F.greatest(F.col(value_col), F.col("lo_cut")), F.col("hi_cut")
+            ).alias("_clipped"),
+            (F.col(value_col) < F.col("lo_cut")).cast("int").alias("_lo"),
+            (F.col(value_col) > F.col("hi_cut")).cast("int").alias("_hi"),
+        )
+    )
+    return clipped.groupBy(*by).agg(
+        F.first("lo_cut").alias("lo_cut"),
+        F.first("hi_cut").alias("hi_cut"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_lo").cast("bigint").alias("n_clipped_low"),
+        F.sum("_hi").cast("bigint").alias("n_clipped_high"),
+        # decimal sum (order-independent exact), THEN cast double, THEN
+        # divide: decimal-division scale rules differ across engines, but
+        # double/int64 division is IEEE-deterministic everywhere
+        (
+            F.sum(F.col("_clipped").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("winsorized_mean"),
+    )

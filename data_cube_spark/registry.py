@@ -1466,6 +1466,19 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("position").cast("bigint").alias("position"))
 
 
+def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust per-flag price stats: clip to nearest-rank 5th/95th
+    percentile cuts, count clipped rows, decimal-exact winsorized mean.
+    Nearest-rank (not interpolated) cuts are actual data values — engine-
+    exact, no libm (operators/stats.py)."""
+    from data_cube_spark.operators.stats import winsorize_stats
+
+    t = load_tables(spark, sf_dir)
+    return winsorize_stats(
+        t["lineitem"], "l_extendedprice", ["l_returnflag"], 0.05, 0.95
+    )
+
+
 def q_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI GROUPING SETS with an arbitrary (non-rollup, non-cube) set
     list: {(flag,status), (flag,year), ()} — the native groupingSets
@@ -1792,6 +1805,7 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_keywords": q_tfidf_keywords,
     "events_stream_dedup": q_events_stream_dedup,
     "grouping_sets_explicit": q_grouping_sets_explicit,
+    "winsorized_price_stats": q_winsorized_price_stats,
     "pack_sequences": q_pack_sequences,
     "pack_greedy": q_pack_greedy,
     "events_hourly": q_events_hourly,
@@ -2767,6 +2781,34 @@ ORACLE: dict[str, str] = {
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY event_type
+    """,
+    "winsorized_price_stats": """
+      WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+      cuts AS (
+        SELECT l_returnflag,
+               MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.05 * n) AS BIGINT), 1)
+                        THEN v END) AS lo_cut,
+               MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.95 * n) AS BIGINT), 1)
+                        THEN v END) AS hi_cut
+        FROM ranked GROUP BY l_returnflag),
+      clipped AS (
+        SELECT li.l_returnflag, lo_cut, hi_cut,
+               LEAST(GREATEST(li.l_extendedprice, lo_cut), hi_cut) AS cl,
+               CAST(li.l_extendedprice < lo_cut AS INT) AS is_lo,
+               CAST(li.l_extendedprice > hi_cut AS INT) AS is_hi
+        FROM lineitem li JOIN cuts USING (l_returnflag))
+      SELECT l_returnflag, lo_cut, hi_cut,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(is_lo) AS BIGINT) AS n_clipped_low,
+             CAST(SUM(is_hi) AS BIGINT) AS n_clipped_high,
+             CAST(SUM(CAST(cl AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS winsorized_mean
+      FROM clipped GROUP BY l_returnflag, lo_cut, hi_cut
     """,
     "grouping_sets_explicit": """
       SELECT l_returnflag AS flag, l_linestatus AS status,

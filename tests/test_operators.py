@@ -561,3 +561,28 @@ def test_driver_near_pairs_equals_exact(tables):
     assert set(driver) == set(exact)
     for k in exact:
         assert abs(driver[k] - exact[k]) < 1e-9
+
+
+def test_winsorize_stats_hand_computed(spark):
+    from data_cube_spark.operators.stats import winsorize_stats
+
+    # group g: values 1..10; lo_frac .2 -> pos ceil(2)=2 -> lo_cut 2;
+    # hi_frac .8 -> pos 8 -> hi_cut 8; clipped: 2,2,3..8,8,8
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 11)], "k string, v double"
+    )
+    r = winsorize_stats(df, "v", ["k"], 0.2, 0.8).collect()[0]
+    assert (r["lo_cut"], r["hi_cut"]) == (2.0, 8.0)
+    assert (r["n_clipped_low"], r["n_clipped_high"]) == (1, 2)
+    assert r["n_rows"] == 10
+    assert abs(r["winsorized_mean"] - (2 + 2 + 3 + 4 + 5 + 6 + 7 + 8 + 8 + 8) / 10) < 1e-12
+
+
+def test_winsorize_stats_single_value_group(spark):
+    from data_cube_spark.operators.stats import winsorize_stats
+
+    df = spark.createDataFrame([("g", 5.0)], "k string, v double")
+    r = winsorize_stats(df, "v", ["k"]).collect()[0]
+    assert r["lo_cut"] == r["hi_cut"] == 5.0
+    assert r["n_clipped_low"] == r["n_clipped_high"] == 0
+    assert r["winsorized_mean"] == 5.0
