@@ -890,6 +890,49 @@ class DataCube:
                 dims[name] = d
         return DataCube(fact, dims, strict=False)
 
+    def remove_delta(self, delta: DataFrame) -> "DataCube":
+        """Retraction — the inverse of :meth:`merge_delta`: subtract raw
+        ``delta`` rows from the cube. Metamorphic contract:
+        ``cube(a ∪ b).remove_delta(b) == cube(a)``.
+
+        Exact only for subtractable aggregates — every measure must
+        re-aggregate as ``sum`` (sum, or count whose partials subtract as
+        counts); min/max/distinct/arbitrary callables cannot be retracted
+        from partials (the retracted rows may have carried the extremum)
+        and raise. The cube must also carry at least one ``count``
+        measure: a grain whose count reaches zero has ALL its rows
+        retracted and is dropped — without a count the emptied grain is
+        indistinguishable from a legitimate zero-sum one.
+
+        Same cost shape as merge: aggregate the (small) delta to the fact
+        grain, union its negated partials, one re-aggregation shuffle.
+        Dimension bases are left as-is (a retired key lingering in a
+        dimension table is harmless — it simply matches no fact rows)."""
+        counts = [n for n, m in self.fact.measures.items() if m.agg == "count"]
+        if not counts:
+            raise ValueError(
+                "remove_delta needs a count measure to detect fully "
+                "retracted grains; add Measure(..., agg='count')")
+        bad = [n for n, m in self.fact.measures.items()
+               if callable(m.reagg) or m.reagg != "sum"]
+        if bad:
+            raise ValueError(
+                f"measures {bad} are not subtractable (reagg != 'sum'); "
+                "retraction from partials is only exact for sum/count")
+        delta_fact = Fact.build(delta, self.fact.id_vars, self.fact.measures)
+        neg = delta_fact.df.select(
+            *self.fact.id_vars,
+            *[(-F.col(n)).alias(n) for n in self.fact.measures],
+        )
+        u = self.fact.df.unionByName(neg)
+        df = (
+            u.groupBy(*self.fact.id_vars)
+            .agg(*[m.reagg_expr() for m in self.fact.measures.values()])
+            .where(F.col(counts[0]) > 0)
+        )
+        fact = Fact(df, self.fact.id_vars, self.fact.measures)
+        return DataCube(fact, dict(self.dims), strict=False)
+
     def persist(self) -> "DataCube":
         """Pin the cube's tables in memory — the honest Spark analog of the
         reference's secondary indices (R/fact.R:103-105, README roadmap)."""

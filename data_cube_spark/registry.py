@@ -1661,6 +1661,27 @@ def q_merge_delta_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events")
 
 
+def q_remove_delta_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction (inverse of merge_delta): build the cube on ALL events,
+    remove_delta the odd-event_id half, return the fact — value-identical
+    to building on the even half alone (the oracle). Fully-retracted
+    grains are dropped via the count measure reaching zero
+    (model.py::DataCube.remove_delta)."""
+    from data_cube_spark.build import from_table
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    measures = [
+        Measure("sum_value", F.col("value").cast("decimal(18,6)"), agg="sum"),
+        Measure("n_events", "event_id", agg="count"),
+    ]
+    full = from_table(ev, {"event_type": "event_type"}, measures)
+    remaining = full.remove_delta(ev.where(F.col("event_id") % 2 == 1))
+    return remaining.fact.df.select(
+        "event_type", F.col("sum_value").cast("double").alias("sum_value"),
+        "n_events")
+
+
 def q_cube_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cube persistence (E-family): save the star cube (fact at grain +
     dimension tables + JSON metadata), load it back, and aggregate through
@@ -1812,6 +1833,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_sessionize": q_events_sessionize,
     "events_stream_cube": q_events_stream_cube,
     "merge_delta_incremental": q_merge_delta_incremental,
+    "remove_delta_retraction": q_remove_delta_retraction,
     "cube_store_roundtrip": q_cube_store_roundtrip,
     "salted_join_agg": q_salted_join_agg,
     "window_moving_avg": q_window_moving_avg,
@@ -2860,6 +2882,12 @@ ORACLE: dict[str, str] = {
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
              COUNT(event_id) AS n_events
       FROM events GROUP BY 1
+    """,
+    "remove_delta_retraction": """
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             COUNT(event_id) AS n_events
+      FROM events WHERE event_id % 2 = 0 GROUP BY 1
     """,
     "salted_join_agg": f"""
       SELECT o_orderpriority, CAST({SQL_REV} AS DOUBLE) AS revenue,

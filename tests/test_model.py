@@ -392,3 +392,44 @@ def test_anyof_collapsed_prefilters_before_collapse(cube, duck):
       GROUP BY 1
     """
     assert_df_matches_sql(out, duck, sql)
+
+
+def test_remove_delta_inverts_merge(spark, tables):
+    """cube(a ∪ b).remove_delta(b) == cube(a) for sum/count measures;
+    grains whose rows are all retracted disappear."""
+    from data_cube_spark.build import from_table
+    from data_cube_spark.model import Measure
+
+    ev = tables["events"]
+    measures = [
+        Measure("sum_value", F.col("value").cast("decimal(18,6)"), agg="sum"),
+        Measure("n_events", "event_id", agg="count"),
+    ]
+    a = ev.where(F.col("event_id") % 3 != 0)
+    b = ev.where(F.col("event_id") % 3 == 0)
+    full = from_table(ev, {"event_type": "event_type"}, measures)
+    got = {r["event_type"]: (float(r["sum_value"]), r["n_events"])
+           for r in full.remove_delta(b).fact.df.collect()}
+    want = {r["event_type"]: (float(r["sum_value"]), r["n_events"])
+            for r in from_table(a, {"event_type": "event_type"},
+                                measures).fact.df.collect()}
+    assert got == want
+
+    # retracting EVERYTHING empties the fact (count gate drops all grains)
+    assert full.remove_delta(ev).fact.df.count() == 0
+
+
+def test_remove_delta_rejects_non_subtractable(spark, tables):
+    from data_cube_spark.build import from_table
+    from data_cube_spark.model import Measure
+
+    ev = tables["events"].limit(100)
+    with pytest.raises(ValueError, match="count measure"):
+        from_table(ev, {"event_type": "event_type"},
+                   [Measure("sum_value", "value", agg="sum")]
+                   ).remove_delta(ev)
+    with pytest.raises(ValueError, match="not subtractable"):
+        from_table(ev, {"event_type": "event_type"},
+                   [Measure("max_value", "value", agg="max"),
+                    Measure("n", "event_id", agg="count")]
+                   ).remove_delta(ev)
