@@ -1661,6 +1661,26 @@ def q_merge_delta_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events")
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: per-step user counts with
+    strictly-sequential timestamps (a purchase before the click doesn't
+    count); k user-key shuffles for k steps (operators/funnel.py)."""
+    from data_cube_spark.operators.funnel import funnel_conversion
+
+    t = load_tables(spark, sf_dir)
+    return funnel_conversion(t["events"], ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention over events: cohort = first-event date,
+    retained at offset d if any event lands d days later
+    (operators/funnel.py)."""
+    from data_cube_spark.operators.funnel import cohort_retention
+
+    t = load_tables(spark, sf_dir)
+    return cohort_retention(t["events"])
+
+
 def q_remove_delta_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retraction (inverse of merge_delta): build the cube on ALL events,
     remove_delta the odd-event_id half, return the fact — value-identical
@@ -1834,6 +1854,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_stream_cube": q_events_stream_cube,
     "merge_delta_incremental": q_merge_delta_incremental,
     "remove_delta_retraction": q_remove_delta_retraction,
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
     "cube_store_roundtrip": q_cube_store_roundtrip,
     "salted_join_agg": q_salted_join_agg,
     "window_moving_avg": q_window_moving_avg,
@@ -2882,6 +2904,38 @@ ORACLE: dict[str, str] = {
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
              COUNT(event_id) AS n_events
       FROM events GROUP BY 1
+    """,
+    "funnel_conversion": """
+      WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+             JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+             JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+      c AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+                   (SELECT COUNT(*) FROM s2) AS n2,
+                   (SELECT COUNT(*) FROM s3) AS n3)
+      SELECT CAST(1 AS INT) AS step_index, 'view' AS step,
+             CAST(n1 AS BIGINT) AS n_users,
+             CAST(n1 AS DOUBLE) / n1 AS conversion FROM c
+      UNION ALL
+      SELECT CAST(2 AS INT), 'click', CAST(n2 AS BIGINT),
+             CAST(n2 AS DOUBLE) / n1 FROM c
+      UNION ALL
+      SELECT CAST(3 AS INT), 'purchase', CAST(n3 AS BIGINT),
+             CAST(n3 AS DOUBLE) / n1 FROM c
+    """,
+    "cohort_retention": """
+      WITH f AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_date
+                 FROM events GROUP BY 1)
+      SELECT CAST(cohort_date AS VARCHAR) AS cohort_date,
+             CAST(date_diff('day', cohort_date, CAST(e.ts AS DATE)) AS INT)
+               AS offset_days,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+      FROM events e JOIN f USING (user_id)
+      GROUP BY f.cohort_date, 2
     """,
     "remove_delta_retraction": """
       SELECT event_type,

@@ -586,3 +586,47 @@ def test_winsorize_stats_single_value_group(spark):
     assert r["lo_cut"] == r["hi_cut"] == 5.0
     assert r["n_clipped_low"] == r["n_clipped_high"] == 0
     assert r["winsorized_mean"] == 5.0
+
+
+def test_funnel_strict_ordering(spark):
+    """A purchase BEFORE the click must not count as conversion."""
+    from datetime import datetime
+
+    from data_cube_spark.operators.funnel import funnel_conversion
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # user 2: purchase precedes click -> stops at click
+        (2, "view", t(0)), (2, "purchase", t(1)), (2, "click", t(2)),
+        # user 3: view only
+        (3, "view", t(0)),
+        # user 4: click without view -> never enters
+        (4, "click", t(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["step"]: (r["n_users"], r["conversion"])
+           for r in funnel_conversion(df, ["view", "click", "purchase"]).collect()}
+    assert got["view"] == (3, 1.0)
+    assert got["click"] == (2, 2 / 3)
+    assert got["purchase"] == (1, 1 / 3)
+
+
+def test_cohort_retention_hand_computed(spark):
+    from datetime import datetime
+
+    from data_cube_spark.operators.funnel import cohort_retention
+
+    rows = [
+        (1, datetime(2024, 1, 1, 5)), (1, datetime(2024, 1, 3, 9)),
+        (2, datetime(2024, 1, 1, 7)),
+        (3, datetime(2024, 1, 2, 1)), (3, datetime(2024, 1, 3, 1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["cohort_date"], r["offset_days"]): r["n_users"]
+           for r in cohort_retention(df).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1, ("2024-01-02", 1): 1,
+    }
