@@ -53,6 +53,13 @@ BENCH_QUERIES = [
     "pii_redaction",
     "paragraph_dedup",
     "embedding_components",
+    "tfidf_keywords",
+    "grouping_sets_explicit",
+    "winsorized_price_stats",
+    "price_histogram",
+    "funnel_conversion",
+    "cohort_retention",
+    "remove_delta_retraction",
     "events_hourly",
     "events_sessionize",
     "asof_last_error",

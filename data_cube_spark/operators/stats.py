@@ -21,6 +21,44 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def equi_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    lo: float,
+    hi: float,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-range equi-width histogram: bin ``i`` covers
+    ``[lo + i*w, lo + (i+1)*w)`` with ``w = (hi-lo)/n_bins``; values
+    outside [lo, hi) clamp into the edge bins (standard histogram
+    saturation). One hash-aggregate shuffle on (group, bin) — the bin id
+    is a pure arithmetic projection (no width_bucket builtin, so the
+    identical IEEE expression runs on any engine)."""
+    if hi <= lo or n_bins < 1:
+        raise ValueError("require hi > lo and n_bins >= 1")
+    by = list(by or [])
+    w = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w))
+    bin_id = F.least(
+        F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        df.select(*by, bin_id.alias("bin_id"))
+        .groupBy(*by, "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            *by,
+            "bin_id",
+            (F.lit(lo) + F.col("bin_id") * F.lit(w)).cast("double")
+            .alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin_id") + 1) * F.lit(w)).cast("double")
+            .alias("bin_hi"),
+            "n_rows",
+        )
+    )
+
+
 def winsorize_stats(
     df: DataFrame,
     value_col: str,

@@ -1661,6 +1661,19 @@ def q_merge_delta_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events")
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width price histogram per return flag (20 bins over
+    [0, 60000)); the bin id is a pure arithmetic projection, one
+    (flag, bin) shuffle (operators/stats.py)."""
+    from data_cube_spark.operators.stats import equi_width_histogram
+
+    t = load_tables(spark, sf_dir)
+    return equi_width_histogram(
+        t["lineitem"], "l_extendedprice", 20, 0.0, 60000.0,
+        by=["l_returnflag"],
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase: per-step user counts with
     strictly-sequential timestamps (a purchase before the click doesn't
@@ -1854,6 +1867,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_stream_cube": q_events_stream_cube,
     "merge_delta_incremental": q_merge_delta_incremental,
     "remove_delta_retraction": q_remove_delta_retraction,
+    "price_histogram": q_price_histogram,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "cube_store_roundtrip": q_cube_store_roundtrip,
@@ -2904,6 +2918,19 @@ ORACLE: dict[str, str] = {
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
              COUNT(event_id) AS n_events
       FROM events GROUP BY 1
+    """,
+    "price_histogram": """
+      WITH b AS (
+        SELECT l_returnflag,
+               CAST(LEAST(GREATEST(
+                 FLOOR((l_extendedprice - 0.0) / 3000.0), 0), 19) AS INT)
+                 AS bin_id
+        FROM lineitem)
+      SELECT l_returnflag, bin_id,
+             CAST(0.0 + bin_id * 3000.0 AS DOUBLE) AS bin_lo,
+             CAST(0.0 + (bin_id + 1) * 3000.0 AS DOUBLE) AS bin_hi,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM b GROUP BY 1, 2
     """,
     "funnel_conversion": """
       WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events

@@ -630,3 +630,17 @@ def test_cohort_retention_hand_computed(spark):
         ("2024-01-01", 0): 2, ("2024-01-01", 2): 1,
         ("2024-01-02", 0): 1, ("2024-01-02", 1): 1,
     }
+
+
+def test_equi_width_histogram_clamps_edges(spark):
+    from data_cube_spark.operators.stats import equi_width_histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-5.0, 0.0, 4.9, 5.0, 9.9, 10.0, 42.0]], "v double"
+    )
+    got = {r["bin_id"]: (r["bin_lo"], r["bin_hi"], r["n_rows"])
+           for r in equi_width_histogram(df, "v", 2, 0.0, 10.0).collect()}
+    # bin 0 = [0,5): -5 (clamped), 0, 4.9 ; bin 1 = [5,10): 5, 9.9, 10, 42 (clamped)
+    assert got == {0: (0.0, 5.0, 3), 1: (5.0, 10.0, 4)}
+    with pytest.raises(ValueError):
+        equi_width_histogram(df, "v", 0, 0.0, 10.0)
