@@ -117,6 +117,17 @@ def as_double(col: str | Column) -> Column:
     return c.cast("double")
 
 
+def epoch_seconds(col: str | Column) -> Column:
+    """Epoch seconds for any timestamp flavor. Parquet files written with
+    ``isAdjustedToUTC=false`` read back as TIMESTAMP_NTZ, which Spark 4
+    refuses to cast straight to DOUBLE; routing through timestamp_ltz is a
+    no-op for regular timestamps and interprets NTZ wall-clock in the
+    session timezone (pinned to UTC in session.py), matching DuckDB's
+    ``epoch()`` on naive timestamps."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp_ltz").cast("double")
+
+
 # -- top-k per group --------------------------------------------------------
 
 def topk_per_group(

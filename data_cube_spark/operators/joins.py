@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_cube_spark.functions import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -144,9 +146,9 @@ def range_join(
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(f"range_join supports inner/left joins, not {how!r}")
     by = [by] if isinstance(by, str) else list(by or [])
-    lb = F.floor(F.col(ts).cast("double") / bin_seconds).cast("long")
-    sb = F.floor(F.col(start).cast("double") / bin_seconds).cast("long")
-    eb = F.floor(F.col(end).cast("double") / bin_seconds).cast("long")
+    lb = F.floor(epoch_seconds(ts) / bin_seconds).cast("long")
+    sb = F.floor(epoch_seconds(start) / bin_seconds).cast("long")
+    eb = F.floor(epoch_seconds(end) / bin_seconds).cast("long")
     l = left.withColumn("_bin", lb)
     r = right.withColumn("_bin", F.explode(F.sequence(sb, eb)))
     for c in by:

@@ -17,7 +17,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_cube_spark.functions import dec
+from data_cube_spark.functions import dec, epoch_seconds
+
+
+def _ltz(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks (and streaming state timers) require TIMESTAMP, not
+    TIMESTAMP_NTZ — parquet written with ``isAdjustedToUTC=false`` reads
+    back as NTZ. Cast is a no-op for regular timestamps; for NTZ the wall
+    clock is interpreted in the session timezone (UTC, session.py)."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+    return df
 
 
 def tumbling_agg(
@@ -32,7 +42,7 @@ def tumbling_agg(
     On a stream the watermark bounds state: late rows beyond ``watermark``
     are dropped and windows finalize. On a batch frame the same expression
     is a plain group-by. Decimal sums keep results shuffle-order exact."""
-    df = events
+    df = _ltz(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     keys = keys or []
@@ -54,7 +64,7 @@ def session_windows(
 ) -> DataFrame:
     """Session windows per user via the built-in ``session_window`` (gap
     merge is handled by Spark's stateful operator on streams)."""
-    df = events
+    df = _ltz(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     out = df.groupBy(F.session_window(ts_col, gap).alias("w"), user_col).agg(
@@ -80,7 +90,7 @@ def sessionize_batch(
     gap = F.lag(ts_col).over(w)
     new_session = (
         F.when(gap.isNull(), 1)
-        .when(F.col(ts_col).cast("double") - gap.cast("double") > gap_minutes * 60, 1)
+        .when(epoch_seconds(ts_col) - epoch_seconds(gap) > gap_minutes * 60, 1)
         .otherwise(0)
     )
     sess = events.withColumn("_new", new_session).withColumn(
@@ -111,7 +121,7 @@ def stateful_user_totals(
     the streaming final state must equal it, which the tests assert."""
     import pandas as pd
 
-    df = events
+    df = _ltz(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
 
@@ -160,7 +170,7 @@ def stateful_sessionize(
     import pandas as pd
 
     gap_us = int(gap_minutes) * 60 * 1_000_000
-    df = events
+    df = _ltz(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
 
@@ -277,8 +287,9 @@ def streaming_cube(
     (Delta/Iceberg MERGE doing the same thing under snapshot isolation);
     vanilla parquet needs it spelled out.
     """
-    stream = (
-        spark.readStream.schema(schema).format("parquet").load(source_dir)
+    stream = _ltz(
+        spark.readStream.schema(schema).format("parquet").load(source_dir),
+        ts_col,
     )
     agg = tumbling_agg(stream, ts_col=ts_col, window=window, keys=keys)
     return (
@@ -352,7 +363,7 @@ def streaming_dedup(
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.load(source_dir)
+    stream = _ltz(reader.load(source_dir), ts_col)
     deduped = stream.withWatermark(ts_col, watermark).dropDuplicates(id_cols)
     return (
         deduped.writeStream.outputMode("append")

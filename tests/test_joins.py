@@ -147,3 +147,42 @@ def test_salted_join_left_and_invalid_how(spark):
     assert out == {("a", 1, 10), ("b", 2, None)}
     with pytest.raises(ValueError):
         salted_join(left, right, "k", how="full")
+
+
+def test_range_join_and_sessionize_on_ntz_timestamps(spark, tmp_path):
+    """Parquet written with isAdjustedToUTC=false reads back as
+    TIMESTAMP_NTZ, which Spark 4 cannot cast straight to DOUBLE; the
+    epoch_seconds helper must make range_join / sessionize_batch (and the
+    watermark paths) work identically on NTZ and regular timestamps."""
+    import datetime
+
+    from data_cube_spark.operators.joins import range_join
+    from data_cube_spark.streaming.cube_stream import sessionize_batch
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, s * 10), "a")
+        for s in range(6)
+    ] + [(1, datetime.datetime(2024, 1, 1, 2, 0, 0), "a")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, k string")
+    ntz_path = str(tmp_path / "ntz")
+    df.withColumn("ts", df.ts.cast("timestamp_ntz")).write.parquet(ntz_path)
+    ntz = spark.read.parquet(ntz_path)
+    assert dict(ntz.dtypes)["ts"] == "timestamp_ntz"
+
+    # sessionize: 6 events within gap + 1 two hours later -> 2 sessions
+    sess = sessionize_batch(ntz, gap_minutes=30)
+    assert sess.count() == 2
+
+    # range join against an NTZ interval table
+    iv = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 0, 0),
+          datetime.datetime(2024, 1, 1, 0, 0, 30), "w1")],
+        "start timestamp, end timestamp, label string",
+    )
+    iv_ntz = iv.select(
+        iv.start.cast("timestamp_ntz").alias("start"),
+        iv.end.cast("timestamp_ntz").alias("end"), "label",
+    )
+    out = range_join(ntz, iv_ntz, ts="ts", start="start", end="end",
+                     bin_seconds=60)
+    assert out.count() == 4  # seconds 0,10,20,30 fall inside [0,30]

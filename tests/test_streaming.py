@@ -8,6 +8,8 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
+from data_cube_spark.functions import epoch_seconds
+
 from data_cube_spark.streaming import (
     session_windows,
     sessionize_batch,
@@ -95,7 +97,7 @@ def test_streaming_cube_multibatch_no_window_loss(spark, tables, tmp_path):
     ev = tables["events"]
     src = str(tmp_path / "src_mb")
     os.makedirs(src, exist_ok=True)
-    tsd = F.col("ts").cast("double")
+    tsd = epoch_seconds("ts")
     cuts = ev.select(tsd.alias("t")).approxQuantile("t", [0.25, 0.5, 0.75], 0.001)
     bounds = [None, *cuts, None]
     for i in range(4):
@@ -205,9 +207,9 @@ def test_stateful_sessionize_multibatch(spark, tables, tmp_path):
     os.makedirs(src, exist_ok=True)
     # three time-ordered chunks written sequentially (mtime order == file
     # discovery order for FileStreamSource)
-    cuts = ev.select(F.col("ts").cast("double").alias("t")).approxQuantile(
+    cuts = ev.select(epoch_seconds("ts").alias("t")).approxQuantile(
         "t", [0.33, 0.66], 0.001)
-    tsd = F.col("ts").cast("double")
+    tsd = epoch_seconds("ts")
     parts = [
         ev.where(tsd <= cuts[0]),
         ev.where((tsd > cuts[0]) & (tsd <= cuts[1])),
