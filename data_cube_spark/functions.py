@@ -91,6 +91,46 @@ def add_surrogate_key(df: DataFrame, cols: list[str], key_name: str) -> DataFram
     return df.join(keyed, cols, "left").select(*df.columns, key_name)
 
 
+def add_dense_positions(
+    df: DataFrame, order_cols: list[str], pos_col: str
+) -> DataFrame:
+    """Dense global positions 1..N ordered by ``order_cols``, for inputs
+    UNIQUE on those columns (e.g. a collision-free shuffle draw).
+
+    Leaner than :func:`add_surrogate_key` (which must dedupe combos and
+    join the keys back): range-partition on the sort columns (global order
+    holds across partitions), sort within partitions, read off the
+    per-partition row index from ``monotonically_increasing_id``, and add
+    collected per-partition (count, min-id) offsets. ONE shuffle (the
+    range exchange), no distinct, no join-back, no single-reducer window.
+    Driver-side data is two longs per partition."""
+    parts = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
+    ).persist()
+    stats = sorted(
+        (r["_pid"], r["_n"], r["_min"])
+        for r in parts.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("_mid").alias("_min"))
+        .collect()
+    )
+    # offset[pid] = rows in all earlier partitions; local index = _mid - min
+    # (ids are assigned sequentially within a partition — min subtraction
+    # avoids relying on the 33-bit layout)
+    entries, acc = [], 0
+    for pid, n, mn in stats:
+        entries += [F.lit(pid), F.struct(F.lit(acc).alias("off"),
+                                         F.lit(mn).alias("mn"))]
+        acc += n
+    m = F.element_at(F.create_map(*entries), F.col("_pid")) if entries else None
+    if m is None:
+        return df.withColumn(pos_col, F.lit(None).cast("bigint"))
+    pos = (m["off"] + (F.col("_mid") - m["mn"]) + 1).cast("bigint")
+    return parts.withColumn(pos_col, pos).drop("_pid", "_mid")
+
+
 def add_hash_key(df: DataFrame, cols: list[str], key_name: str) -> DataFrame:
     """Distributed surrogate key: 64-bit hash of the natural key. O(1) per
     row, no global sort — the scale path for surrogate keys."""

@@ -27,27 +27,41 @@ def funnel_steps(
     sequential-conversion definition (a purchase before the signup does
     not count).
 
-    One aggregate per step over the user's events of that type, joined
-    back at user grain: k steps = k shuffles on ``user_col``. Returns one
-    row per user who completed step 1, with nullable ``t_1..t_k``."""
+    Single-shuffle formulation: every ``t_i`` is a conditional ``min``
+    window over the SAME ``partitionBy(user_col)`` — chained window
+    expressions over one partitioning plan ONE Exchange (stacked Window
+    operators share the sort), and the closing user-grain group-by reuses
+    that partitioning, so k steps cost one shuffle total instead of the
+    naive k join+aggregate rounds. Returns one row per user who completed
+    step 1, with nullable ``t_1..t_k``."""
+    from pyspark.sql import Window
+
     if not steps:
         raise ValueError("steps must be non-empty")
-    ev = df.select(user_col, type_col, ts_col)
-    out = (
-        ev.where(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias("t_1"))
+    ev = df.select(user_col, type_col, ts_col).where(
+        F.col(type_col).isin([str(s) for s in steps])
+    )
+    w = Window.partitionBy(user_col)
+    out = ev.withColumn(
+        "t_1", F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).over(w)
     )
     for i, step in enumerate(steps[1:], start=2):
-        nxt = (
-            ev.where(F.col(type_col) == step)
-            .join(out.select(user_col, f"t_{i-1}"), user_col)
-            .where(F.col(ts_col) > F.col(f"t_{i-1}"))
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias(f"t_{i}"))
+        out = out.withColumn(
+            f"t_{i}",
+            F.min(
+                F.when(
+                    (F.col(type_col) == step)
+                    & (F.col(ts_col) > F.col(f"t_{i-1}")),
+                    F.col(ts_col),
+                )
+            ).over(w),
         )
-        out = out.join(nxt, user_col, "left")
-    return out
+    tcols = [f"t_{i}" for i in range(1, len(steps) + 1)]
+    return (
+        out.where(F.col("t_1").isNotNull())
+        .groupBy(user_col)
+        .agg(*[F.first(c).alias(c) for c in tcols])
+    )
 
 
 def funnel_conversion(
@@ -67,16 +81,25 @@ def funnel_conversion(
             for i in range(1, len(steps) + 1)
         ]
     )
-    rows = None
-    for i, step in enumerate(steps, start=1):
-        r = counts.select(
-            F.lit(i).cast("int").alias("step_index"),
-            F.lit(step).alias("step"),
-            F.col(f"_n{i}").cast("bigint").alias("n_users"),
-            (F.col(f"_n{i}") / F.col("_n1")).cast("double").alias("conversion"),
+    # one row per step via inline(array<struct>) — a single pass over the
+    # 1-row counts frame instead of a k-way union
+    return counts.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("step_index"),
+                        F.lit(step).alias("step"),
+                        F.col(f"_n{i}").cast("bigint").alias("n_users"),
+                        (F.col(f"_n{i}") / F.col("_n1"))
+                        .cast("double")
+                        .alias("conversion"),
+                    )
+                    for i, step in enumerate(steps, start=1)
+                ]
+            )
         )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows
+    )
 
 
 def cohort_retention(

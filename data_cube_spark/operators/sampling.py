@@ -136,13 +136,14 @@ def shuffle_positions(
     dense position 1..N ordered by its md5 draw — a reproducible uniform
     permutation of the corpus.
 
-    Distributed two-stage ranking (``functions.add_surrogate_key`` over
-    the draw): range-partition on the draw, rank per partition, add
-    collected per-partition offsets — never a single-reducer global
-    window. The draw of a unique key is collision-free at corpus scale
-    (128-bit), so positions are dense and unique."""
-    from data_cube_spark.functions import add_surrogate_key
+    Distributed ranking (``functions.add_dense_positions`` over the
+    draw): range-partition on the draw, sort within partitions, add
+    collected per-partition offsets — one shuffle, no dedupe/join-back,
+    never a single-reducer global window. The draw of a unique key is
+    collision-free at corpus scale (128-bit), so positions are dense and
+    unique."""
+    from data_cube_spark.functions import add_dense_positions
 
     with_draw = df.withColumn("_draw", draw_hex(key, salt))
-    out = add_surrogate_key(with_draw, ["_draw"], pos_col)
+    out = add_dense_positions(with_draw, ["_draw"], pos_col)
     return out.drop("_draw")

@@ -278,3 +278,27 @@ def test_grouping_sets_expand_only_requested(spark):
     assert m, plan
     n_sets = m.group(1).count("], [") + 1
     assert n_sets == 3, f"expected 3 grouping sets, got {n_sets}"
+
+
+def test_funnel_single_shuffle_no_joins(spark, tables):
+    """k funnel steps must cost ONE user-key shuffle (stacked windows over
+    the same partitioning), plus the final 1-row reduce — never the naive
+    per-step join+aggregate rounds."""
+    from data_cube_spark.operators.funnel import funnel_conversion
+
+    df = funnel_conversion(tables["events"], ["view", "click", "purchase"])
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_shuffle_order_lean_plan(spark, tables):
+    """Global shuffle positions: one range exchange (plus the persisted
+    scan) — no dedupe shuffle, no join-back, no Exchange SinglePartition."""
+    from data_cube_spark.operators.sampling import shuffle_positions
+
+    df = shuffle_positions(tables["documents"])
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert count_exchanges(df) <= 2, plan
