@@ -81,14 +81,14 @@ _DRIVER_PRIORITY = [
     "cube_store_roundtrip",
     "salted_join_agg",
     "window_moving_avg",
-    # -- slots 46-50: re-verify queries whose implementation changed since
-    #    their r01 row (max_df cap, LSH pair-source rewire, size-gated
-    #    broadcasts)
+    # -- new this round (no row anywhere yet)
+    "incremental_dedup_keep",
+    "incremental_minhash_pairs",
+    "quantile_bins",
+    # -- remaining slots: re-verify queries whose implementation changed
+    #    since their r01 row (max_df cap, LSH pair-source rewire)
     "ngram_jaccard_pairs",
     "semantic_dedup_keep",
-    "embedding_near_pairs",
-    "dedup_exact",
-    "ann_cosine_topk",
 ]
 
 

@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "topk_parts_per_brand",
     "dedup_exact",
     "ngram_jaccard_pairs",
+    "incremental_dedup_keep",
+    "incremental_minhash_pairs",
     "minhash_lsh_pairs",
     "semantic_dedup_keep",
     "ann_cosine_topk",
@@ -56,6 +58,7 @@ BENCH_QUERIES = [
     "tfidf_keywords",
     "grouping_sets_explicit",
     "winsorized_price_stats",
+    "quantile_bins",
     "price_histogram",
     "funnel_conversion",
     "cohort_retention",

@@ -176,6 +176,129 @@ def ngram_jaccard_pairs(
     return out
 
 
+# -- incremental dedup: new batch vs standing corpus ------------------------
+
+def incremental_ngram_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    hash_shingles: bool = False,
+    cache: bool = True,
+) -> DataFrame:
+    """Exact n-gram Jaccard of each NEW (batch) document against the
+    standing corpus — the continuous-ingest twin of
+    :func:`ngram_jaccard_pairs`.
+
+    The inverted-index equi-join is batch-shingles × corpus-shingles
+    ONLY, never corpus × corpus: a small daily batch against a 100 TB
+    corpus costs O(batch shingles + matched corpus postings), not a
+    corpus self-join (in production the corpus shingle table is the
+    standing index, written once and bucketed by shingle). ``max_df``
+    caps document frequency computed over BOTH sides, dropping stop
+    shingles before the join — the same boundedness contract as the
+    self-join variant. Returns (batch_id, corpus_id, jaccard) with
+    ``jaccard >= threshold``."""
+    sh_b = shingle_table(batch, text_col, id_col, k, hashed=hash_shingles)
+    sh_c = shingle_table(corpus, text_col, id_col, k, hashed=hash_shingles)
+    if max_df is not None:
+        freq = (
+            sh_b.unionByName(sh_c)
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh_b = sh_b.join(freq, "shingle")
+        sh_c = sh_c.join(freq, "shingle")
+    if cache:
+        sh_b = sh_b.persist()
+        sh_c = sh_c.persist()
+    sz_b = sh_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz_a")).select(
+        F.col(id_col).alias("batch_id"), "_sz_a")
+    sz_c = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz_b")).select(
+        F.col(id_col).alias("corpus_id"), "_sz_b")
+    inter = (
+        sh_b.select(F.col(id_col).alias("batch_id"), "shingle")
+        .join(sh_c.select(F.col(id_col).alias("corpus_id"), "shingle"), "shingle")
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.join(sz_b, "batch_id").join(sz_c, "corpus_id")
+        .select(
+            "batch_id", "corpus_id",
+            (F.col("_inter")
+             / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")))
+            .cast("double").alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_dedup_keep(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Batch documents that are NOT near-duplicates of the standing corpus
+    (the rows a continuous ingest pipeline appends). Anti-join against the
+    incremental pair source; kwargs pass through to
+    :func:`incremental_ngram_pairs`."""
+    pairs = incremental_ngram_pairs(batch, corpus, text_col, id_col, **kwargs)
+    dup_ids = pairs.select(F.col("batch_id").alias(id_col)).dropDuplicates()
+    return batch.join(dup_ids, id_col, "left_anti")
+
+
+def incremental_minhash_pairs(
+    batch: DataFrame,
+    corpus_signatures: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup check of a new batch against a PRECOMPUTED
+    corpus signature table (the scale path for incremental dedup: corpus
+    signatures are written once — 64 longs per document — and only the
+    batch is shingled per run).
+
+    Banding both sides and equi-joining on (band_id, band_hash) yields
+    batch×corpus candidates only; estimated Jaccard from signature
+    agreement filters to ``>= threshold``. Returns (batch_id, corpus_id,
+    est_jaccard)."""
+    rows = num_hashes // bands
+    sig_b = minhash_signatures(batch, text_col, id_col, num_hashes, k).persist()
+    bb = banded_buckets(sig_b, id_col, bands, rows).select(
+        F.col(id_col).alias("batch_id"), "band_id", "band_hash")
+    bc = banded_buckets(corpus_signatures, id_col, bands, rows).select(
+        F.col(id_col).alias("corpus_id"), "band_id", "band_hash")
+    cands = (bb.join(bc, ["band_id", "band_hash"])
+             .select("batch_id", "corpus_id").dropDuplicates())
+    sa = sig_b.select(F.col(id_col).alias("batch_id"),
+                      F.col("signature").alias("_sig_a"))
+    sc_ = corpus_signatures.select(F.col(id_col).alias("corpus_id"),
+                                   F.col("signature").alias("_sig_b"))
+    matches = F.aggregate(
+        F.zip_with("_sig_a", "_sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.join(sa, "batch_id").join(sc_, "corpus_id")
+        .select("batch_id", "corpus_id",
+                (matches / F.lit(num_hashes)).cast("double").alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
 # -- paragraph-level exact dedup --------------------------------------------
 
 def paragraph_dedup(
@@ -276,20 +399,18 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def banded_buckets(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Band the signatures and bucket-join: two docs are candidates iff some
-    band of their signatures hashes identically. P(candidate) ≈
-    1-(1-j^r)^b — with 16 bands × 4 rows the curve is steep around j≈0.5.
-
-    The pair join happens *within buckets only* (groupBy band_id+band_hash),
-    never across the whole corpus."""
-    n = bands * rows_per_band
-    banded = signatures.select(
+    """(id, band_id, band_hash) rows: each signature split into ``bands``
+    bands of ``rows_per_band`` positions, each band hashed to one 8-byte
+    bucket key. The building block for both the self-join
+    (:func:`lsh_candidate_pairs`) and the batch-vs-corpus incremental
+    join (:func:`incremental_minhash_pairs`)."""
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(*[
@@ -302,6 +423,21 @@ def lsh_candidate_pairs(
             ])
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and bucket-join: two docs are candidates iff some
+    band of their signatures hashes identically. P(candidate) ≈
+    1-(1-j^r)^b — with 16 bands × 4 rows the curve is steep around j≈0.5.
+
+    The pair join happens *within buckets only* (groupBy band_id+band_hash),
+    never across the whole corpus."""
+    banded = banded_buckets(signatures, id_col, bands, rows_per_band)
     a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     return (

@@ -59,6 +59,60 @@ def equi_width_histogram(
     )
 
 
+def equi_depth_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Equi-depth (quantile) binning: nearest-rank cuts at ``i/n_bins``
+    within each group; a row's bin is the number of cuts strictly below
+    its value (ties land in the lower bin). Output one row per (group,
+    bin): counts plus the observed value range of the bin.
+
+    Same scale shape as :func:`winsorize_stats`: per-group rank window +
+    one-row-per-group cuts broadcast back, then a hash aggregate — no
+    global sort, no single reducer (NTILE over an unpartitioned window
+    would be one). The nearest-rank cuts are actual data values, so the
+    DuckDB oracle reproduces them bit-for-bit; at 100 TB swap the exact
+    rank for ``percentile_approx`` cuts with no interface change."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    by = list(by or [])
+    w = Window.partitionBy(*by)
+    ranked = df.select(*by, value_col).withColumn(
+        "_rn", F.row_number().over(
+            Window.partitionBy(*by).orderBy(F.col(value_col).asc())
+        )
+    ).withColumn("_n", F.count(F.lit(1)).over(w))
+    cut_aggs = []
+    for i in range(1, n_bins):
+        pos = F.greatest(F.ceil(F.lit(i / n_bins) * F.col("_n")), F.lit(1))
+        cut_aggs.append(
+            F.max(F.when(F.col("_rn") == pos, F.col(value_col)))
+            .alias(f"_cut_{i}")
+        )
+    cuts = ranked.groupBy(*by).agg(*cut_aggs)
+    join_on = by if by else None
+    src = df.select(*by, value_col)
+    joined = (src.join(F.broadcast(cuts), join_on) if join_on
+              else src.crossJoin(F.broadcast(cuts)))
+    bin_id = sum(
+        (F.col(value_col) > F.col(f"_cut_{i}")).cast("int")
+        for i in range(1, n_bins)
+    )
+    return (
+        joined.select(*by, F.col(value_col).alias("_v"),
+                      bin_id.cast("int").alias("bin_id"))
+        .groupBy(*by, "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_v").alias("bin_min"),
+            F.max("_v").alias("bin_max"),
+        )
+    )
+
+
 def winsorize_stats(
     df: DataFrame,
     value_col: str,

@@ -1039,6 +1039,37 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: odd doc_ids are the NEW batch, even the
+    standing corpus; keep the batch docs that are not near-duplicates
+    (3-gram Jaccard >= 0.05) of any corpus doc. The inverted-index join is
+    batch x corpus only — never a corpus self-join
+    (operators/dedup.py::incremental_dedup_keep)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    kept = dedup.incremental_dedup_keep(
+        batch, corpus, k=3, threshold=0.05, max_df=NGRAM_MAX_DF,
+    )
+    return kept.select("doc_id")
+
+
+def q_incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for continuous-ingest dedup: batch (odd doc_ids) banded
+    against a PRECOMPUTED corpus signature table (even doc_ids) — only the
+    batch is shingled per run; candidates come from the (band_id,
+    band_hash) equi-join (rows-only; recall vs the exact incremental pairs
+    is asserted in tests)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    corpus_sigs = dedup.minhash_signatures(
+        docs.where(F.col("doc_id") % 2 == 0))
+    return dedup.incremental_minhash_pairs(
+        batch, corpus_sigs, threshold=0.3)
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated Jaccard (not
     SQL-expressible — rows-only check; exactness verified in tests against
@@ -1466,6 +1497,22 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("position").cast("bigint").alias("position"))
 
 
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartile binning of l_extendedprice per return flag:
+    nearest-rank cuts broadcast back, bin = #cuts strictly below the value
+    (operators/stats.py::equi_depth_bins) — no NTILE single-reducer sort."""
+    from data_cube_spark.operators.stats import equi_depth_bins
+
+    t = load_tables(spark, sf_dir)
+    out = equi_depth_bins(t["lineitem"], "l_extendedprice", 4,
+                          by=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "bin_id", "n_rows",
+        F.col("bin_min").cast("double").alias("bin_min"),
+        F.col("bin_max").cast("double").alias("bin_max"),
+    )
+
+
 def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier-robust per-flag price stats: clip to nearest-rank 5th/95th
     percentile cuts, count clipped rows, decimal-exact winsorized mean.
@@ -1824,6 +1871,8 @@ QUERIES: dict[str, QueryFn] = {
     "text_fingerprint": q_text_fingerprint,
     "text_repetition": q_text_repetition,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "incremental_dedup_keep": q_incremental_dedup_keep,
+    "incremental_minhash_pairs": q_incremental_minhash_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1860,6 +1909,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_stream_dedup": q_events_stream_dedup,
     "grouping_sets_explicit": q_grouping_sets_explicit,
     "winsorized_price_stats": q_winsorized_price_stats,
+    "quantile_bins": q_quantile_bins,
     "pack_sequences": q_pack_sequences,
     "pack_greedy": q_pack_greedy,
     "events_hourly": q_events_hourly,
@@ -1949,6 +1999,38 @@ def _ngram_jaccard_sql(threshold: float = 0.05, max_df: int | None = None) -> st
       WHERE CAST(i.n AS DOUBLE) / (sa.n + sb.n - i.n) >= {threshold}
     """
 
+
+
+def _incremental_keep_sql(threshold: float, max_df: int) -> str:
+    # mirror of operators/dedup.py::incremental_dedup_keep — odd doc_ids
+    # are the batch, even the corpus; document frequency for the stop-
+    # shingle cap is computed over BOTH sides (= all documents), sizes
+    # after the cap, exactly like the operator
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+      sh0 AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM toks WHERE len(t) >= 3)),
+      freq AS (SELECT shingle FROM sh0 GROUP BY shingle
+               HAVING COUNT(*) <= {max_df}),
+      sh AS (SELECT sh0.* FROM sh0 JOIN freq USING (shingle)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, COUNT(*) AS n
+        FROM sh b JOIN sh c ON b.shingle = c.shingle
+        WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        GROUP BY 1, 2),
+      dup AS (
+        SELECT DISTINCT batch_id FROM inter i
+        JOIN sz sa ON sa.doc_id = i.batch_id
+        JOIN sz sb ON sb.doc_id = i.corpus_id
+        WHERE CAST(i.n AS DOUBLE) / (sa.n + sb.n - i.n) >= {threshold})
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 1
+        AND doc_id NOT IN (SELECT batch_id FROM dup)
+    """
 
 
 def _pipeline_sql() -> str:
@@ -2496,6 +2578,7 @@ ORACLE: dict[str, str] = {
       FROM documents
     """,
     "ngram_jaccard_pairs": _ngram_jaccard_sql(max_df=NGRAM_MAX_DF),
+    "incremental_dedup_keep": _incremental_keep_sql(0.05, NGRAM_MAX_DF),
     "embedding_centroids": """
       SELECT label, CAST(i - 1 AS INT) AS pos,
              CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS centroid_val
@@ -2839,6 +2922,32 @@ ORACLE: dict[str, str] = {
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY event_type
+    """,
+    "quantile_bins": """
+      WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+      cuts AS (
+        SELECT l_returnflag,
+               MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.25 * n) AS BIGINT), 1)
+                        THEN v END) AS c1,
+               MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.5 * n) AS BIGINT), 1)
+                        THEN v END) AS c2,
+               MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.75 * n) AS BIGINT), 1)
+                        THEN v END) AS c3
+        FROM ranked GROUP BY l_returnflag)
+      SELECT li.l_returnflag,
+             CAST(CAST(li.l_extendedprice > c1 AS INT)
+                  + CAST(li.l_extendedprice > c2 AS INT)
+                  + CAST(li.l_extendedprice > c3 AS INT) AS INT) AS bin_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(li.l_extendedprice) AS DOUBLE) AS bin_min,
+             CAST(MAX(li.l_extendedprice) AS DOUBLE) AS bin_max
+      FROM lineitem li JOIN cuts USING (l_returnflag)
+      GROUP BY 1, 2
     """,
     "winsorized_price_stats": """
       WITH ranked AS (

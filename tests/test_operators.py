@@ -644,3 +644,70 @@ def test_equi_width_histogram_clamps_edges(spark):
     assert got == {0: (0.0, 5.0, 3), 1: (5.0, 10.0, 4)}
     with pytest.raises(ValueError):
         equi_width_histogram(df, "v", 0, 0.0, 10.0)
+
+
+def test_incremental_ngram_matches_self_join_restriction(spark, tables):
+    """The batch-vs-corpus pair source must equal the self-join pair set
+    restricted to cross-parity pairs (same shingles, same freq cap, same
+    sizes) — incremental dedup is a restriction, not a new similarity."""
+    docs = tables["documents"].limit(120)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    inc = {
+        (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in dedup.incremental_ngram_pairs(
+            batch, corpus, threshold=0.05).collect()
+    }
+    full = dedup.ngram_jaccard_pairs(docs, threshold=0.05)
+    expected = {
+        (r["id_a"], r["id_b"]) if r["id_a"] % 2 == 1 else (r["id_b"], r["id_a"])
+        for r in full.collect()
+        if (r["id_a"] % 2) != (r["id_b"] % 2)
+    }
+    assert {(b, c) for b, c, _ in inc} == expected
+
+
+def test_incremental_minhash_finds_injected_near_dup(spark):
+    """A batch doc that is a near-copy of a corpus doc must surface as an
+    incremental LSH pair; an unrelated batch doc must not."""
+    corpus = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog again and again"),
+         (4, "completely different words here nothing shared at all today")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and once"),
+         (3, "unrelated fresh content with no overlap whatsoever in sight")],
+        "doc_id long, text string")
+    sigs = dedup.minhash_signatures(corpus)
+    pairs = {(r["batch_id"], r["corpus_id"])
+             for r in dedup.incremental_minhash_pairs(
+                 batch, sigs, threshold=0.3).collect()}
+    assert (1, 2) in pairs
+    assert all(b != 3 for b, _ in pairs)
+
+
+def test_incremental_keep_drops_only_corpus_dups(spark):
+    corpus = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (3, "nothing in common with that corpus document at all here")],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup.incremental_dedup_keep(
+        batch, corpus, threshold=0.5).collect())
+    assert kept == [3]
+
+
+def test_equi_depth_bins_counts_and_ties(spark):
+    """Quartile bins over 1..8 are perfectly balanced; an all-equal group
+    collapses into bin 0 (ties never split across bins)."""
+    from data_cube_spark.operators.stats import equi_depth_bins
+
+    rows = [("a", float(v)) for v in range(1, 9)] + [("b", 5.0)] * 6
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r["g"], r["bin_id"]): r["n_rows"]
+           for r in equi_depth_bins(df, "v", 4, by=["g"]).collect()}
+    assert out[("a", 0)] == 2 and out[("a", 1)] == 2
+    assert out[("a", 2)] == 2 and out[("a", 3)] == 2
+    assert out[("b", 0)] == 6 and ("b", 1) not in out
