@@ -85,6 +85,7 @@ _DRIVER_PRIORITY = [
     "incremental_dedup_keep",
     "incremental_minhash_pairs",
     "quantile_bins",
+    "multimodal_frames",
     # -- remaining slots: re-verify queries whose implementation changed
     #    since their r01 row (max_df cap, LSH pair-source rewire)
     "ngram_jaccard_pairs",

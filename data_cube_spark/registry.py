@@ -1051,6 +1051,7 @@ def q_incremental_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     kept = dedup.incremental_dedup_keep(
         batch, corpus, k=3, threshold=0.05, max_df=NGRAM_MAX_DF,
+        hash_shingles=True,
     )
     return kept.select("doc_id")
 
@@ -1160,6 +1161,19 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     media = multimodal.synth_wav_media(t["documents"])
     return multimodal.audio_features(media)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: the fake payload stands in for a video
+    asset; one row per sampled frame index (metadata-derived frame count,
+    stride 30) — the explode shape a real sampler feeds to a decode stage
+    (operators/multimodal.py::frame_sample_plan)."""
+    t = load_tables(spark, sf_dir)
+    media = multimodal.as_media_table(
+        t["documents"].select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("_payload")),
+        "doc_id", "_payload", media_type="video")
+    return multimodal.frame_sample_plan(media, every_n=30)
 
 
 def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1882,6 +1896,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "embedding_centroids": q_embedding_centroids,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
     "sketch_aggregates": q_sketch_aggregates,
@@ -2586,6 +2601,14 @@ ORACLE: dict[str, str] = {
                    unnest(generate_series(1, len(embedding))) AS i
             FROM embeddings)
       GROUP BY 1, 2
+    """,
+    "multimodal_frames": """
+      SELECT CAST(doc_id AS BIGINT) AS asset_id,
+             CAST(unnest(generate_series(
+                    0,
+                    greatest(CAST(octet_length(encode(text)) // 1000 AS INT) - 1, 0),
+                    30)) AS INT) AS frame_index
+      FROM documents
     """,
     "multimodal_meta": """
       SELECT CAST(doc_id AS BIGINT) AS asset_id, 'image' AS media_type,
