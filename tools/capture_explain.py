@@ -125,6 +125,19 @@ CURATED: dict[str, str] = {
         "the driver). No dedupe shuffle, no join-back, never "
         "Exchange SinglePartition."
     ),
+    "incremental_dedup_keep": (
+        "Incremental dedup: batch shingles equi-join the corpus postings "
+        "only (no corpus self-join); max_df cap bounds the posting lists; "
+        "survivors via left_anti."
+    ),
+    "quantile_bins": (
+        "Equi-depth bins: per-group rank window -> one-row-per-group cuts "
+        "broadcast back -> hash aggregate. No NTILE single-reducer sort."
+    ),
+    "multimodal_frames": (
+        "Frame-sampling plan: sequence+explode over metadata, zero "
+        "shuffles — the fan-out shape feeding a decode stage."
+    ),
     "ngram_jaccard_pairs": (
         "N-gram Jaccard: inverted-index equi-join on hashed shingle with "
         "max_df stop-shingle cap; candidate count bounded, no cross join."
