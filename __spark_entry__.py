@@ -86,6 +86,7 @@ _DRIVER_PRIORITY = [
     "incremental_minhash_pairs",
     "quantile_bins",
     "multimodal_frames",
+    "key_skew_users",
     # -- remaining slots: re-verify queries whose implementation changed
     #    since their r01 row (max_df cap, LSH pair-source rewire)
     "ngram_jaccard_pairs",

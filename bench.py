@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "grouping_sets_explicit",
     "winsorized_price_stats",
     "quantile_bins",
+    "key_skew_users",
     "price_histogram",
     "funnel_conversion",
     "cohort_retention",

@@ -59,6 +59,35 @@ def equi_width_histogram(
     )
 
 
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Shuffle-skew diagnosis for a join/aggregation key: the ``top_n``
+    hottest key values with row counts and share of the table. The max
+    share bounds any shuffled operation on this key — one reducer owns
+    that fraction of the rows — which is the decision input for
+    :func:`...joins.salted_join` salt factors and AQE skew thresholds.
+
+    One map-side-combined aggregate on the key, a scalar total broadcast
+    back, and a global top-k (TakeOrderedAndProject — never a full sort).
+    Ranks are tie-broken by key value so the profile is deterministic."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    order = [F.col("n_rows").desc()] + [F.col(c).asc() for c in key_cols]
+    top = counts.orderBy(*order).limit(int(top_n))
+    w = Window.orderBy(*order)  # <= top_n rows: single-partition window is fine
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "rank", *key_cols, "n_rows",
+            (F.col("n_rows") / F.col("_total")).cast("double").alias("share"),
+        )
+    )
+
+
 def equi_depth_bins(
     df: DataFrame,
     value_col: str,

@@ -1511,6 +1511,16 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("position").cast("bigint").alias("position"))
 
 
+def q_key_skew_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew profile of events.user_id: the 10 hottest users with
+    row share — the decision input for salting / AQE skew handling
+    (operators/stats.py::key_skew_profile)."""
+    from data_cube_spark.operators.stats import key_skew_profile
+
+    t = load_tables(spark, sf_dir)
+    return key_skew_profile(t["events"], ["user_id"], top_n=10)
+
+
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth quartile binning of l_extendedprice per return flag:
     nearest-rank cuts broadcast back, bin = #cuts strictly below the value
@@ -1925,6 +1935,7 @@ QUERIES: dict[str, QueryFn] = {
     "grouping_sets_explicit": q_grouping_sets_explicit,
     "winsorized_price_stats": q_winsorized_price_stats,
     "quantile_bins": q_quantile_bins,
+    "key_skew_users": q_key_skew_users,
     "pack_sequences": q_pack_sequences,
     "pack_greedy": q_pack_greedy,
     "events_hourly": q_events_hourly,
@@ -2945,6 +2956,17 @@ ORACLE: dict[str, str] = {
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY event_type
+    """,
+    "key_skew_users": """
+      WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+      t AS (SELECT SUM(n) AS total FROM c),
+      r AS (SELECT user_id, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rank
+            FROM c)
+      SELECT CAST(rank AS INT) AS rank, user_id,
+             CAST(n AS BIGINT) AS n_rows,
+             CAST(n AS DOUBLE) / total AS share
+      FROM r, t WHERE rank <= 10
     """,
     "quantile_bins": """
       WITH ranked AS (

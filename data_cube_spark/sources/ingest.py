@@ -75,6 +75,32 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_range_layout(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist with a RANGE layout on ``sort_cols``: rows are range-
+    partitioned (each output file covers a disjoint sort-key interval) and
+    sorted within files (row groups inside a file are also disjoint).
+
+    This is the data-skipping half of the storage story, complementing
+    :func:`write_bucketed` (which serves equi-joins): parquet footers keep
+    min/max per row group, so a later ``WHERE sort_col BETWEEN ...`` scan
+    prunes whole files/row groups from the driver before any task runs —
+    at 100 TB a selective time- or key-range query touches only the files
+    whose interval overlaps the predicate. Pair with a partition column
+    (date) for directory-level pruning; this handles the within-partition
+    ordering parquet statistics need to be useful.
+    """
+    cols = [F.col(c) for c in sort_cols]
+    out = (df.repartitionByRange(int(n_files), *cols) if n_files
+           else df.repartitionByRange(*cols))
+    out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
 def surrogate_keyed_star(
     df: DataFrame,
     dims: Mapping[str, Sequence[str]],

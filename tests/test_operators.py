@@ -711,3 +711,14 @@ def test_equi_depth_bins_counts_and_ties(spark):
     assert out[("a", 0)] == 2 and out[("a", 1)] == 2
     assert out[("a", 2)] == 2 and out[("a", 3)] == 2
     assert out[("b", 0)] == 6 and ("b", 1) not in out
+
+
+def test_key_skew_profile_finds_hot_key(spark):
+    from data_cube_spark.operators.stats import key_skew_profile
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, ["k"], top_n=2).collect()
+    assert [(r["rank"], r["k"], r["n_rows"]) for r in out] == [
+        (1, "hot", 60), (2, "warm", 30)]
+    assert abs(out[0]["share"] - 0.6) < 1e-12

@@ -97,3 +97,36 @@ def test_save_cube_rejects_callable_measures(spark, tmp_path):
     dc = from_table(df, {"d": "k"}, [Measure("m", "v", agg=lambda s: float(s.sum()))])
     with pytest.raises(ValueError):
         save_cube(dc, str(tmp_path / "bad"))
+
+
+def test_write_range_layout_files_cover_disjoint_ranges(spark, tables, tmp_path):
+    """Every output file's (min, max) interval of the sort key must be
+    disjoint from every other file's — the property parquet footer
+    statistics need for driver-side file/row-group pruning."""
+    import pyarrow.parquet as pq
+
+    from data_cube_spark.sources.ingest import write_range_layout
+
+    path = str(tmp_path / "range_layout")
+    write_range_layout(
+        tables["lineitem"].select("l_orderkey", "l_quantity"),
+        path, ["l_orderkey"], n_files=8)
+
+    import glob
+    spans = []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            mins.append(st.min); maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    assert len(spans) > 1
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b, f"overlapping file ranges: {spans}"
+
+    # and the filter actually reaches the scan
+    from data_cube_spark.plans import pushed_filters
+    back = spark.read.parquet(path).where(F.col("l_orderkey") < 100)
+    assert "l_orderkey" in pushed_filters(back)
