@@ -104,7 +104,8 @@ def main() -> None:
     # timed sf runs reuse them); skip silently if the tiny dir is absent
     tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(tiny) and tiny != sf_dir.rstrip("/"):
-        for name in ("ngram_jaccard_pairs", "minhash_lsh_pairs"):
+        for name in ("ngram_jaccard_pairs", "minhash_lsh_pairs",
+                     "incremental_dedup_keep", "incremental_minhash_pairs"):
             try:
                 QUERIES[name](spark, tiny).count()
             except Exception:

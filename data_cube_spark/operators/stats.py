@@ -88,11 +88,51 @@ def key_skew_profile(
     )
 
 
+def _percentile_cuts(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    cuts: dict[str, float],
+    approx: bool = False,
+) -> DataFrame:
+    """One row per group with a column per requested percentile cut.
+
+    ``approx=False``: exact nearest-rank cuts via a per-group rank window
+    — bit-reproducible against any engine (every cut is a real data
+    value), but the sort runs on one reducer PER GROUP, so with few groups
+    this is the small-group-count bottleneck.
+
+    ``approx=True``: ``percentile_approx`` (t-digest) cuts — a mergeable
+    sketch aggregate with map-side partial merge: no sort, no per-group
+    reducer bottleneck, the 100 TB path. Accuracy vs exact is asserted in
+    tests; results are engine-specific, so oracle queries use the exact
+    variant."""
+    if approx:
+        return df.groupBy(*by).agg(*[
+            F.percentile_approx(value_col, q, 10000).alias(name)
+            for name, q in cuts.items()
+        ])
+    w = Window.partitionBy(*by)
+    ranked = df.select(*by, value_col).withColumn(
+        "_rn", F.row_number().over(
+            Window.partitionBy(*by).orderBy(F.col(value_col).asc())
+        )
+    ).withColumn("_n", F.count(F.lit(1)).over(w))
+    aggs = []
+    for name, q in cuts.items():
+        pos = F.greatest(F.ceil(F.lit(q) * F.col("_n")), F.lit(1))
+        aggs.append(
+            F.max(F.when(F.col("_rn") == pos, F.col(value_col))).alias(name)
+        )
+    return ranked.groupBy(*by).agg(*aggs)
+
+
 def equi_depth_bins(
     df: DataFrame,
     value_col: str,
     n_bins: int,
     by: list[str] | None = None,
+    approx: bool = False,
 ) -> DataFrame:
     """Equi-depth (quantile) binning: nearest-rank cuts at ``i/n_bins``
     within each group; a row's bin is the number of cuts strictly below
@@ -108,20 +148,11 @@ def equi_depth_bins(
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     by = list(by or [])
-    w = Window.partitionBy(*by)
-    ranked = df.select(*by, value_col).withColumn(
-        "_rn", F.row_number().over(
-            Window.partitionBy(*by).orderBy(F.col(value_col).asc())
-        )
-    ).withColumn("_n", F.count(F.lit(1)).over(w))
-    cut_aggs = []
-    for i in range(1, n_bins):
-        pos = F.greatest(F.ceil(F.lit(i / n_bins) * F.col("_n")), F.lit(1))
-        cut_aggs.append(
-            F.max(F.when(F.col("_rn") == pos, F.col(value_col)))
-            .alias(f"_cut_{i}")
-        )
-    cuts = ranked.groupBy(*by).agg(*cut_aggs)
+    cuts = _percentile_cuts(
+        df, value_col, by,
+        {f"_cut_{i}": i / n_bins for i in range(1, n_bins)},
+        approx=approx,
+    )
     join_on = by if by else None
     src = df.select(*by, value_col)
     joined = (src.join(F.broadcast(cuts), join_on) if join_on
@@ -148,6 +179,7 @@ def winsorize_stats(
     by: list[str],
     lo_frac: float = 0.05,
     hi_frac: float = 0.95,
+    approx: bool = False,
 ) -> DataFrame:
     """Winsorized per-group statistics: clip ``value_col`` to the
     [nearest-rank ``lo_frac``, ``hi_frac``] cuts within each group, then
@@ -156,18 +188,14 @@ def winsorize_stats(
     clipped values over n, surfaced as double).
 
     Two shuffles on ``by`` (rank window + final aggregate); the clip
-    itself is a pure projection."""
-    w = Window.partitionBy(*by)
-    ranked = df.select(*by, value_col).withColumn(
-        "_rn", F.row_number().over(
-            Window.partitionBy(*by).orderBy(F.col(value_col).asc())
-        )
-    ).withColumn("_n", F.count(F.lit(1)).over(w))
-    lo_pos = F.greatest(F.ceil(F.lit(lo_frac) * F.col("_n")), F.lit(1))
-    hi_pos = F.greatest(F.ceil(F.lit(hi_frac) * F.col("_n")), F.lit(1))
-    cuts = ranked.groupBy(*by).agg(
-        F.max(F.when(F.col("_rn") == lo_pos, F.col(value_col))).alias("lo_cut"),
-        F.max(F.when(F.col("_rn") == hi_pos, F.col(value_col))).alias("hi_cut"),
+    itself is a pure projection. ``approx=True`` swaps the exact rank
+    cuts for t-digest ``percentile_approx`` — no per-group sort reducer,
+    the path for few-groups-huge-rows inputs (see
+    :func:`_percentile_cuts`)."""
+    cuts = _percentile_cuts(
+        df, value_col, by,
+        {"lo_cut": lo_frac, "hi_cut": hi_frac},
+        approx=approx,
     )
     clipped = (
         df.select(*by, value_col)

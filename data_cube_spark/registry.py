@@ -1065,8 +1065,10 @@ def q_incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     batch = docs.where(F.col("doc_id") % 2 == 1)
+    # persist: the signature table feeds both the banding explosion and
+    # the estimate join (in production it is a stored index, read twice)
     corpus_sigs = dedup.minhash_signatures(
-        docs.where(F.col("doc_id") % 2 == 0))
+        docs.where(F.col("doc_id") % 2 == 0)).persist()
     return dedup.incremental_minhash_pairs(
         batch, corpus_sigs, threshold=0.3)
 

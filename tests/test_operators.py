@@ -722,3 +722,38 @@ def test_key_skew_profile_finds_hot_key(spark):
     assert [(r["rank"], r["k"], r["n_rows"]) for r in out] == [
         (1, "hot", 60), (2, "warm", 30)]
     assert abs(out[0]["share"] - 0.6) < 1e-12
+
+
+def test_approx_cuts_track_exact(spark, tables):
+    """The approx=True (t-digest) path must track the exact nearest-rank
+    results closely on real data, and its plan must contain NO window sort
+    (the per-group-reducer bottleneck the approx path exists to remove)."""
+    from data_cube_spark.operators.stats import winsorize_stats
+    from data_cube_spark.plans import explain_str
+
+    li = tables["lineitem"]
+    exact = {r["l_returnflag"]: r for r in winsorize_stats(
+        li, "l_extendedprice", ["l_returnflag"]).collect()}
+    approx = winsorize_stats(li, "l_extendedprice", ["l_returnflag"],
+                             approx=True)
+    assert "Window" not in explain_str(approx, "simple")
+    for r in approx.collect():
+        e = exact[r["l_returnflag"]]
+        assert abs(r["winsorized_mean"] - e["winsorized_mean"]) \
+            / e["winsorized_mean"] < 0.01
+        assert r["n_rows"] == e["n_rows"]
+
+
+def test_equi_depth_bins_approx_balanced(spark, tables):
+    """Approx quartiles on real data still produce near-balanced bins."""
+    from data_cube_spark.operators.stats import equi_depth_bins
+
+    out = equi_depth_bins(tables["lineitem"], "l_extendedprice", 4,
+                          by=["l_returnflag"], approx=True).collect()
+    by_flag = {}
+    for r in out:
+        by_flag.setdefault(r["l_returnflag"], []).append(r["n_rows"])
+    for flag, counts in by_flag.items():
+        tot = sum(counts)
+        for c in counts:
+            assert abs(c / tot - 0.25) < 0.05, (flag, counts)
