@@ -1,0 +1,57 @@
+"""CLI runner: execute any registry query against a parquet star directory.
+
+    python -m data_cube_spark list                      # query names
+    python -m data_cube_spark run QUERY [SF_DIR] [-n N] # show N rows
+    python -m data_cube_spark explain QUERY [SF_DIR]    # physical plan
+
+The same surface the driver contract exposes programmatically, for humans:
+`run` prints the first rows (never collects the full result), `explain`
+prints the formatted physical plan for plan-shape inspection.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="data_cube_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list", help="list registry query names")
+    for c in ("run", "explain"):
+        p = sub.add_parser(c)
+        p.add_argument("query")
+        p.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+        if c == "run":
+            p.add_argument("-n", type=int, default=20, help="rows to show")
+    args = ap.parse_args(argv)
+
+    from data_cube_spark.registry import ORACLE, QUERIES
+
+    if args.cmd == "list":
+        for name in QUERIES:
+            kind = "oracle" if name in ORACLE else "rows-only"
+            print(f"{name}  [{kind}]")
+        return 0
+
+    if args.query not in QUERIES:
+        print(f"unknown query {args.query!r} — see `list`", file=sys.stderr)
+        return 2
+
+    from data_cube_spark.session import get_spark
+
+    spark = get_spark("data-cube-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = QUERIES[args.query](spark, args.sf_dir)
+    if args.cmd == "explain":
+        from data_cube_spark.plans import explain_str
+
+        print(explain_str(df, "formatted"))
+    else:
+        df.show(args.n, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

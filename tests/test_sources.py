@@ -130,3 +130,12 @@ def test_write_range_layout_files_cover_disjoint_ranges(spark, tables, tmp_path)
     from data_cube_spark.plans import pushed_filters
     back = spark.read.parquet(path).where(F.col("l_orderkey") < 100)
     assert "l_orderkey" in pushed_filters(back)
+
+
+def test_cli_list_and_unknown_query(capsys):
+    from data_cube_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "flagship_revenue_by_region  [oracle]" in out
+    assert main(["run", "no_such_query"]) == 2
