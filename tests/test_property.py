@@ -102,3 +102,55 @@ def test_random_query_matches_pandas_oracle(spark, ops):
             assert a[-2] is None and a[-1] is None
         else:
             assert abs(a[-2] - e[-2]) < 1e-9 and a[-1] == e[-1]
+
+
+# -- equi-depth binning invariants ------------------------------------------
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=4,
+                     max_size=60),
+       n_bins=st.integers(min_value=2, max_value=5))
+def test_equi_depth_bins_invariants(spark, vals, n_bins):
+    """For ANY input: bin counts sum to n; bin ids are a prefix of
+    0..n_bins-1 in value order; value ranges of consecutive bins never
+    overlap; equal values always land in the same bin."""
+    from data_cube_spark.operators.stats import equi_depth_bins
+
+    pdf = pd.DataFrame({"g": ["x"] * len(vals), "v": [float(v) for v in vals]})
+    out = (equi_depth_bins(spark.createDataFrame(pdf), "v", n_bins, by=["g"])
+           .orderBy("bin_id").collect())
+    assert sum(r["n_rows"] for r in out) == len(vals)
+    for a, b in zip(out, out[1:]):
+        assert b["bin_id"] > a["bin_id"]
+        assert b["bin_min"] > a["bin_max"]  # ties never split across bins
+
+
+# -- incremental dedup partition invariant ----------------------------------
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(
+    st.sampled_from(["alpha beta gamma delta epsilon zeta",
+                     "alpha beta gamma delta epsilon eta",
+                     "one two three four five six seven",
+                     "totally different content right here now"]),
+    min_size=2, max_size=10))
+def test_incremental_keep_partitions_batch(spark, texts):
+    """kept ∪ dropped == batch, disjoint — and a batch doc is dropped iff
+    it has an exact-Jaccard >= threshold match in the corpus."""
+    from data_cube_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = df.where(F.col("doc_id") % 2 == 1)
+    corpus = df.where(F.col("doc_id") % 2 == 0)
+    kept = {r["doc_id"] for r in dedup.incremental_dedup_keep(
+        batch, corpus, threshold=0.5).collect()}
+    dropped = {r["batch_id"] for r in dedup.incremental_ngram_pairs(
+        batch, corpus, threshold=0.5).collect()}
+    batch_ids = {r["doc_id"] for r in batch.collect()}
+    assert kept | dropped == batch_ids
+    assert kept & dropped == set()
