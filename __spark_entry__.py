@@ -42,7 +42,6 @@ _DRIVER_PRIORITY = [
     "embedding_centroids",
     "multimodal_meta",
     "multimodal_decode",
-    "multimodal_audio",
     "sample_fraction_docs",
     "sketch_aggregates",
     "pack_greedy",
@@ -54,6 +53,7 @@ _DRIVER_PRIORITY = [
     "embedding_components",
     "semantic_dedup_keep",
     "pipeline_clean_corpus",
+    "pipeline_pretraining",
     "decontaminate_overlap",
     "pii_redaction",
     "paragraph_dedup",
@@ -87,6 +87,7 @@ _DRIVER_PRIORITY = [
     "quantile_bins",
     "multimodal_frames",
     "key_skew_users",
+    "multimodal_audio",
     # -- remaining slots: re-verify queries whose implementation changed
     #    since their r01 row (max_df cap, LSH pair-source rewire)
     "ngram_jaccard_pairs",

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_repetition",
     "pipeline_clean_corpus",
+    "pipeline_pretraining",
     "mixture_sample_docs",
     "pack_sequences",
     "domain_cap",

@@ -1321,6 +1321,42 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_pretraining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-prep pipeline as ONE lazy plan: exact dedup
+    (keep min-id) -> drop the held-out eval docs (doc_id % 97 == 0) and
+    everything 3-gram-contaminated against them -> language + quality
+    gate -> deterministic train split (90%) -> concat-and-chunk packing
+    into 512-token sequences across 8 shards. Every stage is the already-
+    verified operator; composing them stays declarative, so Catalyst
+    fuses the narrow stages and the only shuffles are the dedup hash, the
+    contamination aggregate and the packing shard window."""
+    from data_cube_spark.operators.decontam import contamination_overlap
+    from data_cube_spark.operators.packing import pack_concat_chunk
+    from data_cube_spark.operators.sampling import assign_split
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    kept = dedup.dedup_exact(d)
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = kept.where(F.col("doc_id") % 97 != 0)
+    cont = contamination_overlap(corpus, bench, k=3, threshold=0.5)
+    dirty = cont.where(F.col("contaminated") == 1).select("doc_id")
+    clean = corpus.join(dirty, "doc_id", "left_anti")
+    lang = text.language_id(clean)
+    qual = text.quality_score(clean)
+    good = (
+        clean.join(lang, "doc_id").join(qual, "doc_id")
+        .where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    )
+    split = assign_split(good, {"train": 0.9, "val": 0.05, "test": 0.05})
+    train = split.where(F.col("split") == "train").select(
+        "doc_id", text.token_count("text").alias("n_tokens"))
+    out = pack_concat_chunk(train, capacity=PACK_CAPACITY,
+                            n_shards=PACK_SHARDS)
+    return out.select("doc_id", F.col("shard").cast("int").alias("shard"),
+                      "seq", "offset", "n_tokens")
+
+
 def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination scores: docs with doc_id % 97 == 0 play
     the eval set; every other doc is scored by 3-gram shingle overlap
@@ -1920,6 +1956,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_components": q_embedding_components,
     "semantic_dedup_keep": q_semantic_dedup_keep,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "pipeline_pretraining": q_pipeline_pretraining,
     "decontaminate_overlap": q_decontaminate_overlap,
     "pii_redaction": q_pii_redaction,
     "paragraph_dedup": q_paragraph_dedup,
@@ -2058,6 +2095,85 @@ def _incremental_keep_sql(threshold: float, max_df: int) -> str:
       SELECT doc_id FROM documents
       WHERE doc_id % 2 = 1
         AND doc_id NOT IN (SELECT batch_id FROM dup)
+    """
+
+
+def _pipeline_pretraining_sql() -> str:
+    # composition of the verified fragment oracles: dedup (min-id per
+    # md5), decontamination (3-gram overlap vs the %97 eval set), langid
+    # + quality (as _pipeline_sql), 90% train split, concat-and-chunk
+    # packing (512 tokens, 8 shards)
+    counts = _lang_counts_sql()
+    best = "greatest(" + ", ".join(f"c_{l}" for l in counts) + ")"
+    case = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+        f"WHEN c_{l} = best THEN '{l}'" for l in counts
+    ) + " END"
+    inner = ", ".join(f"{expr} AS c_{l}" for l, expr in counts.items())
+    en = LANG_STOPWORDS["en"]
+    stop_pat = r"(?i)\b(" + "|".join(en) + r")\b"
+    return f"""
+      WITH keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      d0 AS (SELECT doc.* FROM documents doc JOIN keep USING (doc_id)
+             WHERE doc_id % 97 <> 0),
+      toksA AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+      shA AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM toksA WHERE len(t) >= 3)),
+      bench AS (SELECT DISTINCT shingle FROM shA WHERE doc_id % 97 = 0),
+      szh AS (SELECT s.doc_id, COUNT(*) AS n_shingles
+              FROM shA s JOIN d0 USING (doc_id) GROUP BY 1),
+      hits AS (SELECT s.doc_id, COUNT(*) AS n_overlap
+               FROM shA s JOIN d0 USING (doc_id) JOIN bench USING (shingle)
+               GROUP BY 1),
+      dirty AS (
+        SELECT szh.doc_id FROM szh JOIN hits USING (doc_id)
+        WHERE CAST(n_overlap AS DOUBLE) / n_shingles >= 0.5),
+      d AS (SELECT * FROM d0
+            WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+      lang AS (
+        SELECT doc_id, {case.replace('best', '(' + best + ')')} AS lang_pred
+        FROM (SELECT doc_id, {inner} FROM d)),
+      feat AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
+          CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+            / length(text) AS punct_ratio,
+          CAST(len(regexp_extract_all(text, '{stop_pat}')) AS DOUBLE)
+            / len(string_split_regex(TRIM(text), '\\s+')) AS stopword_ratio,
+          CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+            / len(string_split_regex(TRIM(text), '\\s+')) AS mean_token_len
+        FROM d),
+      scored AS (
+        SELECT doc_id, n_tokens,
+               least(stopword_ratio * 4, 1.0) * 0.5
+               + CASE WHEN mean_token_len >= 3 AND mean_token_len <= 10
+                      THEN 0.3 ELSE 0.0 END
+               + CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END AS quality
+        FROM feat),
+      good AS (
+        SELECT s.doc_id, s.n_tokens
+        FROM scored s JOIN lang l USING (doc_id)
+        WHERE l.lang_pred = 'en' AND s.quality >= 0.5),
+      train AS (
+        SELECT * FROM good
+        WHERE md5('split' || CAST(doc_id AS VARCHAR))
+              < '{_hex_threshold(0.9)}'),
+      sharded AS (
+        SELECT doc_id, n_tokens,
+               CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 8 AS INT) AS shard
+        FROM train),
+      c AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                 - n_tokens AS "offset"
+        FROM sharded)
+      SELECT doc_id, shard, CAST("offset" // 512 AS BIGINT) AS seq,
+             CAST("offset" AS BIGINT) AS "offset", n_tokens
+      FROM c
     """
 
 
@@ -2802,6 +2918,7 @@ ORACLE: dict[str, str] = {
       FROM embeddings WHERE vec_id NOT IN (SELECT id FROM dropped)
     """,
     "pipeline_clean_corpus": _pipeline_sql(),
+    "pipeline_pretraining": _pipeline_pretraining_sql(),
     "pii_redaction": _pii_sql(),
     "paragraph_dedup": r"""
       WITH aug AS (

@@ -111,6 +111,11 @@ CURATED: dict[str, str] = {
         "quality/token stages in ONE lazy plan — intermediate stages never "
         "materialize."
     ),
+    "pipeline_pretraining": (
+        "Full pretraining prep in ONE lazy plan: dedup -> decontaminate "
+        "-> langid/quality -> split -> pack. Narrow stages fuse; shuffles "
+        "are the dedup hash, contamination agg, and shard window only."
+    ),
     "chunk_documents": (
         "Chunking: posexplode over pure expressions, zero shuffles, zero "
         "joins — scales embarrassingly."
