@@ -302,3 +302,32 @@ def test_shuffle_order_lean_plan(spark, tables):
     assert "Join" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert count_exchanges(df) <= 2, plan
+
+
+def test_pipeline_pretraining_plan_bounded(spark, tables):
+    """The composite pretraining plan must stay join-sane: no cartesian
+    products or nested-loop joins anywhere, and the only window sort is
+    the per-shard packing window."""
+    from data_cube_spark.registry import QUERIES
+
+    spark.catalog.clearCache()
+    df = QUERIES["pipeline_pretraining"](spark, "/root/testdata/sf0.001")
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_no_corpus_self_join(spark, tables):
+    """Incremental pair sources must never self-join the corpus: plans
+    contain only batch-x-corpus hash joins, no cartesian shapes."""
+    from data_cube_spark.operators import dedup
+
+    docs = tables["documents"]
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    p1 = explain_str(dedup.incremental_ngram_pairs(batch, corpus), "simple")
+    sigs = dedup.minhash_signatures(corpus)
+    p2 = explain_str(dedup.incremental_minhash_pairs(batch, sigs), "simple")
+    for plan in (p1, p2):
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
