@@ -54,10 +54,10 @@ _DRIVER_PRIORITY = [
     "semantic_dedup_keep",
     "pipeline_clean_corpus",
     "pipeline_pretraining",
+    "drill_across_month",
     "decontaminate_overlap",
     "pii_redaction",
     "paragraph_dedup",
-    "sample_stratified_docs",
     "mixture_sample_docs",
     "domain_cap",
     "quality_percentile_keep",
@@ -88,6 +88,7 @@ _DRIVER_PRIORITY = [
     "multimodal_frames",
     "key_skew_users",
     "multimodal_audio",
+    "sample_stratified_docs",
     # -- remaining slots: re-verify queries whose implementation changed
     #    since their r01 row (max_df cap, LSH pair-source rewire)
     "ngram_jaccard_pairs",

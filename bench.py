@@ -19,6 +19,7 @@ BENCH_QUERIES = [
     "rollup_geo",
     "rollup_hierarchy_q",
     "cube_grouping_sets",
+    "drill_across_month",
     "denormalize_star",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

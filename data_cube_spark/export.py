@@ -161,3 +161,39 @@ def head(dc: DataCube, n: int = 6) -> dict:
     for name, d in dc.dims.items():
         out[name] = d.base.limit(n).toPandas()
     return out
+
+
+def drill_across(
+    left: DataCube,
+    right: DataCube,
+    attrs: Sequence[str],
+    how: str = "full_outer",
+    right_attrs: Sequence[str] | None = None,
+) -> DataFrame:
+    """OLAP drill-across: measures from two cubes side by side at a shared
+    conformed grain (Kimball's cross-fact-table query; no reference analog
+    — its roadmap stops at single-fact cubes).
+
+    Each cube aggregates to its ``attrs`` independently (partial
+    aggregation, one shuffle each), then the two small conformed-grain
+    results join on the attribute columns — the join input is
+    |distinct grain values|, never fact-sized, so at 100 TB this is two
+    fact passes plus a broadcast-or-tiny join. ``right_attrs`` maps the
+    same conformed attributes under different names in the right cube
+    (joined positionally, surfaced under the left names). Measure names
+    must be disjoint."""
+    attrs = list(attrs)
+    r_attrs = list(right_attrs) if right_attrs is not None else attrs
+    if len(r_attrs) != len(attrs):
+        raise ValueError("right_attrs must match attrs in length")
+    a = left.aggregate(attrs)
+    b = right.aggregate(r_attrs)
+    out_names = [c.split(".")[-1] for c in attrs]
+    r_names = [c.split(".")[-1] for c in r_attrs]
+    for rn, on in zip(r_names, out_names):
+        if rn != on:
+            b = b.withColumnRenamed(rn, on)
+    overlap = (set(a.columns) & set(b.columns)) - set(out_names)
+    if overlap:
+        raise ValueError(f"measure name collision across cubes: {sorted(overlap)}")
+    return a.join(b, out_names, how)

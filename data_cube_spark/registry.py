@@ -149,6 +149,39 @@ def q_calendar_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _m(dc.aggregate(["orders.d_year", "orders.d_month"]))
 
 
+def q_drill_across_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-across (Kimball cross-fact query): the lineitem-grain revenue
+    cube and an orders-grain count cube, conformed on (d_year, d_month),
+    measures side by side via full-outer join at the month grain
+    (export.py::drill_across). Two fact passes + a tiny conformed-grain
+    join — never a fact-sized join."""
+    from data_cube_spark.build import from_table
+    from data_cube_spark.export import drill_across
+    from data_cube_spark.functions import date_parts, dec
+    from data_cube_spark.model import Measure
+
+    dc = tpch_cube(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    parts = date_parts("o_orderdate", prefix="d_")
+    orders = t["orders"].select(
+        "o_orderkey", "o_totalprice",
+        parts["d_year"].alias("d_year"), parts["d_month"].alias("d_month"))
+    # the dimension key must determine every attribute: use the composite
+    # month key, with year/month as its dependent attributes
+    orders = orders.withColumn(
+        "d_ym", F.col("d_year") * 100 + F.col("d_month"))
+    oc = from_table(
+        orders, {"month": ["d_ym", "d_year", "d_month"]},
+        [Measure("n_orders", "o_orderkey", agg="count"),
+         Measure("total_price", dec("o_totalprice"), agg="sum")])
+    out = drill_across(dc, oc, ["orders.d_year", "orders.d_month"],
+                       right_attrs=["month.d_year", "month.d_month"])
+    return out.select(
+        "d_year", "d_month",
+        F.col("revenue").cast("double").alias("revenue"), "n_lines",
+        "n_orders", F.col("total_price").cast("double").alias("total_price"))
+
+
 def q_apply_margin_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 apply(MARGIN, FUN): keep supplier, collapse the rest, override
     every measure's aggregate with max (max-of-partials contract)."""
@@ -1881,6 +1914,7 @@ QUERIES: dict[str, QueryFn] = {
     "aggregate_two_dims": q_aggregate_two_dims,
     "customer_region_revenue": q_customer_region_revenue,
     "calendar_month_revenue": q_calendar_month_revenue,
+    "drill_across_month": q_drill_across_month,
     "apply_margin_max": q_apply_margin_max,
     "grand_total": q_grand_total,
     "rollup_geo": q_rollup_geo,
@@ -2276,6 +2310,22 @@ ORACLE: dict[str, str] = {
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY 1
+    """,
+    "drill_across_month": f"""
+      WITH a AS (
+        SELECT year(o_orderdate) AS d_year, month(o_orderdate) AS d_month,
+               CAST({SQL_REV} AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      b AS (
+        SELECT year(o_orderdate) AS d_year, month(o_orderdate) AS d_month,
+               COUNT(o_orderkey) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders GROUP BY 1, 2)
+      SELECT CAST(d_year AS INT) AS d_year, CAST(d_month AS INT) AS d_month,
+             revenue, n_lines, n_orders, total_price
+      FROM a FULL OUTER JOIN b USING (d_year, d_month)
     """,
     "calendar_month_revenue": f"""
       SELECT CAST(year(o_orderdate) AS INT) AS d_year,

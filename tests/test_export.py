@@ -190,3 +190,31 @@ def test_format_rollup_na_last(cube):
     rows = pivot_format(rc.fact.df, rows=["r_name"]).collect()
     assert rows[-1]["r_name"] is None
     assert all(r["r_name"] is not None for r in rows[:-1])
+
+
+def test_drill_across_null_extension_and_collisions(spark):
+    """Conformed grains that exist in only one cube null-extend under the
+    full-outer join; colliding measure names are rejected."""
+    import pytest as _pytest
+
+    from data_cube_spark.build import from_table
+    from data_cube_spark.export import drill_across
+    from data_cube_spark.model import Measure
+
+    left = from_table(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double"),
+        {"d": "k"}, [Measure("sum_v", "v", agg="sum")])
+    right = from_table(
+        spark.createDataFrame([(2, 5), (3, 7)], "k int, w int"),
+        {"d": "k"}, [Measure("sum_w", "w", agg="sum")])
+    out = {r["k"]: (r["sum_v"], r["sum_w"])
+           for r in drill_across(left, right, ["d.k"]).collect()}
+    assert out[1] == (10.0, None)
+    assert out[2] == (20.0, 5)
+    assert out[3] == (None, 7)
+
+    clash = from_table(
+        spark.createDataFrame([(1, 1.0)], "k int, v double"),
+        {"d": "k"}, [Measure("sum_v", "v", agg="sum")])
+    with _pytest.raises(ValueError, match="collision"):
+        drill_across(left, clash, ["d.k"])
