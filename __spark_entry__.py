@@ -55,6 +55,7 @@ _DRIVER_PRIORITY = [
     "pipeline_clean_corpus",
     "pipeline_pretraining",
     "drill_across_month",
+    "aggregate_from_summary",
     "decontaminate_overlap",
     "pii_redaction",
     "paragraph_dedup",

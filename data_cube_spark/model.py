@@ -585,6 +585,10 @@ class DataCube:
         # (R/data.cube.R:48-74); we keep them addressable as degenerate dims.
         self.fact = fact
         self.dims = ordered
+        #: registered materialized summaries for the aggregate navigator
+        #: (NOT inherited by derived cubes — any dice/collapse invalidates
+        #: them); list of (attr_count, summary_cube)
+        self._summaries: list[tuple[int, "DataCube"]] = []
 
     # -- array-API metadata (reference R/data.cube.R:422-426,462-464) -------
     def dim(self) -> list[int]:
@@ -737,6 +741,67 @@ class DataCube:
                 df = df.join(dim._hint(dim.attr_table(fields_nokey)), dim.key, "inner")
         return df, out_attrs
 
+    #: aggregates whose regrain over partials is EXACT (mean-of-partials
+    #: style approximations disqualify a summary from answering for the
+    #: base cube)
+    _EXACT_REAGG = frozenset({"sum", "min", "max"})
+
+    def _summaries_exact(self) -> bool:
+        for m in self.measures.values():
+            if callable(m.agg) or callable(m.reagg):
+                return False
+            if m.agg == "count" and m.reagg == "sum":
+                continue
+            if m.agg not in self._EXACT_REAGG or m.reagg != m.agg:
+                return False
+        return True
+
+    def with_summary(self, attrs: Sequence[str], *, persist: bool = True) -> "DataCube":
+        """Materialize an aggregate summary at the ``attrs`` grain and
+        register it with the aggregate navigator: later :meth:`aggregate`
+        calls whose attributes are derivable from this grain (same attrs,
+        or coarser ones reachable through its dimensions) are answered
+        from the summary instead of the fact — the classic OLAP
+        aggregate-table optimization Spark has no automatic rewrite for.
+        At 100 TB a dashboard's repeated month/region queries then read
+        |summary| rows, not 10^11 fact rows.
+
+        Only exact-regrain measures qualify (sum/min/max, count-as-sum);
+        a cube with mean or UDAF measures registers nothing and
+        :meth:`aggregate` silently keeps reading the fact. Summaries are
+        deliberately NOT inherited by derived cubes — any dice/collapse
+        changes the row population and would make them stale."""
+        if not self._summaries_exact():
+            return self
+        out = self.aggregate(attrs)
+        if persist:
+            out = out.persist()
+        # flat cube: every summary column is its own degenerate dimension,
+        # so the full attr combination stays in the grain (a capply-style
+        # regrained dim would key multi-attr dims by the lead attr and
+        # break the key-determines-attrs contract, e.g. month is not a
+        # function of year)
+        names = [a.split(".")[-1] for a in attrs]
+        dims = {n: Dimension(n, n, out.select(n).dropDuplicates()) for n in names}
+        sc = DataCube(Fact(out, names, dict(self.measures)), dims, strict=False)
+        self._summaries.append((len(names), frozenset(names), sc))
+        self._summaries.sort(key=lambda t: t[0])
+        return self
+
+    def _navigate(self, attrs: Sequence[str]) -> "tuple[DataCube, list[str]] | None":
+        """Smallest registered summary that can answer ``attrs``: resolve
+        against the base cube's routing, then require every grouping
+        column to be part of the summary grain."""
+        try:
+            routed = self.resolve_attrs(attrs)
+        except (KeyError, ValueError):
+            return None
+        flat = [f for fields in routed.values() for f in fields]
+        for _, names, sc in self._summaries:
+            if set(flat) <= names:
+                return sc, flat
+        return None
+
     def aggregate(self, attrs: Sequence[str], fun: str | Callable | None = None) -> DataFrame:
         """Aggregate measures by arbitrary attributes from any hierarchy
         level of any dimension (reference capply/aggregate.cube,
@@ -749,6 +814,11 @@ class DataCube:
         post-aggregation output instead of on every fact row. At 100 TB
         that is the difference between widening 10^11 rows and widening
         the aggregate."""
+        if fun is None and self._summaries:
+            hit = self._navigate(attrs)
+            if hit is not None:
+                sc, flat = hit
+                return sc.aggregate(flat)
         routed = self.resolve_attrs(attrs)
         df = self.fact.df
         group_cols: list[str] = []

@@ -149,6 +149,17 @@ def q_calendar_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _m(dc.aggregate(["orders.d_year", "orders.d_month"]))
 
 
+def q_aggregate_from_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate navigator (model.py::DataCube.with_summary): a
+    materialized year-month summary answers the year aggregate by exact
+    regrain of sum/count partials — the classic OLAP aggregate-table
+    rewrite; the oracle recomputes from the raw fact, so a hash match
+    proves summary-path == fact-path."""
+    dc = tpch_cube(spark, sf_dir)
+    dc.with_summary(["orders.d_year", "orders.d_month"])
+    return _m(dc.aggregate(["orders.d_year"]))
+
+
 def q_drill_across_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drill-across (Kimball cross-fact query): the lineitem-grain revenue
     cube and an orders-grain count cube, conformed on (d_year, d_month),
@@ -1915,6 +1926,7 @@ QUERIES: dict[str, QueryFn] = {
     "customer_region_revenue": q_customer_region_revenue,
     "calendar_month_revenue": q_calendar_month_revenue,
     "drill_across_month": q_drill_across_month,
+    "aggregate_from_summary": q_aggregate_from_summary,
     "apply_margin_max": q_apply_margin_max,
     "grand_total": q_grand_total,
     "rollup_geo": q_rollup_geo,
@@ -2309,6 +2321,11 @@ ORACLE: dict[str, str] = {
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1
+    """,
+    "aggregate_from_summary": f"""
+      SELECT CAST(year(o_orderdate) AS INT) AS d_year, {_MEASURE_SQL}
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1
     """,
     "drill_across_month": f"""

@@ -433,3 +433,51 @@ def test_remove_delta_rejects_non_subtractable(spark, tables):
                    [Measure("max_value", "value", agg="max"),
                     Measure("n", "event_id", agg="count")]
                    ).remove_delta(ev)
+
+
+def test_summary_navigator_answers_and_falls_back(spark, cube):
+    """with_summary registers a materialized aggregate; aggregate() must
+    answer same-grain and coarser queries from it (InMemoryTableScan, no
+    fact scan) with results identical to the fact path, and silently fall
+    back for attrs outside the summary grain."""
+    from data_cube_spark.plans import explain_str
+    from data_cube_spark.sources.star import tpch_cube
+
+    import os
+    dc = tpch_cube(spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                                         "/root/testdata/sf0.001"))
+    base_ym = dc.aggregate(["orders.d_year", "orders.d_month"]).collect()
+    base_y = dc.aggregate(["orders.d_year"]).collect()
+    base_r = dc.aggregate(["r_name"]).collect()
+    dc.with_summary(["orders.d_year", "orders.d_month"])
+
+    nav_y_df = dc.aggregate(["orders.d_year"])
+    assert "InMemoryTableScan" in explain_str(nav_y_df, "simple")
+
+    def key(rows):
+        return sorted(tuple(str(v) for v in r) for r in rows)
+
+    assert key(dc.aggregate(["orders.d_year", "orders.d_month"]).collect()) == key(base_ym)
+    assert key(nav_y_df.collect()) == key(base_y)
+    assert key(dc.aggregate(["r_name"]).collect()) == key(base_r)
+    # fun override bypasses the navigator by construction (the rewrite
+    # only fires for fun=None); its result must match the fact path
+    fresh = tpch_cube(spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                                            "/root/testdata/sf0.001"))
+    assert key(dc.aggregate(["orders.d_year"], fun="max").collect()) == \
+        key(fresh.aggregate(["orders.d_year"], fun="max").collect())
+
+
+def test_summary_navigator_refuses_inexact_measures(spark, tables):
+    """A cube with a mean measure registers no summary (mean-of-partials
+    is an approximation, not an exact regrain)."""
+    from data_cube_spark.build import from_table
+    from data_cube_spark.model import Measure
+
+    dc = from_table(
+        tables["lineitem"].select("l_orderkey", "l_quantity"),
+        {"order": "l_orderkey"},
+        [Measure("avg_qty", "l_quantity", agg="mean")],
+    )
+    dc.with_summary(["order.l_orderkey"])
+    assert dc._summaries == []
