@@ -20,6 +20,7 @@ BENCH_QUERIES = [
     "rollup_hierarchy_q",
     "cube_grouping_sets",
     "drill_across_month",
+    "aggregate_from_summary",
     "denormalize_star",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -315,6 +315,11 @@ def test_pipeline_pretraining_plan_bounded(spark, tables):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # column pruning: the documents scan must read only what the stages
+    # consume (doc_id + text), not the whole table
+    cols = read_schema_columns(df)
+    assert "text" in cols and "doc_id" in cols
+    assert "source" not in cols and "n_chars" not in cols, cols
 
 
 def test_incremental_dedup_no_corpus_self_join(spark, tables):

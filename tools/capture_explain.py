@@ -111,6 +111,16 @@ CURATED: dict[str, str] = {
         "quality/token stages in ONE lazy plan — intermediate stages never "
         "materialize."
     ),
+    "aggregate_from_summary": (
+        "Aggregate navigator: the year aggregate reads the materialized "
+        "year-month summary (InMemoryTableScan of 80 rows), never the "
+        "fact scan."
+    ),
+    "drill_across_month": (
+        "Drill-across: two independent fact aggregations conformed on "
+        "(year, month), full-outer join at the 80-row grain — never a "
+        "fact-sized join."
+    ),
     "pipeline_pretraining": (
         "Full pretraining prep in ONE lazy plan: dedup -> decontaminate "
         "-> langid/quality -> split -> pack. Narrow stages fuse; shuffles "
