@@ -60,6 +60,7 @@ _DRIVER_PRIORITY = [
     "pii_redaction",
     "paragraph_dedup",
     "mixture_sample_docs",
+    "key_skew_users",
     "domain_cap",
     "quality_percentile_keep",
     "chunk_documents",
@@ -87,7 +88,6 @@ _DRIVER_PRIORITY = [
     "incremental_minhash_pairs",
     "quantile_bins",
     "multimodal_frames",
-    "key_skew_users",
     "multimodal_audio",
     "sample_stratified_docs",
     # -- remaining slots: re-verify queries whose implementation changed
