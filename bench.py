@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "tpch_q13_order_distribution",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_orders",
+    "tpch_q20_excess_stock",
+    "tpch_q21_waiting_suppliers",
     "topk_parts_per_brand",
     "dedup_exact",
     "ngram_jaccard_pairs",

@@ -954,16 +954,19 @@ def q_tpch_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined on the composite key, then a semi join up to suppliers."""
     t = load_tables(spark, sf_dir)
     red = t["part"].where(F.col("p_name").startswith("red")).select("p_partkey")
-    q96 = (t["lineitem"]
-           .where(F.year("l_shipdate") == 1996)
+    # one conditional aggregate instead of two fact rollups joined on the
+    # composite key: the red-part broadcast filter runs BEFORE the shuffle
+    # (1/|colors| of the rows reach it) and one scan produces both sums;
+    # the q96 null check reproduces the inner join on 1996 shippers
+    agg = (t["lineitem"]
+           .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
            .groupBy("l_partkey", "l_suppkey")
-           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q96")))
-    qall = (t["lineitem"]
-            .groupBy("l_partkey", "l_suppkey")
-            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qall")))
-    cand = (qall.join(q96, ["l_partkey", "l_suppkey"])
-            .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
-            .where(F.col("qall") > F.lit(2) * F.col("q96"))
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qall"),
+                F.sum(F.when(F.year("l_shipdate") == 1996,
+                             F.col("l_quantity").cast("decimal(18,2)")))
+                .alias("q96")))
+    cand = (agg.where(F.col("q96").isNotNull()
+                      & (F.col("qall") > F.lit(2) * F.col("q96")))
             .select("l_suppkey"))
     sn = (t["supplier"]
           .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
