@@ -101,6 +101,45 @@ def write_range_layout(
     out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    split_col: str = "split",
+    shard_col: str = "shard",
+    mode: str = "overwrite",
+) -> dict:
+    """Persist a curated corpus for training consumption: parquet
+    partitioned by (split, shard) — each trainer rank reads its own
+    ``split=train/shard=K`` directory with no coordination — plus a
+    ``manifest.json`` recording per-partition row counts (the loader's
+    sanity check and the resumption ledger).
+
+    One shuffle (repartition on the partition columns) so each output
+    directory is written by one task — many-small-files is the classic
+    failure of partitioned writes from a wide upstream. Row counts ride
+    the same job via a grouped count, not a second scan."""
+    import json
+    import os
+
+    out = df.repartition(F.col(split_col), F.col(shard_col))
+    out.write.mode(mode).partitionBy(split_col, shard_col).parquet(path)
+    counts = (
+        df.groupBy(split_col, shard_col).agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    manifest = {
+        "partitions": sorted(
+            ({"split": str(r[split_col]), "shard": int(r[shard_col]),
+              "rows": int(r["n"])} for r in counts),
+            key=lambda p: (p["split"], p["shard"]),
+        ),
+        "total_rows": int(sum(r["n"] for r in counts)),
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
 def surrogate_keyed_star(
     df: DataFrame,
     dims: Mapping[str, Sequence[str]],

@@ -139,3 +139,33 @@ def test_cli_list_and_unknown_query(capsys):
     out = capsys.readouterr().out
     assert "flagship_revenue_by_region  [oracle]" in out
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_write_training_shards_layout_and_manifest(spark, tables, tmp_path):
+    """Output is hive-partitioned by (split, shard), the manifest row
+    counts match the data, and reading one shard directory touches only
+    that partition."""
+    import json
+
+    from data_cube_spark.operators.sampling import assign_split
+    from data_cube_spark.operators.text import token_count
+    from data_cube_spark.sources.ingest import write_training_shards
+
+    docs = assign_split(tables["documents"],
+                        {"train": 0.8, "val": 0.2}).select(
+        "doc_id", "split",
+        (F.col("doc_id") % 4).cast("int").alias("shard"),
+        token_count("text").alias("n_tokens"))
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, path)
+
+    assert manifest["total_rows"] == docs.count()
+    by_key = {(p["split"], p["shard"]): p["rows"] for p in manifest["partitions"]}
+    actual = {(r["split"], r["shard"]): r["n"] for r in
+              docs.groupBy("split", "shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_key == actual
+
+    one = spark.read.parquet(path + "/split=train/shard=0")
+    assert one.count() == by_key[("train", 0)]
+    disk = json.load(open(path + "/manifest.json"))
+    assert disk == manifest
