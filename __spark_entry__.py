@@ -89,6 +89,7 @@ _DRIVER_PRIORITY = [
     "quantile_bins",
     "multimodal_frames",
     "multimodal_audio",
+    "multimodal_resize",
     "sample_stratified_docs",
     # -- remaining slots: re-verify queries whose implementation changed
     #    since their r01 row (max_df cap, LSH pair-source rewire)

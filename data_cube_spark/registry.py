@@ -1203,6 +1203,20 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image(media)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode->resize loop: synthesized PNGs (dimensions a function
+    of the id) are decoded, nearest-neighbor resampled to 32x24 and
+    re-encoded inside mapInPandas; a row only reports (32, 24) if the
+    whole codec round trip succeeded (failures yield null dims), which
+    is what the oracle checks. Pixel-level correctness is pinned in
+    tests/test_operators.py."""
+    t = load_tables(spark, sf_dir)
+    media = multimodal.synth_image_media(t["documents"], fmt="png")
+    out = multimodal.resize_image(media, target=(32, 24))
+    return out.select("asset_id", F.col("height").cast("int").alias("height"),
+                      F.col("width").cast("int").alias("width"))
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV decode: synthesized PCM16 square waves (duration and
     amplitude pure functions of the id), decoded with stdlib wave + numpy
@@ -1994,6 +2008,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_centroids": q_embedding_centroids,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
     "sketch_aggregates": q_sketch_aggregates,
@@ -2807,6 +2822,11 @@ ORACLE: dict[str, str] = {
                     0,
                     greatest(CAST(octet_length(encode(text)) // 1000 AS INT) - 1, 0),
                     30)) AS INT) AS frame_index
+      FROM documents
+    """,
+    "multimodal_resize": """
+      SELECT CAST(doc_id AS BIGINT) AS asset_id,
+             CAST(32 AS INT) AS height, CAST(24 AS INT) AS width
       FROM documents
     """,
     "multimodal_meta": """
