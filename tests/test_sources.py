@@ -169,3 +169,18 @@ def test_write_training_shards_layout_and_manifest(spark, tables, tmp_path):
     assert one.count() == by_key[("train", 0)]
     disk = json.load(open(path + "/manifest.json"))
     assert disk == manifest
+
+
+def test_driver_rotation_orders_unchecked_first():
+    """queries() must list registry entries with no CORRECTNESS row ahead
+    of previously-verified ones (stalest-first after that), determin-
+    istically, and cover the whole registry exactly once."""
+    import __spark_entry__ as e
+    from data_cube_spark.registry import QUERIES
+
+    order = list(e.queries())
+    assert sorted(order) == sorted(QUERIES)
+    assert order == list(e.queries())  # deterministic
+    seen = e._evidence_rounds()
+    ranks = [seen.get(n, 0) for n in order]
+    assert ranks == sorted(ranks), "checked queries must not precede unchecked"
