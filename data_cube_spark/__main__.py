@@ -19,7 +19,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="data_cube_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
     sub.add_parser("list", help="list registry query names")
-    for c in ("run", "explain"):
+    for c in ("run", "explain", "oracle"):
         p = sub.add_parser(c)
         p.add_argument("query")
         p.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
@@ -38,6 +38,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.query not in QUERIES:
         print(f"unknown query {args.query!r} — see `list`", file=sys.stderr)
         return 2
+
+    if args.cmd == "oracle":
+        print(ORACLE.get(args.query, f"-- no oracle: {args.query} is rows-only"))
+        return 0
 
     from data_cube_spark.session import get_spark
 

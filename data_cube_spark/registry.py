@@ -1610,6 +1610,23 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("position").cast("bigint").alias("position"))
 
 
+def q_quantile_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for equi-depth binning: t-digest percentile_approx
+    cuts (mergeable sketch, no per-group sort reducer). Rows-only —
+    sketch cuts are engine-specific; closeness to the exact cuts is
+    asserted in tests/test_operators.py."""
+    from data_cube_spark.operators.stats import equi_depth_bins
+
+    t = load_tables(spark, sf_dir)
+    out = equi_depth_bins(t["lineitem"], "l_extendedprice", 4,
+                          by=["l_returnflag"], approx=True)
+    return out.select(
+        "l_returnflag", "bin_id", "n_rows",
+        F.col("bin_min").cast("double").alias("bin_min"),
+        F.col("bin_max").cast("double").alias("bin_max"),
+    )
+
+
 def q_key_skew_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-skew profile of events.user_id: the 10 hottest users with
     row share — the decision input for salting / AQE skew handling
@@ -2038,6 +2055,7 @@ QUERIES: dict[str, QueryFn] = {
     "grouping_sets_explicit": q_grouping_sets_explicit,
     "winsorized_price_stats": q_winsorized_price_stats,
     "quantile_bins": q_quantile_bins,
+    "quantile_bins_approx": q_quantile_bins_approx,
     "key_skew_users": q_key_skew_users,
     "pack_sequences": q_pack_sequences,
     "pack_greedy": q_pack_greedy,
