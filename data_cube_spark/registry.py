@@ -1710,6 +1710,36 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_documents_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus ingest (rows-only): odd-doc_id documents stream
+    in two micro-batches through foreachBatch, each banded against the
+    even-doc signature index; near-dups of the corpus are suppressed and
+    survivors append. Agreement with the batch incremental_dedup_keep is
+    asserted in tests/test_streaming.py
+    (streaming/cube_stream.py::streaming_corpus_ingest)."""
+    import os
+    import tempfile
+
+    from data_cube_spark.streaming.cube_stream import streaming_corpus_ingest
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    batch = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    sigs = dedup.minhash_signatures(
+        docs.where(F.col("doc_id") % 2 == 0)).persist()
+    work = tempfile.mkdtemp(prefix="stream_ingest_")
+    src = os.path.join(work, "src")
+    half = batch.approxQuantile("doc_id", [0.5], 0.01)[0]
+    batch.where(F.col("doc_id") <= half).coalesce(1).write.mode("overwrite").parquet(src)
+    batch.where(F.col("doc_id") > half).coalesce(1).write.mode("append").parquet(src)
+    q = streaming_corpus_ingest(
+        spark, src, batch.schema, os.path.join(work, "ckpt"),
+        os.path.join(work, "target"), sigs,
+        threshold=0.3, max_files_per_trigger=1).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(work, "target")).select("doc_id")
+
+
 def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once restoration: the events table is staged
     TWICE into a file-stream source (at-least-once redelivery), streaming
@@ -2052,6 +2082,7 @@ QUERIES: dict[str, QueryFn] = {
     "shuffle_order": q_shuffle_order,
     "tfidf_keywords": q_tfidf_keywords,
     "events_stream_dedup": q_events_stream_dedup,
+    "documents_stream_ingest": q_documents_stream_ingest,
     "grouping_sets_explicit": q_grouping_sets_explicit,
     "winsorized_price_stats": q_winsorized_price_stats,
     "quantile_bins": q_quantile_bins,

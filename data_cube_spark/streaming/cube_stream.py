@@ -337,6 +337,60 @@ def make_window_upsert(spark: SparkSession, target_dir: str, keys: list[str]):
     return upsert
 
 
+def streaming_corpus_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    target_dir: str,
+    corpus_signatures,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous corpus ingest with near-dup suppression: every
+    micro-batch of incoming documents is MinHash-banded against the
+    standing corpus signature index
+    (:func:`...dedup.incremental_minhash_pairs`) and only the survivors
+    append to the target — the streaming twin of the batch
+    ``incremental_dedup_keep``.
+
+    ``foreachBatch`` is the idiomatic shape: signature building is a
+    per-document aggregation, which append-mode streaming cannot express
+    directly, but inside foreachBatch each micro-batch is a full batch
+    DataFrame, so the verified batch operators run unchanged per
+    trigger. The corpus index is read once per batch (in production a
+    persisted/bucketed table); survivors of earlier batches do NOT join
+    the index mid-stream — same-run duplicates are handled by the
+    standing index refresh cadence, exactly like a daily-compaction
+    production pipeline."""
+    from data_cube_spark.operators.dedup import incremental_minhash_pairs
+
+    def ingest(batch_df, epoch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        dup = (
+            incremental_minhash_pairs(
+                batch_df, corpus_signatures, text_col=text_col,
+                id_col=id_col, threshold=threshold)
+            .select(F.col("batch_id").alias(id_col)).dropDuplicates()
+        )
+        (batch_df.join(dup, id_col, "left_anti")
+         .write.mode("append").parquet(target_dir))
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(source_dir)
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def streaming_dedup(
     spark: SparkSession,
     source_dir: str,

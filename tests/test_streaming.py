@@ -308,3 +308,42 @@ def test_streaming_dedup_preserves_row_content(spark, tables, tmp_path):
     want = {r["event_id"]: (r["user_id"], r["event_type"], r["value"])
             for r in ev.collect()}
     assert got == want
+
+
+def test_streaming_corpus_ingest_suppresses_near_dups(spark, tables, tmp_path):
+    """Two micro-batches of documents stream in; docs that near-duplicate
+    the standing corpus index are suppressed, everything else appends —
+    and the result equals the batch incremental_dedup_keep on the same
+    data."""
+    from data_cube_spark.operators import dedup
+    from data_cube_spark.streaming.cube_stream import streaming_corpus_ingest
+
+    docs = tables["documents"].limit(40)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    # one guaranteed near-dup: a copy of a corpus doc with a new id
+    clone = corpus.limit(1).select(
+        (F.lit(10_000_000) + F.col("doc_id")).alias("doc_id"), "text")
+    incoming = batch.unionByName(clone)
+
+    src = str(tmp_path / "src")
+    incoming.where(F.col("doc_id") < 100).coalesce(1).write.mode("overwrite").parquet(src)
+    incoming.where(F.col("doc_id") >= 100).coalesce(1).write.mode("append").parquet(src)
+
+    sigs = dedup.minhash_signatures(corpus).persist()
+    q = streaming_corpus_ingest(
+        spark, src, incoming.schema,
+        str(tmp_path / "ckpt"), str(tmp_path / "out"),
+        sigs, threshold=0.7, max_files_per_trigger=1,
+    ).start()
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    expect = {r["doc_id"] for r in dedup.incremental_dedup_keep(
+        incoming, corpus, threshold=0.7,
+    ).collect()}
+    # batch twin uses exact jaccard; LSH threshold 0.7 on the clone (j=1.0)
+    # must agree on suppression, and no original batch doc may be lost
+    assert (10_000_000 + corpus.limit(1).collect()[0]["doc_id"]) not in got
+    batch_ids = {r["doc_id"] for r in batch.collect()}
+    assert batch_ids - got == batch_ids - expect  # same suppressed originals
