@@ -159,3 +159,46 @@ def range_join(
     cond = cond & (l[ts] >= r[start]) & (l[ts] <= r[end])
     joined = l.join(r, cond, how)
     return joined.drop("_bin").drop(*[f"_r_{c}" for c in by])
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_seconds: int,
+    by: str | list[str] | None = None,
+) -> DataFrame:
+    """Interval-x-interval overlap join: pairs where
+    ``[left_start, left_end]`` and ``[right_start, right_end]`` intersect
+    (inclusive), optionally within equi-keys ``by``.
+
+    Generalizes :func:`range_join`: BOTH sides explode to one row per
+    covered ``bin_seconds`` bucket and equi-join on (bucket, *by); a pair
+    overlapping k shared buckets would emit k rows, so the bucket-equality
+    condition keeps only the FIRST shared bucket (max of the two start
+    bins) — exactly-once semantics without a distinct. The exact overlap
+    predicate is folded into the join condition; the plan stays a shuffled
+    hash join on well-distributed keys, never a nested loop."""
+    by = [by] if isinstance(by, str) else list(by or [])
+    def bins(start, end):
+        sb = F.floor(epoch_seconds(start) / bin_seconds).cast("long")
+        eb = F.floor(epoch_seconds(end) / bin_seconds).cast("long")
+        return F.explode(F.sequence(sb, eb))
+    l = left.withColumn("_bin", bins(left_start, left_end)).withColumn(
+        "_lsb", F.floor(epoch_seconds(left_start) / bin_seconds).cast("long"))
+    r = right.withColumn("_bin", bins(right_start, right_end)).withColumn(
+        "_rsb", F.floor(epoch_seconds(right_start) / bin_seconds).cast("long"))
+    for c in by:
+        r = r.withColumnRenamed(c, f"_r_{c}")
+    cond = l["_bin"] == r["_bin"]
+    # dedup: keep the pair only in the LATER of the two start bins (the
+    # first bucket both intervals cover)
+    cond = cond & (l["_bin"] == F.greatest(l["_lsb"], r["_rsb"]))
+    for c in by:
+        cond = cond & (l[c] == r[f"_r_{c}"])
+    cond = cond & (l[left_start] <= r[right_end]) & (r[right_start] <= l[left_end])
+    out = l.join(r, cond, "inner")
+    return out.drop("_bin", "_lsb", "_rsb").drop(*[f"_r_{c}" for c in by])

@@ -1817,6 +1817,26 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(t["events"])
 
 
+def q_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-x-interval overlap join: each user's daily activity span
+    against each event type's daily span, same-day blocked — pairs whose
+    spans intersect (operators/joins.py::interval_overlap_join; both
+    sides explode to hour buckets, first-shared-bucket keeps each pair
+    exactly once, never a nested loop)."""
+    from data_cube_spark.operators.joins import interval_overlap_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    l = (ev.groupBy("user_id", F.to_date("ts").alias("d"))
+         .agg(F.min("ts").alias("ls"), F.max("ts").alias("le")))
+    r = (ev.groupBy("event_type", F.to_date("ts").alias("d"))
+         .agg(F.min("ts").alias("rs"), F.max("ts").alias("re")))
+    out = interval_overlap_join(l, r, "ls", "le", "rs", "re",
+                                bin_seconds=3600, by=["d"])
+    return out.select("user_id", "event_type",
+                      F.col("d").cast("string").alias("d"))
+
+
 def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join as driver evidence: lineitem (skewable
     fact side) salted against orders replicated x salt, then aggregated by
@@ -2100,6 +2120,7 @@ QUERIES: dict[str, QueryFn] = {
     "cohort_retention": q_cohort_retention,
     "cube_store_roundtrip": q_cube_store_roundtrip,
     "salted_join_agg": q_salted_join_agg,
+    "interval_overlap_sessions": q_interval_overlap_sessions,
     "window_moving_avg": q_window_moving_avg,
 }
 
@@ -3381,6 +3402,16 @@ ORACLE: dict[str, str] = {
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
              COUNT(event_id) AS n_events
       FROM events WHERE event_id % 2 = 0 GROUP BY 1
+    """,
+    "interval_overlap_sessions": """
+      WITH l AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, MIN(ts) AS ls, MAX(ts) AS le
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, MIN(ts) AS rs, MAX(ts) AS re
+        FROM events GROUP BY 1, 2)
+      SELECT l.user_id, r.event_type, CAST(l.d AS VARCHAR) AS d
+      FROM l JOIN r ON l.d = r.d AND l.ls <= r.re AND r.rs <= l.le
     """,
     "salted_join_agg": f"""
       SELECT o_orderpriority, CAST({SQL_REV} AS DOUBLE) AS revenue,

@@ -186,3 +186,27 @@ def test_range_join_and_sessionize_on_ntz_timestamps(spark, tmp_path):
     out = range_join(ntz, iv_ntz, ts="ts", start="start", end="end",
                      bin_seconds=60)
     assert out.count() == 4  # seconds 0,10,20,30 fall inside [0,30]
+
+
+def test_interval_overlap_join_exact_pairs(spark):
+    """Overlapping interval pairs appear EXACTLY once regardless of how
+    many buckets the overlap spans; non-overlapping pairs never appear;
+    the plan never degrades to a nested loop."""
+    import datetime as dt
+
+    from data_cube_spark.operators.joins import interval_overlap_join
+    from data_cube_spark.plans import explain_str
+
+    T = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    l = spark.createDataFrame(
+        [(1, T(0), T(10)), (2, T(20), T(30)), (3, T(50), T(55))],
+        "lid long, ls timestamp, le timestamp")
+    r = spark.createDataFrame(
+        [(10, T(5), T(25)), (20, T(28), T(60))],
+        "rid long, rs timestamp, re timestamp")
+    out = interval_overlap_join(l, r, "ls", "le", "rs", "re", bin_seconds=60)
+    pairs = sorted((x["lid"], x["rid"]) for x in out.collect())
+    assert pairs == [(1, 10), (2, 10), (2, 20), (3, 20)]
+    plan = explain_str(out, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
