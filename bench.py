@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessionize",
     "asof_last_error",
+    "interval_overlap_sessions",
     "range_join_error_window",
     "events_props_json",
     "window_running_total",
@@ -110,7 +111,9 @@ def main() -> None:
     tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(tiny) and tiny != sf_dir.rstrip("/"):
         for name in ("ngram_jaccard_pairs", "minhash_lsh_pairs",
-                     "incremental_dedup_keep", "incremental_minhash_pairs"):
+                     "incremental_dedup_keep", "incremental_minhash_pairs",
+                     "embedding_components", "semantic_dedup_keep",
+                     "chunk_documents", "pii_redaction"):
             try:
                 QUERIES[name](spark, tiny).count()
             except Exception:

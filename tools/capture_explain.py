@@ -76,6 +76,11 @@ CURATED: dict[str, str] = {
         "on _bin), range predicate folded into the join condition. Never a "
         "nested-loop."
     ),
+    "interval_overlap_sessions": (
+        "Interval-x-interval overlap: double bucket explode, equi-join on "
+        "(bucket, day), first-shared-bucket dedup — exactly-once pairs, "
+        "hash join only."
+    ),
     "events_sessionize": (
         "Gaps-and-islands sessionize: one shuffle on user_id; lag + running "
         "sum + final per-session aggregate all within that partitioning."
