@@ -72,7 +72,11 @@ def add_surrogate_key(df: DataFrame, cols: list[str], key_name: str) -> DataFram
         .withColumn("_pid", F.spark_partition_id())
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
-    ranked = parts.withColumn("_lrank", F.row_number().over(w)).persist()
+    # eager localCheckpoint instead of persist(): the ranked combos are
+    # read twice (count collect + key join) and a CacheManager entry
+    # would outlive the call — checkpoint blocks are GC-cleaned with the
+    # frame, so long-lived sessions don't accumulate cached partitions
+    ranked = parts.withColumn("_lrank", F.row_number().over(w)).localCheckpoint()
     sizes = sorted(
         (r["_pid"], r["_n"])
         for r in ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
@@ -104,12 +108,16 @@ def add_dense_positions(
     collected per-partition (count, min-id) offsets. ONE shuffle (the
     range exchange), no distinct, no join-back, no single-reducer window.
     Driver-side data is two longs per partition."""
+    # eager localCheckpoint, not persist(): read twice (stats collect +
+    # the returned plan) and pins the _mid assignment against any
+    # recompute; checkpoint blocks are dropped when the frame is GC'd,
+    # where a persist() entry would leak in a long-lived session
     parts = (
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_mid", F.monotonically_increasing_id())
-    ).persist()
+    ).localCheckpoint()
     stats = sorted(
         (r["_pid"], r["_n"], r["_min"])
         for r in parts.groupBy("_pid")

@@ -275,7 +275,11 @@ def incremental_minhash_pairs(
     agreement filters to ``>= threshold``. Returns (batch_id, corpus_id,
     est_jaccard)."""
     rows = num_hashes // bands
-    sig_b = minhash_signatures(batch, text_col, id_col, num_hashes, k).persist()
+    # localCheckpoint (not persist): the batch signatures feed the band
+    # explosion AND the estimate join; checkpoint blocks free on GC
+    # instead of accumulating CacheManager entries per ingest batch
+    sig_b = minhash_signatures(batch, text_col, id_col, num_hashes,
+                               k).localCheckpoint()
     bb = banded_buckets(sig_b, id_col, bands, rows).select(
         F.col(id_col).alias("batch_id"), "band_id", "band_hash")
     bc = banded_buckets(corpus_signatures, id_col, bands, rows).select(
@@ -477,11 +481,15 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline: signatures -> banded buckets ->
     candidate pairs -> signature-estimated Jaccard >= threshold.
 
-    Signatures are persisted: they feed the band explosion AND both sides
-    of the estimate join — without the cache the whole shingle pipeline
-    would re-execute three times (at scale you would checkpoint them)."""
+    Signatures are localCheckpoint-ed: they feed the band explosion AND
+    both sides of the estimate join — without materialization the whole
+    shingle pipeline would re-execute three times. Checkpoint blocks are
+    GC-cleaned with the frame (a persist() would accumulate in a
+    long-lived session); on a real cluster use a reliable checkpoint or
+    a written signature index."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k).persist()
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes,
+                              k).localCheckpoint()
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
     est = minhash_estimate(sigs, cands, id_col, num_hashes)
     return est.where(F.col("est_jaccard") >= threshold)

@@ -38,8 +38,11 @@ def funnel_steps(
 
     if not steps:
         raise ValueError("steps must be non-empty")
+    # same literal values in the pre-filter and the per-step window
+    # conditions — a str() coercion here could disagree with the == below
+    # for non-string step types and silently drop rows from the t_i mins
     ev = df.select(user_col, type_col, ts_col).where(
-        F.col(type_col).isin([str(s) for s in steps])
+        F.col(type_col).isin(list(steps))
     )
     w = Window.partitionBy(user_col)
     out = ev.withColumn(

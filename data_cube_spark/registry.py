@@ -1112,10 +1112,12 @@ def q_incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     batch = docs.where(F.col("doc_id") % 2 == 1)
-    # persist: the signature table feeds both the banding explosion and
-    # the estimate join (in production it is a stored index, read twice)
+    # localCheckpoint: the signature table feeds both the banding
+    # explosion and the estimate join (in production it is a stored
+    # index, read twice); checkpoint blocks free on GC, a persist()
+    # would accumulate across repeated registry runs in one session
     corpus_sigs = dedup.minhash_signatures(
-        docs.where(F.col("doc_id") % 2 == 0)).persist()
+        docs.where(F.col("doc_id") % 2 == 0)).localCheckpoint()
     return dedup.incremental_minhash_pairs(
         batch, corpus_sigs, threshold=0.3)
 
@@ -1718,6 +1720,7 @@ def q_documents_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_streaming.py
     (streaming/cube_stream.py::streaming_corpus_ingest)."""
     import os
+    import shutil
     import tempfile
 
     from data_cube_spark.streaming.cube_stream import streaming_corpus_ingest
@@ -1726,18 +1729,28 @@ def q_documents_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     batch = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
     sigs = dedup.minhash_signatures(
-        docs.where(F.col("doc_id") % 2 == 0)).persist()
+        docs.where(F.col("doc_id") % 2 == 0)).localCheckpoint()
     work = tempfile.mkdtemp(prefix="stream_ingest_")
-    src = os.path.join(work, "src")
-    half = batch.approxQuantile("doc_id", [0.5], 0.01)[0]
-    batch.where(F.col("doc_id") <= half).coalesce(1).write.mode("overwrite").parquet(src)
-    batch.where(F.col("doc_id") > half).coalesce(1).write.mode("append").parquet(src)
-    q = streaming_corpus_ingest(
-        spark, src, batch.schema, os.path.join(work, "ckpt"),
-        os.path.join(work, "target"), sigs,
-        threshold=0.3, max_files_per_trigger=1).start()
-    q.awaitTermination(300)
-    return spark.read.parquet(os.path.join(work, "target")).select("doc_id")
+    try:
+        src = os.path.join(work, "src")
+        half = batch.approxQuantile("doc_id", [0.5], 0.01)[0]
+        batch.where(F.col("doc_id") <= half).coalesce(1).write.mode("overwrite").parquet(src)
+        batch.where(F.col("doc_id") > half).coalesce(1).write.mode("append").parquet(src)
+        q = streaming_corpus_ingest(
+            spark, src, batch.schema, os.path.join(work, "ckpt"),
+            os.path.join(work, "target"), sigs,
+            threshold=0.3, max_files_per_trigger=1).start()
+        # fail loudly on a hung stream — proceeding would silently return
+        # whatever partial output reached the target directory
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("documents_stream_ingest: stream did not "
+                               "finish within 300 s")
+        # materialize off the temp dir so it can be removed before return
+        return (spark.read.parquet(os.path.join(work, "target"))
+                .select("doc_id").localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1749,6 +1762,7 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch GROUP BY over the single-copy table
     (streaming/cube_stream.py::streaming_dedup)."""
     import os
+    import shutil
     import tempfile
 
     from data_cube_spark.streaming.cube_stream import streaming_dedup
@@ -1756,19 +1770,25 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     ev = t["events"]
     work = tempfile.mkdtemp(prefix="stream_dedup_")
-    src = os.path.join(work, "src")
-    ev.write.mode("overwrite").parquet(src)
-    ev.write.mode("append").parquet(src)  # duplicate delivery
-    q = streaming_dedup(spark, src, ev.schema, os.path.join(work, "ckpt"),
-                        os.path.join(work, "target"),
-                        id_cols=["event_id"]).start()
-    q.awaitTermination(300)
-    out = spark.read.parquet(os.path.join(work, "target"))
-    return out.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-        .alias("sum_value"),
-    )
+    try:
+        src = os.path.join(work, "src")
+        ev.write.mode("overwrite").parquet(src)
+        ev.write.mode("append").parquet(src)  # duplicate delivery
+        q = streaming_dedup(spark, src, ev.schema, os.path.join(work, "ckpt"),
+                            os.path.join(work, "target"),
+                            id_cols=["event_id"]).start()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("events_stream_dedup: stream did not finish "
+                               "within 300 s")
+        out = spark.read.parquet(os.path.join(work, "target"))
+        return out.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("sum_value"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1956,15 +1976,19 @@ def q_cube_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cube persistence (E-family): save the star cube (fact at grain +
     dimension tables + JSON metadata), load it back, and aggregate through
     the reloaded metadata — value-identical to aggregating the original."""
+    import shutil
     import tempfile
 
     from data_cube_spark.sources.store import load_cube, save_cube
 
     dc = tpch_cube(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="cube_store_")
-    save_cube(dc, path)
-    dc2 = load_cube(spark, path)
-    return _m(dc2.aggregate(["supplier.r_name"]))
+    try:
+        save_cube(dc, path)
+        dc2 = load_cube(spark, path)
+        return _m(dc2.aggregate(["supplier.r_name"])).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def q_events_stream_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1980,19 +2004,27 @@ def q_events_stream_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_cube_spark.streaming import cube_from_materialized, streaming_cube
 
+    import shutil
+
     t = load_tables(spark, sf_dir)
     ev = t["events"]
     work = tempfile.mkdtemp(prefix="stream_cube_")
-    src = os.path.join(work, "src")
-    ev.write.mode("overwrite").parquet(src)
-    q = streaming_cube(spark, src, ev.schema, os.path.join(work, "ckpt"),
-                       os.path.join(work, "target"),
-                       keys=["event_type"]).start()
-    q.awaitTermination(300)
-    dc = cube_from_materialized(spark, os.path.join(work, "target"),
-                                keys=["event_type"])
-    return dc.fact.df.select("window_start", "event_type", "n_events",
-                             "sum_value")
+    try:
+        src = os.path.join(work, "src")
+        ev.write.mode("overwrite").parquet(src)
+        q = streaming_cube(spark, src, ev.schema, os.path.join(work, "ckpt"),
+                           os.path.join(work, "target"),
+                           keys=["event_type"]).start()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("events_stream_cube: stream did not finish "
+                               "within 300 s")
+        dc = cube_from_materialized(spark, os.path.join(work, "target"),
+                                    keys=["event_type"])
+        return dc.fact.df.select("window_start", "event_type", "n_events",
+                                 "sum_value").localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # ===========================================================================

@@ -111,20 +111,25 @@ def write_training_shards(
     """Persist a curated corpus for training consumption: parquet
     partitioned by (split, shard) — each trainer rank reads its own
     ``split=train/shard=K`` directory with no coordination — plus a
-    ``manifest.json`` recording per-partition row counts (the loader's
-    sanity check and the resumption ledger).
+    ``_manifest.json`` recording per-partition row counts (the loader's
+    sanity check and the resumption ledger). The underscore prefix keeps
+    Spark/Hadoop partition discovery from treating the manifest as data,
+    so ``spark.read.parquet(path)`` on the dataset root still works.
 
     One shuffle (repartition on the partition columns) so each output
     directory is written by one task — many-small-files is the classic
-    failure of partitioned writes from a wide upstream. Row counts ride
-    the same job via a grouped count, not a second scan."""
+    failure of partitioned writes from a wide upstream. Counts are taken
+    from the WRITTEN output (a metadata-only parquet count over the
+    footers), so the manifest always matches the files on disk even when
+    the upstream plan is nondeterministic."""
     import json
     import os
 
     out = df.repartition(F.col(split_col), F.col(shard_col))
     out.write.mode(mode).partitionBy(split_col, shard_col).parquet(path)
     counts = (
-        df.groupBy(split_col, shard_col).agg(F.count(F.lit(1)).alias("n"))
+        df.sparkSession.read.parquet(path)
+        .groupBy(split_col, shard_col).agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
     manifest = {
@@ -135,7 +140,7 @@ def write_training_shards(
         ),
         "total_rows": int(sum(r["n"] for r in counts)),
     }
-    with open(os.path.join(path, "manifest.json"), "w") as f:
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
 

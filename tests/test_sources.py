@@ -167,7 +167,11 @@ def test_write_training_shards_layout_and_manifest(spark, tables, tmp_path):
 
     one = spark.read.parquet(path + "/split=train/shard=0")
     assert one.count() == by_key[("train", 0)]
-    disk = json.load(open(path + "/manifest.json"))
+    # the whole dataset root must also be readable: the manifest is
+    # underscore-prefixed so partition discovery ignores it
+    whole = spark.read.parquet(path)
+    assert whole.count() == manifest["total_rows"]
+    disk = json.load(open(path + "/_manifest.json"))
     assert disk == manifest
 
 
