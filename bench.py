@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "ngram_jaccard_pairs",
     "incremental_dedup_keep",
-    "incremental_minhash_pairs",
+    "incremental_minhash_recall",
     "minhash_lsh_pairs",
     "semantic_dedup_keep",
     "ann_cosine_topk",
@@ -111,7 +111,7 @@ def main() -> None:
     tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(tiny) and tiny != sf_dir.rstrip("/"):
         for name in ("ngram_jaccard_pairs", "minhash_lsh_pairs",
-                     "incremental_dedup_keep", "incremental_minhash_pairs",
+                     "incremental_dedup_keep", "incremental_minhash_recall",
                      "embedding_components", "semantic_dedup_keep",
                      "chunk_documents", "pii_redaction"):
             try:

@@ -114,19 +114,32 @@ def lsh_topk(
     The join is an equi-join on bucket — shuffle-partitioned by bucket, no
     cross product, which is what survives a 10^9-vector corpus.
 
-    ``multiprobe=1`` additionally probes every bucket at Hamming distance 1
-    from the query's bucket (query side fans out ×(n_planes+1) — cheap,
-    since query batches are small — the standard recall boost without
-    touching the corpus side)."""
+    ``multiprobe=r`` additionally probes every bucket within Hamming
+    distance ``r`` of the query's bucket (query side fans out by
+    ``sum_{i<=r} C(n_planes, i)`` — cheap, since query batches are small —
+    the standard recall boost without touching the corpus side);
+    ``multiprobe=0`` probes only the query's own bucket."""
     planes = _hyperplanes(dim, n_planes, seed)
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("_vec").alias("_qvec"),
         F.col("_norm").alias("_qnorm"), lsh_bucket(F.col("_vec"), planes).alias("_b0"),
     )
     if multiprobe >= 1:
+        # probe every bucket within Hamming radius `multiprobe` of the
+        # query's bucket: C(n_planes, 1..r) XOR masks. The fan-out is on
+        # the (small) query side only — the corpus is never re-bucketed.
+        from itertools import combinations
+
+        masks: list[int] = []
+        for r in range(1, min(multiprobe, n_planes) + 1):
+            for bits in combinations(range(n_planes), r):
+                m = 0
+                for b in bits:
+                    m |= 1 << b
+                masks.append(m)
         probes = F.array(
             F.col("_b0"),
-            *[F.col("_b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            *[F.col("_b0").bitwiseXOR(F.lit(m)) for m in masks],
         )
         q = q.select("query_id", "_qvec", "_qnorm", F.explode(probes).alias("_bucket"))
     else:
