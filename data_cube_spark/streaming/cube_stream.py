@@ -364,7 +364,19 @@ def streaming_corpus_ingest(
     persisted/bucketed table); survivors of earlier batches do NOT join
     the index mid-stream — same-run duplicates are handled by the
     standing index refresh cadence, exactly like a daily-compaction
-    production pipeline."""
+    production pipeline.
+
+    Exactly-once under crash/restart: survivors land in an
+    epoch-keyed partition directory (``ingest_epoch=<id>``) written with
+    OVERWRITE. foreachBatch is at-least-once — a batch that crashed
+    mid-write is REPLAYED with the same epoch id on restart — so a plain
+    append would duplicate its rows; overwriting the epoch's own
+    directory makes the replay idempotent (the vanilla-parquet version
+    of what a Delta/Iceberg transactional MERGE gives you). Readers scan
+    the target root; the extra ``ingest_epoch`` partition column is
+    harmless metadata."""
+    import os
+
     from data_cube_spark.operators.dedup import incremental_minhash_pairs
 
     def ingest(batch_df, epoch_id: int) -> None:
@@ -377,7 +389,8 @@ def streaming_corpus_ingest(
             .select(F.col("batch_id").alias(id_col)).dropDuplicates()
         )
         (batch_df.join(dup, id_col, "left_anti")
-         .write.mode("append").parquet(target_dir))
+         .write.mode("overwrite")
+         .parquet(os.path.join(target_dir, f"ingest_epoch={int(epoch_id)}")))
 
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger is not None:

@@ -347,3 +347,142 @@ def test_streaming_corpus_ingest_suppresses_near_dups(spark, tables, tmp_path):
     assert (10_000_000 + corpus.limit(1).collect()[0]["doc_id"]) not in got
     batch_ids = {r["doc_id"] for r in batch.collect()}
     assert batch_ids - got == batch_ids - expect  # same suppressed originals
+
+
+# -- restart / recovery (VERDICT r3 next-round #5) --------------------------
+
+
+def _run_until_n_batches(query, n, timeout_s=120):
+    """Let a running stream commit at least ``n`` micro-batches, then hard
+    stop it (the kill half of kill-and-resume)."""
+    import time
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        done = [p for p in query.recentProgress if p is not None]
+        if len(done) >= n:
+            break
+        time.sleep(0.3)
+    query.stop()
+    query.awaitTermination(60)
+
+
+def test_streaming_cube_restart_exactly_once(spark, tables, tmp_path):
+    """Kill-and-resume for the materialized-cube maintainer: the stream is
+    hard-stopped after the first committed micro-batch, resumed from the
+    checkpoint, fed MORE data, resumed again, and finally replayed with no
+    new data. The target must equal the batch twin after each recovery —
+    the read-merge-write upsert is idempotent under at-least-once
+    foreachBatch replay (cube_stream.make_window_upsert)."""
+    from data_cube_spark.streaming.cube_stream import (
+        make_window_upsert, tumbling_agg,
+    )
+
+    ev = tables["events"].where(F.col("event_id") < 2000)
+    half1 = ev.where(F.col("event_id") < 1000)
+    half2 = ev.where(F.col("event_id") >= 1000)
+    src, ckpt, target = (str(tmp_path / d) for d in ("src", "ckpt", "tgt"))
+    # 4 files => 4 micro-batches at maxFilesPerTrigger=1
+    for i in range(4):
+        half1.where(F.col("event_id") % 4 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def start():
+        stream = spark.readStream.schema(ev.schema) \
+            .option("maxFilesPerTrigger", 1).format("parquet").load(src)
+        # the slices interleave event TIME across micro-batches, so a real
+        # watermark would drop them as late — this test pins the RESTART
+        # contract, not the late-data policy (covered elsewhere)
+        agg = tumbling_agg(stream, keys=["event_type"], watermark="3650 days")
+        return (agg.writeStream.outputMode("update")
+                .foreachBatch(make_window_upsert(spark, target, ["event_type"]))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    def materialized():
+        out = spark.read.parquet(target)
+        return {(r["window_start"], r["event_type"]):
+                (r["n_events"], round(r["sum_value"], 6))
+                for r in out.drop("window_key").collect()}
+
+    def truth(df):
+        return {(r["window_start"], r["event_type"]):
+                (r["n_events"], round(r["sum_value"], 6))
+                for r in tumbling_agg(df, keys=["event_type"]).collect()}
+
+    # kill after >=1 committed batch, resume to completion
+    _run_until_n_batches(start(), 1)
+    q = start()
+    q.awaitTermination(120)
+    assert materialized() == truth(half1)
+
+    # more data arrives; resume from the same checkpoint
+    half2.coalesce(2).write.mode("append").parquet(src)
+    q = start()
+    q.awaitTermination(120)
+    assert materialized() == truth(ev)
+
+    # replay with nothing new: output unchanged (idempotent recovery)
+    q = start()
+    q.awaitTermination(120)
+    assert materialized() == truth(ev)
+
+
+def test_streaming_corpus_ingest_restart_exactly_once(spark, tables, tmp_path):
+    """Kill-and-resume for the corpus ingester: hard stop after the first
+    committed micro-batch, resume, extend the source, resume again, then a
+    no-new-data replay. Epoch-keyed overwrite makes batch replays
+    idempotent, so the survivor set must equal the batch
+    incremental_dedup_keep twin at every recovery point and never contain
+    duplicates."""
+    from data_cube_spark.operators import dedup
+    from data_cube_spark.streaming.cube_stream import streaming_corpus_ingest
+
+    docs = tables["documents"].limit(60)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    src, ckpt, target = (str(tmp_path / d) for d in ("src", "ckpt", "tgt"))
+    for i in range(3):
+        incoming.where(F.col("doc_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+    sigs = dedup.minhash_signatures(corpus).localCheckpoint()
+
+    def start():
+        return streaming_corpus_ingest(
+            spark, src, incoming.schema, ckpt, target, sigs,
+            threshold=0.7, max_files_per_trigger=1).start()
+
+    def survivors():
+        rows = spark.read.parquet(target).select("doc_id").collect()
+        ids = [r["doc_id"] for r in rows]
+        assert len(ids) == len(set(ids)), "duplicate survivors after replay"
+        return set(ids)
+
+    _run_until_n_batches(start(), 1)
+    q = start()
+    q.awaitTermination(120)
+    expect = {r["doc_id"] for r in dedup.incremental_dedup_keep(
+        incoming, corpus, threshold=0.7).collect()}
+    lsh = {r["batch_id"] for r in dedup.incremental_minhash_pairs(
+        incoming, sigs, threshold=0.7).collect()}
+    got = survivors()
+    # exact-jaccard twin and LSH agree on the test corpus (asserted in
+    # the single-run test); here the contract is: resume never loses a
+    # batch doc nor duplicates one
+    assert got == {r["doc_id"] for r in incoming.collect()} - lsh == expect
+
+    # late documents arrive; resume from checkpoint
+    late = incoming.limit(5).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text")
+    late.coalesce(1).write.mode("append").parquet(src)
+    q = start()
+    q.awaitTermination(120)
+    all_in = incoming.unionByName(late)
+    lsh2 = {r["batch_id"] for r in dedup.incremental_minhash_pairs(
+        all_in, sigs, threshold=0.7).collect()}
+    assert survivors() == {r["doc_id"] for r in all_in.collect()} - lsh2
+
+    # no-new-data replay: unchanged
+    q = start()
+    q.awaitTermination(120)
+    assert survivors() == {r["doc_id"] for r in all_in.collect()} - lsh2
