@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "udaf_median",
     "quantiles_by_type",
     "heavy_hitters_sources",
+    "skew_aware_user_join",
+    "bucketed_join_copartition",
 ]
 
 

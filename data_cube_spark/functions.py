@@ -95,6 +95,11 @@ def add_surrogate_key(df: DataFrame, cols: list[str], key_name: str) -> DataFram
     return df.join(keyed, cols, "left").select(*df.columns, key_name)
 
 
+#: Pre-checkpoint physical plan of the most recent add_dense_positions
+#: call (plan-test observability; the checkpoint hides it otherwise).
+LAST_DENSE_POSITIONS_PLAN: str = ""
+
+
 def add_dense_positions(
     df: DataFrame, order_cols: list[str], pos_col: str
 ) -> DataFrame:
@@ -112,12 +117,20 @@ def add_dense_positions(
     # the returned plan) and pins the _mid assignment against any
     # recompute; checkpoint blocks are dropped when the frame is GC'd,
     # where a persist() entry would leak in a long-lived session
-    parts = (
+    pre = (
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_mid", F.monotonically_increasing_id())
-    ).localCheckpoint()
+    )
+    # the checkpoint truncates lineage, so the range exchange this
+    # operator promises (its ONE shuffle) disappears from the returned
+    # frame's plan — record it here for the plan-regression tests
+    global LAST_DENSE_POSITIONS_PLAN
+    from data_cube_spark.plans import explain_str
+
+    LAST_DENSE_POSITIONS_PLAN = explain_str(pre, "simple")
+    parts = pre.localCheckpoint()
     stats = sorted(
         (r["_pid"], r["_n"], r["_min"])
         for r in parts.groupBy("_pid")

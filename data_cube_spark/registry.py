@@ -2179,6 +2179,73 @@ def q_events_stream_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_skew_aware_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-driven PARTIAL salting as driver evidence: events (the
+    skewable fact side — `key_skew_users` measures its user_id heat)
+    joined to customer on user_id with ONLY the measured top-20 hottest
+    users salted (operators/joins.py::skew_aware_join). Cold keys join
+    unsalted, so the dim replication cost is top_n × salt rows — not
+    |customer| × salt as in full salting (`salted_join_agg`). Salting
+    never changes join semantics: the oracle is the plain join."""
+    from data_cube_spark.operators.joins import skew_aware_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "value")
+    dim = t["customer"].select(F.col("c_custkey").alias("user_id"),
+                               "c_mktsegment")
+    j = skew_aware_join(ev, dim, on="user_id", top_n=20, min_share=0.0,
+                        salt=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        .alias("sum_value"))
+
+
+def q_bucketed_join_copartition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-layout co-located join (the `write_bucketed` READ path):
+    orders and lineitem persisted bucketed (8 buckets, one file per
+    bucket, bucket-sorted) on the order key, read back through the
+    catalog, and joined — the bucketed scans come out hash-partitioned on
+    the join key, so the join itself needs ZERO exchanges (pinned by
+    tests/test_plans.py::test_bucketed_join_has_zero_exchanges; the only
+    shuffle left is the tiny by-priority aggregate). The join shuffle was
+    paid ONCE at write time — at 100 TB that is the difference between
+    re-shuffling the fact table on every query and never. Layout cannot
+    change join semantics: the oracle is the plain join."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_cube_spark.sources.ingest import write_bucketed
+
+    t = load_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="sg_bucketed_")
+    tables = {
+        "sg_bkt_orders": (
+            t["orders"].select("o_orderkey", "o_orderpriority"), "o_orderkey"),
+        "sg_bkt_lineitem": (
+            t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
+            "l_orderkey"),
+    }
+    try:
+        for name, (df, key) in tables.items():
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            write_bucketed(df, name, [key], n_buckets=8,
+                           path=os.path.join(base, name))
+        j = spark.table("sg_bkt_lineitem").join(
+            spark.table("sg_bkt_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        out = j.groupBy("o_orderpriority").agg(
+            F.sum(_rev_expr()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("o_orderkey").alias("n_orders"))
+        return out.localCheckpoint()
+    finally:
+        for name in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # ===========================================================================
 # Registry + oracles
 # ===========================================================================
@@ -2306,6 +2373,8 @@ QUERIES: dict[str, QueryFn] = {
     "salted_join_agg": q_salted_join_agg,
     "interval_overlap_sessions": q_interval_overlap_sessions,
     "window_moving_avg": q_window_moving_avg,
+    "skew_aware_user_join": q_skew_aware_user_join,
+    "bucketed_join_copartition": q_bucketed_join_copartition,
 }
 
 
@@ -3725,6 +3794,18 @@ ORACLE: dict[str, str] = {
     "salted_join_agg": f"""
       SELECT o_orderpriority, CAST({SQL_REV} AS DOUBLE) AS revenue,
              COUNT(*) AS n_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    """,
+    "skew_aware_user_join": """
+      SELECT c_mktsegment, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1
+    """,
+    "bucketed_join_copartition": f"""
+      SELECT o_orderpriority, CAST({SQL_REV} AS DOUBLE) AS revenue,
+             COUNT(*) AS n_lines, COUNT(DISTINCT o_orderkey) AS n_orders
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1
     """,

@@ -60,6 +60,8 @@ def write_bucketed(
     n_buckets: int = 64,
     sort: bool = True,
     mode: str = "overwrite",
+    path: str | None = None,
+    one_file_per_bucket: bool = True,
 ) -> None:
     """Persist a table bucketed (and bucket-sorted) by join keys.
 
@@ -68,10 +70,23 @@ def write_bucketed(
     ZERO exchanges — the shuffle happens once at write time instead of on
     every query. Use for the fact table and any same-grain sibling facts
     (bucket by the highest-cardinality FK).
+
+    ``one_file_per_bucket`` pre-shuffles the frame into ``n_buckets``
+    hash partitions on the keys (the same Murmur3 hash bucketing uses),
+    so each task holds exactly one bucket's rows and writes exactly one
+    file — without it each of T write tasks emits a file per bucket it
+    touches (up to T × n_buckets files), and the read side refuses the
+    sorted-scan optimization whenever a bucket spans multiple files.
+    ``path`` makes the catalog entry an EXTERNAL table at that location
+    (metadata only in the catalog; files owned by the caller).
     """
+    if one_file_per_bucket:
+        df = df.repartition(int(n_buckets), *[F.col(k) for k in keys])
     w = df.write.mode(mode).bucketBy(int(n_buckets), *keys)
     if sort:
         w = w.sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

@@ -137,6 +137,67 @@ def test_range_join_plan_is_equi_join(spark, tables):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_skew_aware_join_equals_plain_join(spark):
+    """Partial salting: hot keys salted, cold keys untouched — results
+    identical to the plain join for inner and left joins."""
+    from data_cube_spark.operators.joins import skew_aware_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(200)] + [("cold", 0), ("orphan", 1)],
+        "k string, v int")
+    right = spark.createDataFrame([("hot", 10), ("cold", 20), ("unused", 30)],
+                                  "k string, w int")
+    plain = {(r.k, r.v, r.w) for r in left.join(right, "k").collect()}
+    # min_share=0.2: only "hot" (200/202 rows) qualifies; "cold" stays
+    # unsalted — both branches exercised
+    out = {(r.k, r.v, r.w) for r in
+           skew_aware_join(left, right, "k", top_n=5, min_share=0.2,
+                           salt=4).collect()}
+    assert out == plain
+    left_plain = {(r.k, r.v, r.w)
+                  for r in left.join(right, "k", "left").collect()}
+    left_out = {(r.k, r.v, r.w) for r in
+                skew_aware_join(left, right, "k", top_n=5, min_share=0.2,
+                                salt=4, how="left").collect()}
+    assert left_out == left_plain
+
+
+def test_skew_aware_join_replication_is_bounded(spark):
+    """Only hot keys are replicated on the right side: with one hot key
+    and salt=4 the salted right frame holds hot×4 + cold×1 rows (full
+    salting would hold every key ×4)."""
+    from data_cube_spark.operators.joins import skew_aware_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(100)] + [("cold", 0)], "k string, v int")
+    right = spark.createDataFrame([("hot", 1), ("cold", 2), ("x", 3)],
+                                  "k string, w int")
+    out = skew_aware_join(left, right, "k", top_n=5, min_share=0.5, salt=4,
+                          salt_col="_s")
+    # peek at the pre-drop salted right side by rebuilding it the same way
+    import pyspark.sql.functions as F
+    hot = ["hot"]
+    r = right.withColumn("_s", F.explode(
+        F.when(F.col("k").isin(hot),
+               F.array(*[F.lit(i) for i in range(4)]))
+        .otherwise(F.array(F.lit(0)))))
+    assert r.count() == 1 * 4 + 2 * 1
+    assert out.count() == left.join(right, "k").count()
+
+
+def test_skew_aware_join_empty_hot_set_and_invalid_how(spark):
+    from data_cube_spark.operators.joins import skew_aware_join
+
+    left = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    right = spark.createDataFrame([("a", 10)], "k string, w int")
+    # nothing reaches min_share=1.0 -> falls back to the plain join path
+    out = {(r.k, r.v, r.w)
+           for r in skew_aware_join(left, right, "k", min_share=1.0).collect()}
+    assert out == {("a", 1, 10)}
+    with pytest.raises(ValueError):
+        skew_aware_join(left, right, "k", how="full")
+
+
 def test_salted_join_left_and_invalid_how(spark):
     from data_cube_spark.operators.joins import salted_join
 

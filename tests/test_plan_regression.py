@@ -34,6 +34,9 @@ SKIP: dict[str, str] = {
     "documents_stream_ingest": "runs a streaming job at build; covered by test_streaming",
     "events_stream_cube": "runs a streaming job at build; covered by test_streaming",
     "cube_store_roundtrip": "writes+reloads the cube at build; covered by test_sources",
+    "bucketed_join_copartition": (
+        "writes bucketed tables at build; the exchange-free join plan is "
+        "pinned by test_plans.py::test_bucketed_join_has_zero_exchanges"),
 }
 
 #: Queries whose final (or only) aggregate is a GLOBAL reduction to one

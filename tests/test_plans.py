@@ -200,22 +200,32 @@ def test_tpch_breadth_small_dims_broadcast(spark):
         assert has_broadcast_join(df), explain_str(df, "simple")
 
 
-def test_bucketed_join_has_zero_exchanges(spark, tables):
+def test_bucketed_join_has_zero_exchanges(spark, tables, tmp_path):
     """Co-located storage: two tables bucketed on the join key produce an
     exchange-free join plan (the write-time shuffle replaces every
-    query-time shuffle)."""
+    query-time shuffle), a same-key aggregate after the join is ALSO
+    exchange-free, and the writer emits exactly one file per bucket (the
+    layout the sorted-scan optimization requires)."""
+    import glob as _glob
+
     from data_cube_spark.sources.ingest import write_bucketed
 
     write_bucketed(tables["lineitem"].select("l_orderkey", "l_quantity"),
-                   "t_li_bucketed", ["l_orderkey"], n_buckets=8)
+                   "t_li_bucketed", ["l_orderkey"], n_buckets=8,
+                   path=str(tmp_path / "li"))
     write_bucketed(tables["orders"].select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"),
-        "t_o_bucketed", ["l_orderkey"], n_buckets=8)
+        "t_o_bucketed", ["l_orderkey"], n_buckets=8,
+        path=str(tmp_path / "o"))
+    assert len(_glob.glob(str(tmp_path / "li" / "*.parquet"))) == 8
+    assert len(_glob.glob(str(tmp_path / "o" / "*.parquet"))) == 8
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         j = spark.table("t_li_bucketed").join(spark.table("t_o_bucketed"), "l_orderkey")
         assert count_exchanges(j) == 0, explain_str(j, "simple")
+        agg = j.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        assert count_exchanges(agg) == 0, explain_str(agg, "simple")
         assert j.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
@@ -257,9 +267,16 @@ def test_shuffle_order_uses_range_partitioning(spark):
     window (which would appear as an Exchange SinglePartition)."""
     from data_cube_spark import registry
 
+    from data_cube_spark import functions as fns
+
     df = registry.QUERIES["shuffle_order"](spark, "/root/testdata/sf0.001")
+    # the positions frame is localCheckpoint'ed (lineage pinned so _mid
+    # can't be reassigned on recompute), so the range exchange lives in
+    # the recorded pre-checkpoint plan, not the returned frame's
+    pre = fns.LAST_DENSE_POSITIONS_PLAN
+    assert "rangepartitioning" in pre.lower(), pre
+    assert "SinglePartition" not in pre, pre
     plan = explain_str(df, "simple")
-    assert "rangepartitioning" in plan.lower(), plan
     assert "SinglePartition" not in plan, plan
 
 
