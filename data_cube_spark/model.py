@@ -600,6 +600,17 @@ class DataCube:
             name: [r[0] for r in d.members().collect()] for name, d in self.dims.items()
         }
 
+    def __len__(self) -> int:
+        """``length(dc)`` — fact row count (reference R/data.cube.R:462;
+        runs a count job, use sparingly)."""
+        return self.fact.df.count()
+
+    @property
+    def names(self) -> list[str]:
+        """``names(dc)`` — fact column names (reference R/data.cube.R:463);
+        metadata-only, no job."""
+        return list(self.fact.df.columns)
+
     @property
     def measures(self) -> dict[str, Measure]:
         return self.fact.measures

@@ -112,6 +112,14 @@ def test_schema_info(cube):
     assert "levels" in info["dimensions"]["supplier"]
 
 
+def test_len_and_names_scalar_introspection(cube):
+    """length(dc) / names(dc) parity (R/data.cube.R:462-463): fact row
+    count and fact column names."""
+    assert len(cube) == cube.fact.df.count()
+    assert cube.names == cube.fact.df.columns
+    assert set(cube.fact.id_vars) <= set(cube.names)
+
+
 def test_numpy_grid_differential(spark):
     """The reference's dominant test pattern (SURVEY §5.1): every cube query
     compared through the dense-array bridge against native array indexing

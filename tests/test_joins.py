@@ -137,6 +137,61 @@ def test_range_join_plan_is_equi_join(spark, tables):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join demonstration (VERDICT r3 stretch): with the session's
+    skewJoin.enabled default and thresholds scaled to the test data, Spark
+    splits the hot key's shuffle partition at runtime — the final adaptive
+    plan carries ``SortMergeJoin(skew=true)``.
+
+    Also pins the CONSTRAINT that justifies explicit salting
+    (`salted_join` / `skew_aware_join`): OptimizeSkewedJoin only matches
+    ``SMJ(Sort(Shuffle), Sort(Shuffle))`` — an aggregation between the
+    shuffle and the join (here: building the dim by ``distinct()`` from
+    the fact) blocks the rule, and the hot partition runs on one reducer.
+    """
+    import pyspark.sql.functions as F
+
+    saved = {k: spark.conf.get(k) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 100 == 0,
+                   F.concat(F.lit("cold_"),
+                            (F.col("id") / 100).cast("int").cast("string")))
+            .otherwise(F.lit("hot")).alias("k"),
+            F.col("id").alias("v"))
+        right = spark.range(2001).select(
+            F.when(F.col("id") == 2000, F.lit("hot"))
+            .otherwise(F.concat(F.lit("cold_"), F.col("id").cast("string")))
+            .alias("k"),
+            F.col("id").alias("w"))
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+
+        # the negative: dim built by distinct() over the fact interposes a
+        # HashAggregate — the skew rule cannot match, no split happens
+        right2 = left.select("k").distinct().withColumn("w", F.length("k"))
+        j2 = left.join(right2, "k")
+        assert len(j2.collect()) == 200000
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan2, plan2
+        assert "skew=true" not in plan2, plan2
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_skew_aware_join_equals_plain_join(spark):
     """Partial salting: hot keys salted, cold keys untouched — results
     identical to the plain join for inner and left joins."""
