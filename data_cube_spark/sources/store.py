@@ -23,9 +23,24 @@ from pyspark.sql import SparkSession
 from data_cube_spark.model import DataCube, Dimension, Fact, Hierarchy, Level, Measure
 
 
-def save_cube(dc: DataCube, path: str, mode: str = "overwrite") -> None:
+def save_cube(
+    dc: DataCube,
+    path: str,
+    mode: str = "overwrite",
+    bucket_by: list[str] | None = None,
+    n_buckets: int = 64,
+) -> None:
     """Write fact + dimension/level tables + metadata. Callable aggregates
-    are process-bound and refuse to serialize — use whitelist names."""
+    are process-bound and refuse to serialize — use whitelist names.
+
+    ``bucket_by`` persists the FACT bucketed (and bucket-sorted) on those
+    grain keys — the 100 TB layout: Spark encodes the bucket id in each
+    file name, and :func:`load_cube` re-registers the table with the same
+    ``CLUSTERED BY`` spec, so every later join or aggregation on the
+    bucket keys runs with ZERO exchanges on the fact side, in any
+    session, forever — the fact shuffle is paid once here. The bucket
+    spec rides in ``cube.json``.
+    """
     measures = []
     for m in dc.measures.values():
         if not isinstance(m.reagg, str):
@@ -38,8 +53,30 @@ def save_cube(dc: DataCube, path: str, mode: str = "overwrite") -> None:
             "reagg": m.reagg, "dtype": m.dtype, "fill": m.fill,
             "label": m.label,
         })
-    dc.fact.df.write.mode(mode).parquet(f"{path}/fact")
+    if bucket_by:
+        missing = [k for k in bucket_by if k not in dc.fact.df.columns]
+        if missing:
+            raise ValueError(f"bucket_by columns not in fact: {missing}")
+        import shutil as _shutil
+
+        from data_cube_spark.sources.ingest import write_bucketed
+
+        spark = dc.fact.df.sparkSession
+        if mode == "overwrite":
+            _shutil.rmtree(f"{path}/fact", ignore_errors=True)
+        # external table: the catalog entry is scaffolding for the write,
+        # the bucket layout lives in the file names
+        tmp = "_save_cube_fact_tmp"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        write_bucketed(dc.fact.df, tmp, list(bucket_by),
+                       n_buckets=int(n_buckets), path=f"{path}/fact")
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    else:
+        dc.fact.df.write.mode(mode).parquet(f"{path}/fact")
     meta = {"id_vars": dc.fact.id_vars, "measures": measures, "dims": {}}
+    if bucket_by:
+        meta["fact_buckets"] = {"bucket_by": list(bucket_by),
+                                "n_buckets": int(n_buckets)}
     for name, d in dc.dims.items():
         d.base.write.mode(mode).parquet(f"{path}/dims/{name}/base")
         levels = {}
@@ -59,9 +96,19 @@ def save_cube(dc: DataCube, path: str, mode: str = "overwrite") -> None:
         json.dump(meta, f, indent=2)
 
 
-def load_cube(spark: SparkSession, path: str) -> DataCube:
+def load_cube(
+    spark: SparkSession, path: str, fact_table: str | None = None
+) -> DataCube:
     """Reconstruct a saved cube. The fact loads at its declared grain
-    (no re-aggregation); dimension tables load pre-deduped."""
+    (no re-aggregation); dimension tables load pre-deduped.
+
+    If the cube was saved with ``bucket_by`` and ``fact_table`` names a
+    catalog table, the fact is RE-REGISTERED with its ``CLUSTERED BY``
+    spec (bucket ids are recovered from the file names), so fact-side
+    joins/aggregations on the bucket keys are exchange-free in this
+    session too. Without ``fact_table`` the fact falls back to a plain
+    parquet read — correct, but the bucket layout goes unused.
+    """
     with open(f"{path}/cube.json") as f:
         meta = json.load(f)
     measures = {
@@ -70,7 +117,24 @@ def load_cube(spark: SparkSession, path: str) -> DataCube:
                            fill=m.get("fill"), label=m.get("label"))
         for m in meta["measures"]
     }
-    fact = Fact(spark.read.parquet(f"{path}/fact"), meta["id_vars"], measures)
+    bucks = meta.get("fact_buckets")
+    if bucks and fact_table:
+        plain = spark.read.parquet(f"{path}/fact")
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in plain.schema.fields
+        )
+        keys = ", ".join(f"`{k}`" for k in bucks["bucket_by"])
+        spark.sql(f"DROP TABLE IF EXISTS {fact_table}")
+        spark.sql(
+            f"CREATE TABLE {fact_table} ({cols}) USING parquet "
+            f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+            f"INTO {int(bucks['n_buckets'])} BUCKETS "
+            f"LOCATION '{path}/fact'"
+        )
+        fact_df = spark.table(fact_table)
+    else:
+        fact_df = spark.read.parquet(f"{path}/fact")
+    fact = Fact(fact_df, meta["id_vars"], measures)
     dims = {}
     for name, dmeta in meta["dims"].items():
         base = spark.read.parquet(f"{path}/dims/{name}/base")

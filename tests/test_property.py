@@ -154,3 +154,34 @@ def test_incremental_keep_partitions_batch(spark, texts):
     batch_ids = {r["doc_id"] for r in batch.collect()}
     assert kept | dropped == batch_ids
     assert kept & dropped == set()
+
+
+# -- skew-aware join semantic invariant --------------------------------------
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    left_keys=st.lists(st.sampled_from(["a", "b", "c", "hot"]),
+                       min_size=1, max_size=30),
+    right_keys=st.lists(st.sampled_from(["a", "b", "hot", "x"]),
+                        min_size=1, max_size=4, unique=True),
+    min_share=st.sampled_from([0.0, 0.3, 0.9]),
+    salt=st.sampled_from([1, 3, 5]),
+)
+def test_skew_aware_join_invariant(spark, left_keys, right_keys, min_share, salt):
+    """For ANY key distribution, hot-share threshold, and salt factor:
+    skew_aware_join(inner) is multiset-equal to the plain inner join —
+    partial salting must never duplicate or drop a matched row."""
+    from collections import Counter
+
+    from data_cube_spark.operators.joins import skew_aware_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(left_keys)], "k string, v int")
+    right = spark.createDataFrame(
+        [(k, hash(k) % 97) for k in right_keys], "k string, w int")
+    plain = Counter((r.k, r.v, r.w) for r in left.join(right, "k").collect())
+    out = Counter((r.k, r.v, r.w) for r in skew_aware_join(
+        left, right, "k", top_n=3, min_share=min_share, salt=salt).collect())
+    assert out == plain

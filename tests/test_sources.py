@@ -89,6 +89,40 @@ def test_cube_save_load_round_trip(spark, tmp_path):
     assert q.fact.df.count() > 0
 
 
+def test_cube_save_load_bucketed_fact(spark, tmp_path):
+    """save_cube(bucket_by=...) persists the fact bucketed; load_cube
+    re-registers it CLUSTERED BY from cube.json, so a later-session
+    aggregation on the bucket key runs with ZERO exchanges (the fact
+    shuffle was paid once at save time). Values identical to the plain
+    roundtrip."""
+    from data_cube_spark.plans import count_exchanges, explain_str
+    from data_cube_spark.sources.star import tpch_cube
+    from data_cube_spark.sources.store import load_cube, save_cube
+
+    from tests.conftest import SF_DIR
+
+    dc = tpch_cube(spark, SF_DIR)
+    path = str(tmp_path / "cube_store_b")
+    save_cube(dc, path, bucket_by=["o_orderkey"], n_buckets=4)
+    import glob as _glob
+    assert len(_glob.glob(f"{path}/fact/*.parquet")) == 4
+    try:
+        loaded = load_cube(spark, path, fact_table="t_cube_fact_bucketed")
+        a = sorted(map(tuple, dc.aggregate(["supplier.r_name"]).collect()))
+        b = sorted(map(tuple, loaded.aggregate(["supplier.r_name"]).collect()))
+        assert a == b
+        # the bucket-key aggregation needs no shuffle at all
+        agg = loaded.fact.df.groupBy("o_orderkey").agg(F.sum("revenue"))
+        assert count_exchanges(agg) == 0, explain_str(agg, "simple")
+        assert "Bucketed: true" in explain_str(agg, "simple")
+        # without fact_table the load still answers correctly (plain read)
+        plain = load_cube(spark, path)
+        c = sorted(map(tuple, plain.aggregate(["supplier.r_name"]).collect()))
+        assert a == c
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cube_fact_bucketed")
+
+
 def test_save_cube_rejects_callable_measures(spark, tmp_path):
     from data_cube_spark.build import from_table
     from data_cube_spark.sources.store import save_cube
