@@ -131,8 +131,9 @@ def ngram_jaccard_pairs(
     stop-shingles, and capping document frequency bounds the join output.
     ``block_cols`` optionally restricts candidates to equal values of those
     columns (e.g. same language) — classic blocking. ``hash_shingles``
-    swaps string join keys for 8-byte hashes; ``cache`` persists the
-    (reused-3×) shingle table instead of recomputing its lineage per use.
+    swaps string join keys for 8-byte hashes; ``cache`` materializes the
+    (reused-3×) shingle table via lazy localCheckpoint instead of
+    recomputing its lineage per use.
     """
     sh = shingle_table(df, text_col, id_col, k, hashed=hash_shingles)
     if block_cols:
@@ -141,7 +142,10 @@ def ngram_jaccard_pairs(
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         sh = sh.join(freq.where(F.col("_df") <= max_df).select("shingle"), "shingle")
     if cache:
-        sh = sh.persist()
+        # lazy localCheckpoint, not persist(): materializes on first use,
+        # blocks free with the frame (persist entries accumulate across
+        # calls in a long-lived session — ADVICE r3)
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col, *(block_cols or [])).agg(F.count(F.lit(1)).alias("_sz"))
 
     a = sh.select(
@@ -215,8 +219,9 @@ def incremental_ngram_pairs(
         sh_b = sh_b.join(freq, "shingle")
         sh_c = sh_c.join(freq, "shingle")
     if cache:
-        sh_b = sh_b.persist()
-        sh_c = sh_c.persist()
+        # lazy localCheckpoint, not persist() — see ngram_jaccard_pairs
+        sh_b = sh_b.localCheckpoint(eager=False)
+        sh_c = sh_c.localCheckpoint(eager=False)
     sz_b = sh_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz_a")).select(
         F.col(id_col).alias("batch_id"), "_sz_a")
     sz_c = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz_b")).select(

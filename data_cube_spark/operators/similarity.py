@@ -581,7 +581,11 @@ def ivf_topk(
     The candidate join is an equi-join on cell_id (corpus side shuffled
     once by cell), so the scanned fraction is ~n_probe/n_cells of the
     corpus — the knob that makes a 10^9-vector corpus tractable."""
-    cents = ivf_centroids(corpus, n_cells, id_col, vec_col, iters).persist()
+    # lazy localCheckpoint, not persist(): reused by assign + probe sides;
+    # blocks free with the frame instead of accumulating CacheManager
+    # entries across calls in a long-lived session
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col,
+                          iters).localCheckpoint(eager=False)
     corpus_cells = ivf_assign(corpus, cents, id_col, vec_col).join(
         corpus.select(id_col, vec_col), id_col
     )
