@@ -115,7 +115,8 @@ def main() -> None:
         for name in ("ngram_jaccard_pairs", "minhash_lsh_pairs",
                      "incremental_dedup_keep", "incremental_minhash_recall",
                      "embedding_components", "semantic_dedup_keep",
-                     "chunk_documents", "pii_redaction"):
+                     "chunk_documents", "pii_redaction",
+                     "skew_aware_user_join", "bucketed_join_copartition"):
             try:
                 QUERIES[name](spark, tiny).count()
             except Exception:

@@ -120,7 +120,7 @@ def salted_join(
 def skew_aware_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     top_n: int = 50,
     min_share: float = 0.001,
     salt: int = 16,
@@ -154,12 +154,26 @@ def skew_aware_join(
         raise ValueError(f"skew_aware_join supports inner/left joins, not {how!r}")
     from data_cube_spark.operators.stats import key_skew_profile
 
-    prof = key_skew_profile(left, [on], top_n=int(top_n))
-    hot = [row[0] for row in
-           prof.where(F.col("share") >= float(min_share)).select(on).collect()]
+    on = [on] if isinstance(on, str) else list(on)
+    prof = key_skew_profile(left, on, top_n=int(top_n))
+    hot = [tuple(row) for row in
+           prof.where(F.col("share") >= float(min_share)).select(*on).collect()]
     if not hot:
         return left.join(right, on, how)
-    is_hot = F.col(on).isin(hot)
+    if len(on) == 1:
+        is_hot = F.col(on[0]).isin([t[0] for t in hot])
+    else:
+        # composite key: OR of per-tuple conjunctions — bounded by top_n
+        # literals, stays a codegen'd predicate (no extra join)
+        def _tuple_pred(t):
+            p = F.col(on[0]).eqNullSafe(F.lit(t[0]))
+            for c, v in zip(on[1:], t[1:]):
+                p = p & F.col(c).eqNullSafe(F.lit(v))
+            return p
+
+        is_hot = _tuple_pred(hot[0])
+        for t in hot[1:]:
+            is_hot = is_hot | _tuple_pred(t)
     l = left.withColumn(
         salt_col,
         F.when(
@@ -177,7 +191,7 @@ def skew_aware_join(
             .otherwise(F.array(F.lit(0)))
         ),
     )
-    return l.join(r, [on, salt_col], how).drop(salt_col)
+    return l.join(r, [*on, salt_col], how).drop(salt_col)
 
 
 def range_join(

@@ -240,6 +240,24 @@ def test_skew_aware_join_replication_is_bounded(spark):
     assert out.count() == left.join(right, "k").count()
 
 
+def test_skew_aware_join_composite_key(spark):
+    """Composite join keys: the hot set is a tuple list compiled to an
+    OR-of-conjunctions predicate; results equal the plain join."""
+    from data_cube_spark.operators.joins import skew_aware_join
+
+    left = spark.createDataFrame(
+        [("hot", 1, i) for i in range(80)] + [("hot", 2, 0), ("cold", 1, 9)],
+        "k1 string, k2 int, v int")
+    right = spark.createDataFrame(
+        [("hot", 1, 10), ("hot", 2, 20), ("cold", 1, 30), ("x", 9, 40)],
+        "k1 string, k2 int, w int")
+    plain = {(r.k1, r.k2, r.v, r.w)
+             for r in left.join(right, ["k1", "k2"]).collect()}
+    out = {(r.k1, r.k2, r.v, r.w) for r in skew_aware_join(
+        left, right, ["k1", "k2"], top_n=2, min_share=0.3, salt=4).collect()}
+    assert out == plain
+
+
 def test_skew_aware_join_empty_hot_set_and_invalid_how(spark):
     from data_cube_spark.operators.joins import skew_aware_join
 

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from data_cube_spark.build import from_table
 from data_cube_spark.model import Measure
-from data_cube_spark.selectors import AnyOf, C, Collapse
+from data_cube_spark.selectors import AnyOf, C, Collapse, Range
 
 DOMAIN = {"d1": [0, 1, 2], "d2": [0, 1, 2, 3], "d3": [0, 1, 2, 3, 4]}
 
@@ -39,12 +39,14 @@ def _cube(spark):
 
 def _op_strategy(dim):
     vals = st.lists(st.sampled_from(DOMAIN[dim]), min_size=1, unique=True)
+    bound = st.sampled_from(DOMAIN[dim])
     return st.one_of(
         st.none(),                                    # untouched
         st.tuples(st.just("dice"), vals),             # C(*values)
         st.tuples(st.just("collapse"), st.none()),    # Collapse()
         st.tuples(st.just("collapse_f"), vals),       # Collapse(dK=values)
         st.tuples(st.just("anyof"), st.tuples(vals, vals)),  # OR dice
+        st.tuples(st.just("range"), st.tuples(bound, bound)),  # [lo, hi)
     )
 
 
@@ -70,6 +72,11 @@ def test_random_query_matches_pandas_oracle(spark, ops):
             v1, v2 = vals
             selectors[dim] = AnyOf({dim: v1}, {dim: v2})
             mask &= pdf[dim].isin(sorted(set(v1) | set(v2)))
+            keep.append(dim)
+        elif kind == "range":
+            lo, hi = vals  # lo > hi (empty) and lo == hi (empty) included
+            selectors[dim] = C(**{dim: Range(lo, hi)})
+            mask &= (pdf[dim] >= lo) & (pdf[dim] < hi)
             keep.append(dim)
         elif kind == "collapse":
             selectors[dim] = Collapse()
