@@ -180,6 +180,91 @@ def ngram_jaccard_pairs(
     return out
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    hash_shingles: bool = True,
+    cache: bool = True,
+) -> DataFrame:
+    """EXACT set-Jaccard similarity self-join via PREFIX FILTERING
+    (AllPairs/PPJoin family) — same output as
+    :func:`ngram_jaccard_pairs` with no ``max_df`` cap, but with
+    provably bounded candidates.
+
+    The plain inverted-index join explodes through stop-shingles (every
+    pair sharing "one of the" becomes a candidate); ``max_df`` bounds it
+    by DROPPING those shingles, trading exactness. Prefix filtering
+    keeps exactness: order every document's shingles by ascending global
+    document frequency (rarest first, ties by value — deterministic);
+    any pair with ``J >= t`` must overlap by ``o >= ceil(t·|d|)``
+    elements (minimum at the smallest eligible partner ``|y| = t·|d|``:
+    ``o >= t/(1+t)(|d|+t|d|) = t·|d|``), therefore the two documents
+    MUST share a shingle within their first ``|d| - ceil(t·|d|) + 1``
+    rarest shingles. Candidates come from joining only those PREFIXES —
+    posting lists of the rarest shingles — plus the size filter
+    ``t·|a| <= |b| <= |a|/t``; verification is one JVM
+    ``array_intersect`` per candidate against the full per-doc shingle
+    sets. No all-pairs blowup, no dropped truth pairs.
+
+    Cost shape at scale: one shuffle to rank shingles per doc (window is
+    per-document-local), one equi-join over short rare-shingle postings,
+    two id-joins to fetch the candidate pair's shingle sets. Used as the
+    scale path for the exact truth side of the MinHash recall
+    invariants."""
+    sh = shingle_table(df, text_col, id_col, k, hashed=hash_shingles)
+    if cache:
+        sh = sh.localCheckpoint(eager=False)
+    from pyspark.sql import Window
+
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(),
+                                           F.col("shingle").asc())
+    pre = (
+        sh.join(freq, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sizes, id_col)
+        .where(F.col("_pos")
+               <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+        .select(id_col, "shingle", "_sz")
+    )
+    a = pre.select(F.col(id_col).alias("id_a"), "shingle",
+                   F.col("_sz").alias("_pa"))
+    b = pre.select(F.col(id_col).alias("id_b"), "shingle",
+                   F.col("_sz").alias("_pb"))
+    cands = (
+        a.join(b, "shingle")
+        .where((F.col("id_a") < F.col("id_b"))
+               & (F.lit(threshold) * F.col("_pa") <= F.col("_pb"))
+               & (F.lit(threshold) * F.col("_pb") <= F.col("_pa")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = sh.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("shingle")).alias("_set"))
+    out = (
+        cands
+        .join(sets.select(F.col(id_col).alias("id_a"),
+                          F.col("_set").alias("_set_a")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"),
+                          F.col("_set").alias("_set_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("_set_a", "_set_b")).alias("_inter"),
+            F.size("_set_a").alias("_sa"), F.size("_set_b").alias("_sb"))
+        .select(
+            "id_a", "id_b",
+            (F.col("_inter")
+             / (F.col("_sa") + F.col("_sb") - F.col("_inter")))
+            .cast("double").alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
 # -- incremental dedup: new batch vs standing corpus ------------------------
 
 def incremental_ngram_pairs(

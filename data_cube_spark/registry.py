@@ -2179,6 +2179,18 @@ def q_events_stream_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-Jaccard self-join via prefix filtering
+    (operators/dedup.py::jaccard_pairs_prefix, AllPairs/PPJoin family):
+    candidates come only from each document's rarest-shingle prefix plus
+    a size filter, then one JVM array_intersect verification per
+    candidate — no max_df approximation, no all-pairs blowup. The oracle
+    is the UNCAPPED exact truth SQL, so a hash match proves the prefix
+    filter loses nothing."""
+    t = load_tables(spark, sf_dir)
+    return dedup.jaccard_pairs_prefix(t["documents"], k=3, threshold=0.5)
+
+
 def q_skew_aware_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile-driven PARTIAL salting as driver evidence: events (the
     skewable fact side — `key_skew_users` measures its user_id heat)
@@ -2375,6 +2387,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_moving_avg": q_window_moving_avg,
     "skew_aware_user_join": q_skew_aware_user_join,
     "bucketed_join_copartition": q_bucketed_join_copartition,
+    "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
 }
 
 
@@ -2451,6 +2464,12 @@ def _ngram_jaccard_sql(threshold: float = 0.05, max_df: int | None = None) -> st
       WHERE CAST(i.n AS DOUBLE) / (sa.n + sb.n - i.n) >= {threshold}
     """
 
+
+
+def _ngram_exact_sql(threshold: float) -> str:
+    # uncapped, unblocked exact 3-gram set-Jaccard pairs — the ground
+    # truth the prefix-filtered join must reproduce verbatim
+    return _ngram_truth_sql(threshold).replace(",\n             TRUE AS lsh_found", "")
 
 
 def _ngram_truth_sql(threshold: float) -> str:
@@ -3183,6 +3202,7 @@ ORACLE: dict[str, str] = {
       FROM documents
     """,
     "ngram_jaccard_pairs": _ngram_jaccard_sql(max_df=NGRAM_MAX_DF),
+    "jaccard_prefix_pairs": _ngram_exact_sql(0.5),
     "minhash_lsh_pairs": _ngram_truth_sql(0.5),
     "incremental_minhash_recall": _incremental_truth_sql(0.5),
     "embedding_near_pairs_lsh": """

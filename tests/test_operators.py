@@ -19,6 +19,38 @@ def test_minhash_estimates_track_exact_jaccard(spark, tables):
         assert abs(r["jaccard"] - r["est_jaccard"]) < 0.3
 
 
+def test_jaccard_prefix_equals_uncapped_exact(spark, tables):
+    """Prefix filtering is EXACT: identical pair set and values as the
+    uncapped inverted-index join on the documents fixture."""
+    docs = tables["documents"]
+    exact = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+             dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5,
+                                       hash_shingles=True).collect()}
+    pref = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+            dedup.jaccard_pairs_prefix(docs, k=3, threshold=0.5).collect()}
+    assert pref == exact and exact
+
+
+def test_jaccard_prefix_survives_universal_stop_shingle(spark):
+    """The scale scenario max_df cannot handle exactly: every document
+    shares a stop-shingle ('the cat sat'), so the plain join's candidate
+    set is ALL pairs and a max_df cap would also DELETE the shingle from
+    the true intersections. The prefix join must still return exactly the
+    planted near-dup pair with the exact Jaccard."""
+    base = "the cat sat on mat number {} with color {} and size {}"
+    rows = [(i, base.format(i, i * 7 % 13, i * 11 % 17)) for i in range(60)]
+    # planted near-dup of doc 0: one trailing word differs
+    rows.append((1000, base.format(0, 0, 0) + " extra"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): round(r.jaccard, 6) for r in
+           dedup.jaccard_pairs_prefix(df, k=3, threshold=0.5).collect()}
+    truth = {(r.id_a, r.id_b): round(r.jaccard, 6) for r in
+             dedup.ngram_jaccard_pairs(df, k=3, threshold=0.5,
+                                       hash_shingles=True).collect()}
+    assert got == truth
+    assert (0, 1000) in got
+
+
 def test_lsh_candidates_catch_high_jaccard_pairs(spark):
     """Pairs with very high Jaccard must appear in the LSH candidate set
     (16 bands x 4 rows: P(miss | j=0.9) ≈ (1-0.9^4)^16 ≈ 0.002)."""

@@ -163,6 +163,36 @@ def test_incremental_keep_partitions_batch(spark, texts):
     assert kept & dropped == set()
 
 
+# -- prefix-filtered exact similarity join -----------------------------------
+
+_WORDS = ["the", "cat", "sat", "on", "a", "mat", "dog", "ran", "far", "near"]
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=3, max_size=12)
+        .map(" ".join),
+        min_size=2, max_size=12),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_jaccard_prefix_matches_exact_for_any_corpus(spark, texts, threshold):
+    """For ANY corpus and threshold, prefix-filtered exact Jaccard equals
+    the uncapped inverted-index join — pair set and values."""
+    from data_cube_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    exact = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+             dedup.ngram_jaccard_pairs(df, k=3, threshold=threshold,
+                                       hash_shingles=True).collect()}
+    pref = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+            dedup.jaccard_pairs_prefix(df, k=3, threshold=threshold).collect()}
+    assert pref == exact
+
+
 # -- skew-aware join semantic invariant --------------------------------------
 
 @pytest.mark.usefixtures("spark")
