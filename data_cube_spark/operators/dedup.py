@@ -180,6 +180,43 @@ def ngram_jaccard_pairs(
     return out
 
 
+def prefix_filter_candidates(
+    sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from the PREFIX FILTER over a
+    distinct (id, shingle) table: join only each document's
+    ``|d| − ceil(t·|d|) + 1`` globally-rarest shingles, plus the
+    ``t·|a| <= |b| <= |a|/t`` size filter. Superset of all pairs with
+    ``J >= t`` (prefix-filter theorem); exposed separately so tests can
+    measure the candidate bound directly."""
+    from pyspark.sql import Window
+
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(),
+                                           F.col("shingle").asc())
+    pre = (
+        sh.join(freq, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sizes, id_col)
+        .where(F.col("_pos")
+               <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+        .select(id_col, "shingle", "_sz")
+    )
+    a = pre.select(F.col(id_col).alias("id_a"), "shingle",
+                   F.col("_sz").alias("_pa"))
+    b = pre.select(F.col(id_col).alias("id_b"), "shingle",
+                   F.col("_sz").alias("_pb"))
+    return (
+        a.join(b, "shingle")
+        .where((F.col("id_a") < F.col("id_b"))
+               & (F.lit(threshold) * F.col("_pa") <= F.col("_pb"))
+               & (F.lit(threshold) * F.col("_pb") <= F.col("_pa")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     text_col: str = "text",
@@ -217,32 +254,7 @@ def jaccard_pairs_prefix(
     sh = shingle_table(df, text_col, id_col, k, hashed=hash_shingles)
     if cache:
         sh = sh.localCheckpoint(eager=False)
-    from pyspark.sql import Window
-
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(),
-                                           F.col("shingle").asc())
-    pre = (
-        sh.join(freq, "shingle")
-        .withColumn("_pos", F.row_number().over(w))
-        .join(sizes, id_col)
-        .where(F.col("_pos")
-               <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
-        .select(id_col, "shingle", "_sz")
-    )
-    a = pre.select(F.col(id_col).alias("id_a"), "shingle",
-                   F.col("_sz").alias("_pa"))
-    b = pre.select(F.col(id_col).alias("id_b"), "shingle",
-                   F.col("_sz").alias("_pb"))
-    cands = (
-        a.join(b, "shingle")
-        .where((F.col("id_a") < F.col("id_b"))
-               & (F.lit(threshold) * F.col("_pa") <= F.col("_pb"))
-               & (F.lit(threshold) * F.col("_pb") <= F.col("_pa")))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cands = prefix_filter_candidates(sh, id_col, threshold)
     sets = sh.groupBy(id_col).agg(
         F.array_sort(F.collect_set("shingle")).alias("_set"))
     out = (

@@ -38,7 +38,7 @@ def test_jaccard_prefix_survives_universal_stop_shingle(spark):
     the true intersections. The prefix join must still return exactly the
     planted near-dup pair with the exact Jaccard."""
     base = "the cat sat on mat number {} with color {} and size {}"
-    rows = [(i, base.format(i, i * 7 % 13, i * 11 % 17)) for i in range(60)]
+    rows = [(i, base.format(i, i, i)) for i in range(60)]
     # planted near-dup of doc 0: one trailing word differs
     rows.append((1000, base.format(0, 0, 0) + " extra"))
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -49,6 +49,16 @@ def test_jaccard_prefix_survives_universal_stop_shingle(spark):
                                        hash_shingles=True).collect()}
     assert got == truth
     assert (0, 1000) in got
+    # measured candidate bound: the plain inverted-index join considers
+    # EVERY pair (all 61 docs share 'the cat sat' -> C(61,2) = 1830);
+    # the universal shingles rank most-frequent, so they fall OUTSIDE
+    # every document's rarest-shingle prefix and the candidate set
+    # collapses to the pairs sharing rare (here: doc-unique) shingles
+    n_docs = df.count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    sh = dedup.shingle_table(df, hashed=True)
+    n_cands = dedup.prefix_filter_candidates(sh, "doc_id", 0.5).count()
+    assert n_cands < all_pairs / 100, (n_cands, all_pairs)
 
 
 def test_lsh_candidates_catch_high_jaccard_pairs(spark):

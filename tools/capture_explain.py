@@ -176,6 +176,13 @@ CURATED: dict[str, str] = {
         "Arrow batches; upstream filter pushed to the scan, decode stage "
         "carries only (id, media) columns."
     ),
+    "jaccard_prefix_pairs": (
+        "Prefix-filtered EXACT similarity join: candidates only from the "
+        "rarest-shingle prefixes (short posting lists by construction) + "
+        "size filter; one array_intersect verification per candidate. "
+        "Bounded where the plain inverted-index join explodes through "
+        "stop-shingles — and exact where max_df is not."
+    ),
     "skew_aware_user_join": (
         "Skew-aware partial salting: hot-key isin predicate (codegen'd "
         "literals, no extra join), conditional salt on the fact side, "
