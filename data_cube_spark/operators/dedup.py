@@ -217,6 +217,86 @@ def prefix_filter_candidates(
     )
 
 
+def jaccard_pairs_prefix_rs(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    hash_shingles: bool = True,
+    cache: bool = True,
+) -> DataFrame:
+    """Two-table (R×S) variant of :func:`jaccard_pairs_prefix` — exact
+    set-Jaccard pairs between a LEFT (e.g. new batch) and RIGHT (e.g.
+    standing corpus) table with prefix-filtered candidates: the
+    continuous-ingest exact truth path that never self-joins the corpus
+    AND never explodes through stop-shingles.
+
+    The prefix theorem needs ONE consistent global shingle order, so
+    document frequencies are computed over the UNION of both sides;
+    each side then prefixes independently and only prefix×prefix is
+    joined. Output: (batch_id, corpus_id, jaccard)."""
+    sh_l = shingle_table(left, text_col, id_col, k, hashed=hash_shingles)
+    sh_r = shingle_table(right, text_col, id_col, k, hashed=hash_shingles)
+    if cache:
+        sh_l = sh_l.localCheckpoint(eager=False)
+        sh_r = sh_r.localCheckpoint(eager=False)
+    from pyspark.sql import Window
+
+    freq = (
+        sh_l.select("shingle").unionAll(sh_r.select("shingle"))
+        .groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    )
+
+    def _prefix(sh: DataFrame) -> DataFrame:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+        w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(),
+                                               F.col("shingle").asc())
+        return (
+            sh.join(freq, "shingle")
+            .withColumn("_pos", F.row_number().over(w))
+            .join(sizes, id_col)
+            .where(F.col("_pos")
+                   <= F.col("_sz")
+                   - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+            .select(id_col, "shingle", "_sz")
+        )
+
+    a = _prefix(sh_l).select(F.col(id_col).alias("batch_id"), "shingle",
+                             F.col("_sz").alias("_pa"))
+    b = _prefix(sh_r).select(F.col(id_col).alias("corpus_id"), "shingle",
+                             F.col("_sz").alias("_pb"))
+    cands = (
+        a.join(b, "shingle")
+        .where((F.lit(threshold) * F.col("_pa") <= F.col("_pb"))
+               & (F.lit(threshold) * F.col("_pb") <= F.col("_pa")))
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    set_l = sh_l.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("shingle")).alias("_set_a"))
+    set_r = sh_r.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("shingle")).alias("_set_b"))
+    return (
+        cands
+        .join(set_l.select(F.col(id_col).alias("batch_id"), "_set_a"),
+              "batch_id")
+        .join(set_r.select(F.col(id_col).alias("corpus_id"), "_set_b"),
+              "corpus_id")
+        .select(
+            "batch_id", "corpus_id",
+            F.size(F.array_intersect("_set_a", "_set_b")).alias("_inter"),
+            F.size("_set_a").alias("_sa"), F.size("_set_b").alias("_sb"))
+        .select(
+            "batch_id", "corpus_id",
+            (F.col("_inter")
+             / (F.col("_sa") + F.col("_sb") - F.col("_inter")))
+            .cast("double").alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     text_col: str = "text",

@@ -2191,6 +2191,19 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs_prefix(t["documents"], k=3, threshold=0.5)
 
 
+def q_incremental_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R×S prefix-filtered EXACT Jaccard (batch = odd doc_ids, corpus =
+    even): the continuous-ingest exact-truth path — no corpus self-join,
+    prefix-bounded candidates, no max_df approximation
+    (operators/dedup.py::jaccard_pairs_prefix_rs). Oracle: the uncapped
+    batch×corpus exact SQL — a hash match proves zero loss."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    return dedup.jaccard_pairs_prefix_rs(batch, corpus, k=3, threshold=0.5)
+
+
 def q_skew_aware_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile-driven PARTIAL salting as driver evidence: events (the
     skewable fact side — `key_skew_users` measures its user_id heat)
@@ -2388,6 +2401,7 @@ QUERIES: dict[str, QueryFn] = {
     "skew_aware_user_join": q_skew_aware_user_join,
     "bucketed_join_copartition": q_bucketed_join_copartition,
     "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
+    "incremental_prefix_pairs": q_incremental_prefix_pairs,
 }
 
 
@@ -2523,6 +2537,13 @@ def _incremental_truth_sql(threshold: float) -> str:
                    JOIN sz sb ON sb.doc_id = i.corpus_id
       WHERE CAST(i.n AS DOUBLE) / (sa.n + sb.n - i.n) >= {threshold}
     """
+
+
+def _incremental_exact_sql(threshold: float) -> str:
+    # uncapped batch x corpus exact-Jaccard pairs — the ground truth the
+    # R x S prefix-filtered join must reproduce verbatim
+    return _incremental_truth_sql(threshold).replace(
+        ",\n             TRUE AS lsh_found", "")
 
 
 def _incremental_keep_sql(threshold: float, max_df: int) -> str:
@@ -3203,6 +3224,7 @@ ORACLE: dict[str, str] = {
     """,
     "ngram_jaccard_pairs": _ngram_jaccard_sql(max_df=NGRAM_MAX_DF),
     "jaccard_prefix_pairs": _ngram_exact_sql(0.5),
+    "incremental_prefix_pairs": _incremental_exact_sql(0.5),
     "minhash_lsh_pairs": _ngram_truth_sql(0.5),
     "incremental_minhash_recall": _incremental_truth_sql(0.5),
     "embedding_near_pairs_lsh": """

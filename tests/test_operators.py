@@ -61,6 +61,21 @@ def test_jaccard_prefix_survives_universal_stop_shingle(spark):
     assert n_cands < all_pairs / 100, (n_cands, all_pairs)
 
 
+def test_jaccard_prefix_rs_equals_uncapped_incremental(spark, tables):
+    """The R×S prefix variant reproduces the uncapped batch×corpus exact
+    join verbatim on the documents fixture (odd = batch, even = corpus)."""
+    docs = tables["documents"]
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    exact = {(r.batch_id, r.corpus_id, round(r.jaccard, 9)) for r in
+             dedup.incremental_ngram_pairs(batch, corpus, k=3, threshold=0.5,
+                                           hash_shingles=True).collect()}
+    pref = {(r.batch_id, r.corpus_id, round(r.jaccard, 9)) for r in
+            dedup.jaccard_pairs_prefix_rs(batch, corpus, k=3,
+                                          threshold=0.5).collect()}
+    assert pref == exact and exact
+
+
 def test_lsh_candidates_catch_high_jaccard_pairs(spark):
     """Pairs with very high Jaccard must appear in the LSH candidate set
     (16 bands x 4 rows: P(miss | j=0.9) ≈ (1-0.9^4)^16 ≈ 0.002)."""
