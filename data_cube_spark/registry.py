@@ -2483,7 +2483,10 @@ def _ngram_jaccard_sql(threshold: float = 0.05, max_df: int | None = None) -> st
 def _ngram_exact_sql(threshold: float) -> str:
     # uncapped, unblocked exact 3-gram set-Jaccard pairs — the ground
     # truth the prefix-filtered join must reproduce verbatim
-    return _ngram_truth_sql(threshold).replace(",\n             TRUE AS lsh_found", "")
+    sql = _ngram_truth_sql(threshold).replace(
+        ",\n             TRUE AS lsh_found", "")
+    assert "lsh_found" not in sql, "truth SQL drifted; fix the strip"
+    return sql
 
 
 def _ngram_truth_sql(threshold: float) -> str:
@@ -2542,8 +2545,10 @@ def _incremental_truth_sql(threshold: float) -> str:
 def _incremental_exact_sql(threshold: float) -> str:
     # uncapped batch x corpus exact-Jaccard pairs — the ground truth the
     # R x S prefix-filtered join must reproduce verbatim
-    return _incremental_truth_sql(threshold).replace(
+    sql = _incremental_truth_sql(threshold).replace(
         ",\n             TRUE AS lsh_found", "")
+    assert "lsh_found" not in sql, "truth SQL drifted; fix the strip"
+    return sql
 
 
 def _incremental_keep_sql(threshold: float, max_df: int) -> str:
