@@ -47,6 +47,53 @@ def hex_threshold(fraction: float, digits: int = 15) -> str:
     return format(int(f * (16 ** digits)), f"0{digits}x")
 
 
+def draw_uniform(key: str | Column, salt: str = "") -> Column:
+    """Deterministic NUMERIC uniform draw in (0, 1]: the md5 draw's first
+    15 hex digits as an integer, +1 (exact, in decimal before the double
+    rounding so both engines agree bit-for-bit), over 16^15 (= 2^60,
+    exactly representable). DuckDB mirror:
+    ``CAST(('0x' || substr(md5(...),1,15))::UBIGINT + 1 AS DOUBLE)
+    / CAST(power(16,15) AS DOUBLE)``."""
+    h15 = F.substring(draw_hex(key, salt), 1, 15)
+    num = (F.conv(h15, 16, 10).cast("decimal(20,0)") + 1).cast("double")
+    return num / F.lit(float(16 ** 15))
+
+
+def sample_weighted_n(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    by: list[str] | None = None,
+    key: str = "doc_id",
+    salt: str = "w",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row draws its deterministic uniform
+    ``u`` and gets sampling key ``ln(u)/w`` (order-equivalent to
+    ``u^(1/w)``); the ``n`` largest keys are an exact
+    weighted-without-replacement sample — e.g. documents proportional to
+    token count, the standard quality-weighted corpus draw.
+
+    Scale shape: per-group top-n is a per-stratum rank window (one
+    shuffle on the group key); ungrouped top-n is TakeOrdered, never a
+    global sort. Reruns/retries/speculative tasks and ANY engine with
+    md5 reproduce the identical sample (ties impossible — distinct md5).
+    Rows with weight <= 0 or NULL are excluded (zero weight = never
+    sampled, matching the limit of u^(1/w))."""
+    w = F.col(weight_col).cast("double")
+    scored = (
+        df.where(w > 0)
+        .withColumn("_wkey", F.ln(draw_uniform(key, salt)) / w)
+    )
+    if by:
+        win = Window.partitionBy(*by).orderBy(F.col("_wkey").desc())
+        out = (scored.withColumn("_r", F.row_number().over(win))
+               .where(F.col("_r") <= int(n)).drop("_r"))
+    else:
+        out = scored.orderBy(F.col("_wkey").desc()).limit(int(n))
+    return out.drop("_wkey")
+
+
 def sample_fraction(
     df: DataFrame,
     fraction: float,

@@ -2204,6 +2204,21 @@ def q_incremental_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs_prefix_rs(batch, corpus, k=3, threshold=0.5)
 
 
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES,
+    operators/sampling.py::sample_weighted_n): 30 documents per language
+    drawn with probability proportional to n_chars — the
+    quality/length-weighted corpus draw. The oracle recomputes the
+    identical ln(u)/w keys from the same md5 draw (numeric parity pinned
+    by draw_uniform's decimal-before-double construction), so the
+    sampled row SET hash-matches across engines."""
+    from data_cube_spark.operators.sampling import sample_weighted_n
+
+    t = load_tables(spark, sf_dir)
+    out = sample_weighted_n(t["documents"], "n_chars", 30, by=["lang"])
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def q_skew_aware_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile-driven PARTIAL salting as driver evidence: events (the
     skewable fact side — `key_skew_users` measures its user_id heat)
@@ -2402,6 +2417,7 @@ QUERIES: dict[str, QueryFn] = {
     "bucketed_join_copartition": q_bucketed_join_copartition,
     "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
     "incremental_prefix_pairs": q_incremental_prefix_pairs,
+    "weighted_sample_docs": q_weighted_sample_docs,
 }
 
 
@@ -3230,6 +3246,18 @@ ORACLE: dict[str, str] = {
     "ngram_jaccard_pairs": _ngram_jaccard_sql(max_df=NGRAM_MAX_DF),
     "jaccard_prefix_pairs": _ngram_exact_sql(0.5),
     "incremental_prefix_pairs": _incremental_exact_sql(0.5),
+    "weighted_sample_docs": """
+      WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               ln(CAST(('0x' || substr(md5('w' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT + 1 AS DOUBLE)
+                  / CAST(power(16, 15) AS DOUBLE)) / CAST(n_chars AS DOUBLE) AS wkey
+        FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
+      r AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY wkey DESC) AS rn
+        FROM scored)
+      SELECT doc_id, lang, n_chars FROM r WHERE rn <= 30
+    """,
     "minhash_lsh_pairs": _ngram_truth_sql(0.5),
     "incremental_minhash_recall": _incremental_truth_sql(0.5),
     "embedding_near_pairs_lsh": """

@@ -61,6 +61,33 @@ def test_jaccard_prefix_survives_universal_stop_shingle(spark):
     assert n_cands < all_pairs / 100, (n_cands, all_pairs)
 
 
+def test_sample_weighted_n_proportional_and_deterministic(spark):
+    """A-ES weighted sampling: (a) deterministic across reruns; (b) exactly
+    n per group; (c) sampling probability tracks weight — over 300
+    independent groups each holding one heavy (w=500) and five light
+    (w=1) items, the heavy item must win the 1-draw in ~500/505 of
+    groups."""
+    from data_cube_spark.operators.sampling import sample_weighted_n
+
+    rows = [(t, f"{t}_heavy", 500.0) for t in range(300)] + [
+        (t, f"{t}_light{j}", 1.0) for t in range(300) for j in range(5)]
+    df = spark.createDataFrame(rows, "trial int, item string, w double")
+    out = sample_weighted_n(df, "w", 1, by=["trial"], key="item")
+    again = sample_weighted_n(df, "w", 1, by=["trial"], key="item")
+    got = sorted((r.trial, r.item) for r in out.collect())
+    assert got == sorted((r.trial, r.item) for r in again.collect())
+    assert len(got) == 300  # exactly n per group
+    heavy_wins = sum("heavy" in item for _, item in got)
+    assert heavy_wins > 280, heavy_wins  # E ~ 297, P(<=280) vanishing
+    # zero/negative weights are never sampled
+    df2 = spark.createDataFrame(
+        [(1, "a", 0.0), (1, "b", -3.0), (1, "c", 2.0)],
+        "trial int, item string, w double")
+    assert [r.item for r in
+            sample_weighted_n(df2, "w", 3, by=["trial"], key="item")
+            .collect()] == ["c"]
+
+
 def test_jaccard_prefix_rs_equals_uncapped_incremental(spark, tables):
     """The R×S prefix variant reproduces the uncapped batch×corpus exact
     join verbatim on the documents fixture (odd = batch, even = corpus)."""
