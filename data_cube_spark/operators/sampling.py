@@ -94,6 +94,43 @@ def sample_weighted_n(
     return out.drop("_wkey")
 
 
+def sample_token_budget(
+    df: DataFrame,
+    token_col: str,
+    budgets: Mapping[str, float],
+    group_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "budget",
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic TOKEN-BUDGET sampling — the "give me N tokens at
+    this mixture" pipeline step: within each group, keep documents in
+    the deterministic md5-draw order until the group's token budget is
+    filled (kept rows are those whose inclusive running token sum stays
+    <= budget, so the budget is never overshot). Groups not named in
+    ``budgets`` get ``default`` (0 = dropped).
+
+    One shuffle on the group key; the running sum is a per-group window
+    over the draw order (groups are corpus sources/languages — bounded
+    cardinality, each window partition is one group's rows). Reruns and
+    any md5-capable engine reproduce the identical kept set: the order
+    key is the raw hex string, compared lexicographically in both
+    engines, and the running sum is exact integer arithmetic."""
+    b = F.lit(float(default))
+    for g, v in sorted(budgets.items()):
+        b = F.when(F.col(group_col) == g, F.lit(float(v))).otherwise(b)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(draw_hex(key, salt).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("_cum", F.sum(F.col(token_col)).over(w))
+        .where(F.col("_cum") <= b)
+        .drop("_cum")
+    )
+
+
 def sample_fraction(
     df: DataFrame,
     fraction: float,

@@ -2219,6 +2219,22 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars")
 
 
+def q_token_budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget mixture draw
+    (operators/sampling.py::sample_token_budget): per language, keep
+    documents in md5-draw order until the language's character budget
+    fills (en 5000 / de 2000 / zh 1000; unbudgeted languages drop). The
+    oracle replays the identical hex-ordered running sum, so the kept
+    row SET hash-matches across engines."""
+    from data_cube_spark.operators.sampling import sample_token_budget
+
+    t = load_tables(spark, sf_dir)
+    out = sample_token_budget(
+        t["documents"], "n_chars",
+        {"en": 5000, "de": 2000, "zh": 1000}, group_col="lang")
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def q_skew_aware_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile-driven PARTIAL salting as driver evidence: events (the
     skewable fact side — `key_skew_users` measures its user_id heat)
@@ -2418,6 +2434,7 @@ QUERIES: dict[str, QueryFn] = {
     "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
     "incremental_prefix_pairs": q_incremental_prefix_pairs,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "token_budget_sample_docs": q_token_budget_sample_docs,
 }
 
 
@@ -3257,6 +3274,18 @@ ORACLE: dict[str, str] = {
                row_number() OVER (PARTITION BY lang ORDER BY wkey DESC) AS rn
         FROM scored)
       SELECT doc_id, lang, n_chars FROM r WHERE rn <= 30
+    """,
+    "token_budget_sample_docs": """
+      WITH c AS (
+        SELECT doc_id, lang, n_chars,
+               SUM(n_chars) OVER (
+                 PARTITION BY lang
+                 ORDER BY md5('budget' || CAST(doc_id AS VARCHAR))
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents)
+      SELECT doc_id, lang, n_chars FROM c
+      WHERE cum <= CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                             WHEN 'zh' THEN 1000 ELSE 0 END
     """,
     "minhash_lsh_pairs": _ngram_truth_sql(0.5),
     "incremental_minhash_recall": _incremental_truth_sql(0.5),

@@ -88,6 +88,42 @@ def test_sample_weighted_n_proportional_and_deterministic(spark):
             .collect()] == ["c"]
 
 
+def test_sample_token_budget_fills_without_overshoot(spark):
+    """Token-budget sampling: per group the kept running sum never
+    exceeds the budget, the draw is MAXIMAL (the first excluded doc in
+    draw order would cross the budget), unbudgeted groups drop, and
+    reruns are identical."""
+    from data_cube_spark.operators.sampling import (draw_hex,
+                                                    sample_token_budget)
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 10 + (i * 7) % 30)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, toks long")
+    out = sample_token_budget(df, "toks", {"a": 150}, group_col="g")
+    kept = [(r.doc_id, r.toks) for r in out.collect()]
+    again = [(r.doc_id, r.toks)
+             for r in sample_token_budget(df, "toks", {"a": 150},
+                                          group_col="g").collect()]
+    assert sorted(kept) == sorted(again)
+    assert all(g == "a" for g in
+               (r.g for r in out.collect()))  # 'b' unbudgeted -> dropped
+    total = sum(t for _, t in kept)
+    assert 0 < total <= 150
+    # maximality: replay the draw order and check the cut point
+    order = sorted(
+        ((r["h"], r.doc_id, r.toks) for r in
+         df.where(F.col("g") == "a")
+         .select("doc_id", "toks",
+                 draw_hex("doc_id", "budget").alias("h")).collect()))
+    cum, expect = 0, []
+    for _, did, t in order:
+        if cum + t > 150:
+            break
+        cum += t
+        expect.append(did)
+    assert sorted(did for did, _ in kept) == sorted(expect)
+
+
 def test_jaccard_prefix_rs_equals_uncapped_incremental(spark, tables):
     """The R×S prefix variant reproduces the uncapped batch×corpus exact
     join verbatim on the documents fixture (odd = batch, even = corpus)."""
