@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "heavy_hitters_sources",
     "skew_aware_user_join",
     "bucketed_join_copartition",
+    "weighted_sample_docs",
+    "token_budget_sample_docs",
 ]
 
 

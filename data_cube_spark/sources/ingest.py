@@ -116,6 +116,53 @@ def write_range_layout(
     out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    sort_cols: Sequence[str] | None = None,
+) -> int:
+    """Compact a small-files parquet dataset in place: rewrite ``path``
+    into ``ceil(total_bytes / target_file_mb)`` files (optionally
+    re-sorted so footer min/max statistics stay useful). Returns the new
+    file count.
+
+    The maintenance companion to streaming ingest: every micro-batch /
+    ingest epoch appends its own files, and at 100 TB a table quietly
+    degrades into millions of KB-sized files whose per-file open/footer
+    cost dominates scans. Compaction is a single read→repartition→write
+    job; it stages into ``<path>/../<name>._compact_tmp`` and swaps
+    directories only after the write succeeds, so a crashed compaction
+    never corrupts the live data (the stale tmp dir is simply
+    overwritten by the next run)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    files = _glob.glob(_os.path.join(path, "**", "*.parquet"),
+                       recursive=True)
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    total = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // (int(target_file_mb) * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = (df.repartitionByRange(int(n_out),
+                                     *[F.col(c) for c in sort_cols])
+               .sortWithinPartitions(*sort_cols))
+    else:
+        out = df.repartition(int(n_out))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    _shutil.rmtree(old, ignore_errors=True)
+    _os.rename(path.rstrip("/"), old)
+    _os.rename(tmp, path.rstrip("/"))
+    _shutil.rmtree(old, ignore_errors=True)
+    return len(_glob.glob(_os.path.join(path, "*.parquet")))
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

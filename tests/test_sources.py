@@ -123,6 +123,29 @@ def test_cube_save_load_bucketed_fact(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_cube_fact_bucketed")
 
 
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Compaction rewrites a fragmented dataset into few files with
+    identical contents; with sort_cols the output is range-laid-out.
+    A stale tmp dir from a 'crashed' prior run is ignored."""
+    import glob
+
+    from data_cube_spark.sources.ingest import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 7).alias("g"))
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    assert len(glob.glob(f"{path}/*.parquet")) == 64
+    # simulate a crashed earlier compaction
+    (tmp_path / "frag._compact_tmp").mkdir()
+    n = compact_parquet(spark, path, target_file_mb=256, sort_cols=["id"])
+    files = glob.glob(f"{path}/*.parquet")
+    assert n == len(files) == 1  # tiny data -> one file
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(10000))
+
+
 def test_save_cube_rejects_callable_measures(spark, tmp_path):
     from data_cube_spark.build import from_table
     from data_cube_spark.sources.store import save_cube
