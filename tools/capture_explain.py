@@ -183,6 +183,16 @@ CURATED: dict[str, str] = {
         "Bounded where the plain inverted-index join explodes through "
         "stop-shingles — and exact where max_df is not."
     ),
+    "weighted_sample_docs": (
+        "A-ES weighted sampling: ln(u)/w keys from the deterministic md5 "
+        "draw, per-group rank window — one shuffle on the group key, no "
+        "join, no global sort."
+    ),
+    "token_budget_sample_docs": (
+        "Token-budget draw: per-group running sum over the hex draw "
+        "order, one shuffle, a single window pass, pure filter after — "
+        "no join, no collect."
+    ),
     "skew_aware_user_join": (
         "Skew-aware partial salting: hot-key isin predicate (codegen'd "
         "literals, no extra join), conditional salt on the fact side, "
