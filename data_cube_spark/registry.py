@@ -2276,10 +2276,12 @@ def q_bucketed_join_copartition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="sg_bucketed_")
+    # per-call table names: safe under concurrent query runs in one session
+    tag = os.path.basename(base).lower()
     tables = {
-        "sg_bkt_orders": (
+        f"{tag}_orders": (
             t["orders"].select("o_orderkey", "o_orderpriority"), "o_orderkey"),
-        "sg_bkt_lineitem": (
+        f"{tag}_lineitem": (
             t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
             "l_orderkey"),
     }
@@ -2288,8 +2290,8 @@ def q_bucketed_join_copartition(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             write_bucketed(df, name, [key], n_buckets=8,
                            path=os.path.join(base, name))
-        j = spark.table("sg_bkt_lineitem").join(
-            spark.table("sg_bkt_orders"),
+        j = spark.table(f"{tag}_lineitem").join(
+            spark.table(f"{tag}_orders"),
             F.col("l_orderkey") == F.col("o_orderkey"))
         out = j.groupBy("o_orderpriority").agg(
             F.sum(_rev_expr()).cast("double").alias("revenue"),

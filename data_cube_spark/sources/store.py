@@ -65,12 +65,17 @@ def save_cube(
         if mode == "overwrite":
             _shutil.rmtree(f"{path}/fact", ignore_errors=True)
         # external table: the catalog entry is scaffolding for the write,
-        # the bucket layout lives in the file names
-        tmp = "_save_cube_fact_tmp"
+        # the bucket layout lives in the file names; per-call name so
+        # concurrent save_cube calls in one session cannot collide
+        import uuid as _uuid
+
+        tmp = f"save_cube_fact_tmp_{_uuid.uuid4().hex[:12]}"
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-        write_bucketed(dc.fact.df, tmp, list(bucket_by),
-                       n_buckets=int(n_buckets), path=f"{path}/fact")
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        try:
+            write_bucketed(dc.fact.df, tmp, list(bucket_by),
+                           n_buckets=int(n_buckets), path=f"{path}/fact")
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     else:
         dc.fact.df.write.mode(mode).parquet(f"{path}/fact")
     meta = {"id_vars": dc.fact.id_vars, "measures": measures, "dims": {}}
