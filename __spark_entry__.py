@@ -4,8 +4,9 @@
 - ``queries()``      — one entry per implemented operator (SURVEY.md §2 +
                        north-star pipeline ops), each ``(spark, sf_dir) -> DataFrame``.
 - ``oracle_sql()``   — matching DuckDB SQL per query (omitted only for
-                       genuinely non-SQL-expressible ops: MinHash/SimHash/LSH
-                       candidates and the mapInPandas fake decode).
+                       the two genuinely non-SQL-expressible ops:
+                       ``simhash_pairs`` — engine-specific signature — and
+                       ``documents_stream_ingest`` — stateful streaming).
 
 Implementation lives in :mod:`data_cube_spark.registry`.
 """
