@@ -2235,6 +2235,41 @@ def q_token_budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars")
 
 
+def q_range_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `write_range_layout` READ path as driver evidence: events are
+    persisted range-partitioned + sorted on ts (each file covers a
+    disjoint ts interval, so parquet footer min/max prunes whole
+    files/row groups for the window predicate before any task runs —
+    file-level pruning asserted in
+    tests/test_sources.py::test_write_range_layout_files_cover_disjoint_ranges),
+    then a two-day window is aggregated by event type. Layout cannot
+    change results: the oracle is the same filter+aggregate on the raw
+    table."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_cube_spark.sources.ingest import write_range_layout
+
+    t = load_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="sg_rangelayout_")
+    path = os.path.join(base, "events")
+    try:
+        write_range_layout(t["events"], path, ["ts"], n_files=8)
+        ev = spark.read.parquet(path)
+        out = (
+            ev.where((F.col("ts") >= F.lit("2024-01-10"))
+                     & (F.col("ts") < F.lit("2024-01-12")))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_value"))
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_skew_aware_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile-driven PARTIAL salting as driver evidence: events (the
     skewable fact side — `key_skew_users` measures its user_id heat)
@@ -2437,6 +2472,7 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_prefix_pairs": q_incremental_prefix_pairs,
     "weighted_sample_docs": q_weighted_sample_docs,
     "token_budget_sample_docs": q_token_budget_sample_docs,
+    "range_layout_prune": q_range_layout_prune,
 }
 
 
@@ -3288,6 +3324,13 @@ ORACLE: dict[str, str] = {
       SELECT doc_id, lang, n_chars FROM c
       WHERE cum <= CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
                              WHEN 'zh' THEN 1000 ELSE 0 END
+    """,
+    "range_layout_prune": """
+      SELECT event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+      GROUP BY 1
     """,
     "minhash_lsh_pairs": _ngram_truth_sql(0.5),
     "incremental_minhash_recall": _incremental_truth_sql(0.5),

@@ -37,6 +37,10 @@ SKIP: dict[str, str] = {
     "bucketed_join_copartition": (
         "writes bucketed tables at build; the exchange-free join plan is "
         "pinned by test_plans.py::test_bucketed_join_has_zero_exchanges"),
+    "range_layout_prune": (
+        "writes the range layout at build; file-level pruning is pinned "
+        "by test_sources.py::"
+        "test_write_range_layout_files_cover_disjoint_ranges"),
 }
 
 #: Queries whose final (or only) aggregate is a GLOBAL reduction to one
@@ -160,4 +164,4 @@ def test_skip_list_stays_minimal():
     """Every skip carries a reason and refers to a real query."""
     assert set(SKIP) <= set(QUERIES)
     assert all(SKIP.values())
-    assert len(SKIP) <= 5
+    assert len(SKIP) <= 6
