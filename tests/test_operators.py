@@ -124,6 +124,33 @@ def test_sample_token_budget_fills_without_overshoot(spark):
     assert sorted(did for did, _ in kept) == sorted(expect)
 
 
+def test_jaccard_prefix_bounded_at_scale(spark):
+    """The scale demonstration: 10,050 template documents sharing nine
+    universal shingles (the plain inverted-index join would push ~50M
+    candidate pairs through those postings), 50 planted near-dups. At
+    t=0.8 each document's prefix stays within its rare shingles, so the
+    candidate set is EXACTLY the planted pairs and the exact join
+    completes in seconds."""
+    base = ("the quick brown fox jumps over the lazy dog near "
+            "item %s colored %s sized %s")
+    n = 10000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.format_string(base, F.col("id"), F.col("id"), F.col("id"))
+        .alias("text"))
+    dups = spark.range(50).select(
+        (F.col("id") + 1000000).alias("doc_id"),
+        F.concat(F.format_string(base, F.col("id"), F.col("id"), F.col("id")),
+                 F.lit(" extra")).alias("text"))
+    corpus = df.unionAll(dups)
+    sh = dedup.shingle_table(corpus, hashed=True)
+    assert dedup.prefix_filter_candidates(sh, "doc_id", 0.8).count() == 50
+    pairs = {(r.id_a, r.id_b)
+             for r in dedup.jaccard_pairs_prefix(
+                 corpus, k=3, threshold=0.8).collect()}
+    assert pairs == {(i, i + 1000000) for i in range(50)}
+
+
 def test_jaccard_prefix_rs_equals_uncapped_incremental(spark, tables):
     """The R×S prefix variant reproduces the uncapped batch×corpus exact
     join verbatim on the documents fixture (odd = batch, even = corpus)."""
