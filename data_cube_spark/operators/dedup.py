@@ -28,25 +28,51 @@ from data_cube_spark.operators.text import fingerprint, normalized, tokens
 # -- exact / canonical ------------------------------------------------------
 
 def exact_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                 *, canonical: bool = False) -> DataFrame:
+                 *, canonical: bool = False, keep: str = "min_id") -> DataFrame:
     """Hash-group documents by (optionally normalized) content. Returns one
-    row per distinct content: (content_hash, keep_id = min id, n_dups)."""
+    row per distinct content: (content_hash, keep_id, n_dups).
+
+    ``keep`` selects the surviving representative per group — still one
+    map-side-combined aggregate, no window:
+
+    - ``"min_id"`` (default): smallest id.
+    - ``"longest"`` / ``"shortest"``: longest/shortest ORIGINAL text
+      (ties → smallest id). Only meaningful with ``canonical=True``,
+      where a group holds near-identical originals whose lengths differ
+      (case/punctuation variants); the standard curation policy is to
+      keep the longest variant.
+    """
     h = fingerprint(text_col) if canonical else F.md5(F.encode(F.col(text_col), "UTF-8"))
+    base = df.select(h.alias("content_hash"), F.col(id_col),
+                     F.length(text_col).alias("_len"))
+    if keep == "min_id":
+        keep_expr = F.min(id_col)
+    elif keep == "longest":
+        # max over (len, -id): longer wins, ties -> smaller id
+        keep_expr = F.max_by(
+            id_col, F.struct(F.col("_len").alias("l"),
+                             (-F.col(id_col)).alias("nid")))
+    elif keep == "shortest":
+        keep_expr = F.min_by(
+            id_col, F.struct(F.col("_len").alias("l"),
+                             F.col(id_col).alias("id")))
+    else:
+        raise ValueError(f"keep must be min_id/longest/shortest, not {keep!r}")
     return (
-        df.select(h.alias("content_hash"), F.col(id_col))
-        .groupBy("content_hash")
-        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        base.groupBy("content_hash")
+        .agg(keep_expr.alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
     )
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                *, canonical: bool = False) -> DataFrame:
-    """Keep the min-id representative of each content group (left-semi join
-    back — the fact never collects)."""
-    keep = exact_groups(df, text_col, id_col, canonical=canonical).select(
+                *, canonical: bool = False, keep: str = "min_id") -> DataFrame:
+    """Keep one representative of each content group per the ``keep``
+    policy (left-semi join back — the fact never collects)."""
+    survivors = exact_groups(df, text_col, id_col, canonical=canonical,
+                             keep=keep).select(
         F.col("keep_id").alias(id_col)
     )
-    return df.join(keep, id_col, "left_semi")
+    return df.join(survivors, id_col, "left_semi")
 
 
 # -- shingling --------------------------------------------------------------

@@ -1027,6 +1027,16 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_groups(t["documents"], canonical=True)
 
 
+def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-selection policy: canonical dedup groups keeping the
+    LONGEST original variant (ties → smallest id) — the standard
+    curation choice when near-identical normalization variants differ in
+    completeness. One map-side-combined max_by aggregate, no window
+    (operators/dedup.py::exact_groups keep='longest')."""
+    t = load_tables(spark, sf_dir)
+    return dedup.exact_groups(t["documents"], canonical=True, keep="longest")
+
+
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return t["documents"].select(
@@ -2473,6 +2483,7 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample_docs": q_weighted_sample_docs,
     "token_budget_sample_docs": q_token_budget_sample_docs,
     "range_layout_prune": q_range_layout_prune,
+    "dedup_keep_longest": q_dedup_keep_longest,
 }
 
 
@@ -3258,6 +3269,15 @@ ORACLE: dict[str, str] = {
       SELECT md5({_NORM_SQL}) AS content_hash, MIN(doc_id) AS keep_id,
              COUNT(*) AS n_dups
       FROM documents GROUP BY 1
+    """,
+    "dedup_keep_longest": f"""
+      WITH g AS (
+        SELECT md5({_NORM_SQL}) AS content_hash, doc_id, length(text) AS l,
+               COUNT(*) OVER (PARTITION BY md5({_NORM_SQL})) AS n_dups,
+               row_number() OVER (PARTITION BY md5({_NORM_SQL})
+                                  ORDER BY length(text) DESC, doc_id ASC) AS rn
+        FROM documents)
+      SELECT content_hash, doc_id AS keep_id, n_dups FROM g WHERE rn = 1
     """,
     "text_token_count": r"""
       SELECT doc_id,

@@ -19,6 +19,30 @@ def test_minhash_estimates_track_exact_jaccard(spark, tables):
         assert abs(r["jaccard"] - r["est_jaccard"]) < 0.3
 
 
+def test_dedup_keep_policies(spark):
+    """Representative selection: min_id / longest / shortest with
+    deterministic smallest-id tie-breaks; invalid policy raises."""
+    rows = [(1, "Hello,  WORLD"), (2, "hello world"), (3, "hello world!!"),
+            (4, "something else")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # canonical normalization folds all three variants into one group
+    def keep_of(policy):
+        g = {r.content_hash: r.keep_id for r in
+             dedup.exact_groups(df, canonical=True, keep=policy).collect()}
+        assert len(g) == 2
+        return {v for v in g.values()}
+
+    assert 1 in keep_of("min_id")           # smallest id wins
+    assert 1 in keep_of("longest")          # 'Hello,  WORLD' (13) = longest
+    assert 2 in keep_of("shortest")         # 'hello world' (11) = shortest
+    kept = {r.doc_id for r in
+            dedup.dedup_exact(df, canonical=True, keep="longest").collect()}
+    assert kept == {1, 4}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup.exact_groups(df, keep="weirdest")
+
+
 def test_jaccard_prefix_equals_uncapped_exact(spark, tables):
     """Prefix filtering is EXACT: identical pair set and values as the
     uncapped inverted-index join on the documents fixture."""
