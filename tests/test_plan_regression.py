@@ -13,8 +13,8 @@ checked against the scale contract:
 - the dice family must reach the parquet scan with non-empty
   ``PushedFilters`` (predicate pushdown is the point of those queries).
 
-EXPLAIN.md documents 40 plans narratively; this test makes the whole
-129-query registry regression-proof mechanically.
+EXPLAIN.md documents ~40 plans narratively; this test makes the whole
+registry regression-proof mechanically.
 """
 
 from __future__ import annotations
