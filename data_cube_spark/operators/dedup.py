@@ -37,10 +37,12 @@ def exact_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     - ``"min_id"`` (default): smallest id.
     - ``"longest"`` / ``"shortest"``: longest/shortest ORIGINAL text
-      (ties → smallest id). Only meaningful with ``canonical=True``,
-      where a group holds near-identical originals whose lengths differ
-      (case/punctuation variants); the standard curation policy is to
-      keep the longest variant.
+      (ties → smallest id; works with any orderable id type — the
+      ordering negates the numeric LENGTH, never the id). Only
+      meaningful with ``canonical=True``, where a group holds
+      near-identical originals whose lengths differ (case/punctuation
+      variants); the standard curation policy is to keep the longest
+      variant.
     """
     h = fingerprint(text_col) if canonical else F.md5(F.encode(F.col(text_col), "UTF-8"))
     base = df.select(h.alias("content_hash"), F.col(id_col),
@@ -48,10 +50,10 @@ def exact_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     if keep == "min_id":
         keep_expr = F.min(id_col)
     elif keep == "longest":
-        # max over (len, -id): longer wins, ties -> smaller id
-        keep_expr = F.max_by(
-            id_col, F.struct(F.col("_len").alias("l"),
-                             (-F.col(id_col)).alias("nid")))
+        # min over (-len, id): longer wins, ties -> smaller id
+        keep_expr = F.min_by(
+            id_col, F.struct((-F.col("_len")).alias("nl"),
+                             F.col(id_col).alias("id")))
     elif keep == "shortest":
         keep_expr = F.min_by(
             id_col, F.struct(F.col("_len").alias("l"),

@@ -41,6 +41,14 @@ def test_dedup_keep_policies(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dedup.exact_groups(df, keep="weirdest")
+    # longest/shortest work with non-numeric ids (ordering never
+    # negates the id, only the numeric length)
+    sdf = spark.createDataFrame(
+        [("b", "Hello,  WORLD"), ("a", "hello world")],
+        "doc_id string, text string")
+    got = {r.keep_id for r in
+           dedup.exact_groups(sdf, canonical=True, keep="longest").collect()}
+    assert got == {"b"}
 
 
 def test_jaccard_prefix_equals_uncapped_exact(spark, tables):
