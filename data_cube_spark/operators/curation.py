@@ -25,6 +25,35 @@ from pyspark.sql import functions as F
 from data_cube_spark.operators.sampling import draw_hex
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff for dataset versioning: classify every document id
+    across two corpus snapshots as ``added`` (only in new), ``removed``
+    (only in old), ``changed`` (both, content hash differs), or
+    ``unchanged``. Returns (id, status, old_hash, new_hash).
+
+    The audit step between corpus releases — at 100 TB you diff hashes,
+    never texts: each side reduces to (id, md5) before the single
+    full-outer equi-join on the id, so the shuffle carries ~48 bytes per
+    document regardless of document size."""
+    h = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    o = old.select(F.col(id_col), h.alias("old_hash"))
+    n = new.select(F.col(id_col), h.alias("new_hash"))
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(id_col, status.alias("status"),
+                         "old_hash", "new_hash")
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: list[str],

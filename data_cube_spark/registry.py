@@ -2280,6 +2280,25 @@ def q_range_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff (operators/curation.py::corpus_diff): two
+    snapshots derived deterministically from the documents table (old =
+    ids % 3 != 0; new = ids % 4 != 0 with ids % 5 == 0 rewritten),
+    classified added/removed/changed/unchanged by content hash — the
+    release-audit step. Hash-only shuffle: ~48 bytes per doc regardless
+    of document size."""
+    from data_cube_spark.operators.curation import corpus_diff
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 4 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")))
+    return corpus_diff(old, new)
+
+
 def q_skew_aware_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile-driven PARTIAL salting as driver evidence: events (the
     skewable fact side — `key_skew_users` measures its user_id heat)
@@ -2484,6 +2503,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_budget_sample_docs": q_token_budget_sample_docs,
     "range_layout_prune": q_range_layout_prune,
     "dedup_keep_longest": q_dedup_keep_longest,
+    "corpus_snapshot_diff": q_corpus_snapshot_diff,
 }
 
 
@@ -3351,6 +3371,23 @@ ORACLE: dict[str, str] = {
       FROM events
       WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
       GROUP BY 1
+    """,
+    "corpus_snapshot_diff": """
+      WITH old AS (
+        SELECT doc_id, md5(text) AS old_hash FROM documents
+        WHERE doc_id % 3 != 0),
+      new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                        ELSE text END) AS new_hash
+        FROM documents WHERE doc_id % 4 != 0)
+      SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+             CASE WHEN old_hash IS NULL THEN 'added'
+                  WHEN new_hash IS NULL THEN 'removed'
+                  WHEN old_hash = new_hash THEN 'unchanged'
+                  ELSE 'changed' END AS status,
+             old_hash, new_hash
+      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
     """,
     "minhash_lsh_pairs": _ngram_truth_sql(0.5),
     "incremental_minhash_recall": _incremental_truth_sql(0.5),

@@ -19,6 +19,24 @@ def test_minhash_estimates_track_exact_jaccard(spark, tables):
         assert abs(r["jaccard"] - r["est_jaccard"]) < 0.3
 
 
+def test_corpus_diff_classifies_every_transition(spark):
+    """Snapshot diff: added/removed/changed/unchanged all classified, one
+    row per id, hashes surfaced for audit."""
+    from data_cube_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    row = {r.doc_id: r for r in corpus_diff(old, new).collect()}
+    assert row[3].new_hash is None and row[4].old_hash is None
+    assert row[2].old_hash != row[2].new_hash
+
+
 def test_dedup_keep_policies(spark):
     """Representative selection: min_id / longest / shortest with
     deterministic smallest-id tie-breaks; invalid policy raises."""
