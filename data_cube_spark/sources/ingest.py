@@ -139,8 +139,15 @@ def compact_parquet(
     import os as _os
     import shutil as _shutil
 
-    files = _glob.glob(_os.path.join(path, "**", "*.parquet"),
-                       recursive=True)
+    subdirs = [d for d in _os.listdir(path)
+               if _os.path.isdir(_os.path.join(path, d))
+               and not d.startswith(("_", "."))]
+    if subdirs:
+        raise ValueError(
+            f"{path} is hive-partitioned ({subdirs[:3]}...): compacting "
+            "through the root would flatten the partition columns into "
+            "the files — compact each leaf partition directory instead")
+    files = _glob.glob(_os.path.join(path, "*.parquet"))
     if not files:
         raise ValueError(f"no parquet files under {path}")
     total = sum(_os.path.getsize(f) for f in files)

@@ -193,6 +193,64 @@ def test_jaccard_prefix_matches_exact_for_any_corpus(spark, texts, threshold):
     assert pref == exact
 
 
+# -- sampling invariants -----------------------------------------------------
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    weights=st.lists(st.floats(min_value=0.0, max_value=100.0,
+                               allow_nan=False), min_size=1, max_size=25),
+    n=st.integers(min_value=1, max_value=5),
+)
+def test_sample_weighted_n_invariants(spark, weights, n):
+    """For ANY weight vector: the sample is a subset of positive-weight
+    rows, has exactly min(n, #positive) rows, and is rerun-identical."""
+    from data_cube_spark.operators.sampling import sample_weighted_n
+
+    df = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate(weights)],
+        "doc_id long, w double")
+    out = {r.doc_id for r in sample_weighted_n(df, "w", n).collect()}
+    positive = {i for i, w in enumerate(weights) if w > 0}
+    assert out <= positive
+    assert len(out) == min(n, len(positive))
+    again = {r.doc_id for r in sample_weighted_n(df, "w", n).collect()}
+    assert out == again
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=50),
+                  min_size=1, max_size=25),
+    budget=st.integers(min_value=0, max_value=300),
+)
+def test_sample_token_budget_invariants(spark, toks, budget):
+    """For ANY token-count vector and budget: kept sum <= budget, the
+    draw is maximal in md5 order, and reruns are identical."""
+    from data_cube_spark.operators.sampling import (draw_hex,
+                                                    sample_token_budget)
+
+    df = spark.createDataFrame(
+        [(i, "g", int(t)) for i, t in enumerate(toks)],
+        "doc_id long, grp string, toks long")
+    out = sample_token_budget(df, "toks", {"g": float(budget)},
+                              group_col="grp")
+    kept = {r.doc_id for r in out.collect()}
+    assert sum(toks[i] for i in kept) <= budget
+    order = sorted((r["h"], r.doc_id, r.toks) for r in df.select(
+        "doc_id", "toks", draw_hex("doc_id", "budget").alias("h")).collect())
+    cum, expect = 0, set()
+    for _, did, t in order:
+        if cum + t > budget:
+            break
+        cum += t
+        expect.add(did)
+    assert kept == expect
+
+
 # -- skew-aware join semantic invariant --------------------------------------
 
 @pytest.mark.usefixtures("spark")

@@ -146,6 +146,21 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert back.agg(F.sum("id")).first()[0] == sum(range(10000))
 
 
+def test_compact_parquet_refuses_partitioned_root(spark, tmp_path):
+    """Compacting through a hive-partitioned root would flatten the
+    partition columns into the files — must refuse loudly."""
+    from data_cube_spark.sources.ingest import compact_parquet
+
+    path = str(tmp_path / "part")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    df.write.partitionBy("g").parquet(path)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, path)
+    # each leaf partition compacts fine
+    n = compact_parquet(spark, f"{path}/g=0")
+    assert n == 1
+
+
 def test_save_cube_rejects_callable_measures(spark, tmp_path):
     from data_cube_spark.build import from_table
     from data_cube_spark.sources.store import save_cube
