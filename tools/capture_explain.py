@@ -183,6 +183,11 @@ CURATED: dict[str, str] = {
         "Bounded where the plain inverted-index join explodes through "
         "stop-shingles — and exact where max_df is not."
     ),
+    "corpus_snapshot_diff": (
+        "Snapshot diff: each side reduces to (id, md5) BEFORE the single "
+        "full-outer equi-join — the shuffle carries ~48 bytes/doc "
+        "regardless of document size; status is a pure projection."
+    ),
     "weighted_sample_docs": (
         "A-ES weighted sampling: ln(u)/w keys from the deterministic md5 "
         "draw, per-group rank window — one shuffle on the group key, no "
