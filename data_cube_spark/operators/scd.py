@@ -1,0 +1,188 @@
+"""Slowly-changing-dimension (Type 2) operators: version a dimension from
+a change log, query the version valid at any point in time, and merge new
+change batches incrementally.
+
+The reference engine models dimensions as static snapshots
+(/root/reference/R/dimension.R — build once from the fact); a warehouse
+fed continuously needs the Kimball SCD2 treatment instead: each change to
+a dimension attribute opens a new version row with a validity interval,
+and facts join to the version that was current at event time.
+
+Scale shape:
+
+- :func:`scd2_from_changelog` is ONE window pass partitioned by the
+  natural key (``lead`` over (key, ts)) — shuffle on the key only, no
+  join, no global sort. Versions-per-key is the per-partition row count;
+  hot keys cost what their own history costs.
+- :func:`scd2_temporal_join` is an equi-join on the natural key with the
+  validity-interval predicate folded into the join condition. Intervals
+  for one key are disjoint by construction, so every fact row matches at
+  most one version — ``left`` semantics stay exact, and the plan is a
+  plain shuffled/broadcast hash join (never a nested loop; the residual
+  range check runs inside the join).
+- :func:`scd2_merge_changes` touches ONLY keys present in the incoming
+  batch: untouched keys pass through via an anti-join (no window), and
+  touched keys — bounded by batch size, not dimension size — are rebuilt
+  from their own rows plus the batch. At 100 TB dimension scale the cost
+  per merge is O(batch + history of touched keys), not O(dimension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+VALID_FROM = "valid_from"
+VALID_TO = "valid_to"
+IS_CURRENT = "is_current"
+
+
+def scd2_from_changelog(
+    changes: DataFrame,
+    key: str | list[str],
+    ts_col: str,
+    dedupe: bool = True,
+) -> DataFrame:
+    """Build an SCD2 version table from a change log of
+    ``(*key, ts_col, attr...)`` rows.
+
+    Each change row becomes a version: ``valid_from`` = its timestamp,
+    ``valid_to`` = the key's next change (NULL for the open, current
+    version), ``is_current`` = ``valid_to IS NULL``. Validity intervals
+    are half-open ``[valid_from, valid_to)``, so consecutive versions
+    tile time with no gap and no overlap.
+
+    ``dedupe``: multiple change rows on the same (key, ts) collapse to a
+    single version — the row whose attribute struct is largest wins
+    (``max_by`` on the packed struct; deterministic, engine-independent).
+    One aggregation + one window, both partitioned by the key.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    attrs = [c for c in changes.columns if c not in {*keys, ts_col}]
+    if dedupe:
+        packed = changes.groupBy(*keys, ts_col).agg(
+            *[
+                F.max_by(F.col(c), F.struct(*[F.col(a) for a in attrs])).alias(c)
+                for c in attrs
+            ]
+        )
+    else:
+        packed = changes
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    out = packed.select(
+        *keys,
+        *attrs,
+        F.col(ts_col).alias(VALID_FROM),
+        F.lead(ts_col).over(w).alias(VALID_TO),
+    ).withColumn(IS_CURRENT, F.col(VALID_TO).isNull())
+    return out
+
+
+def scd2_current(dim: DataFrame) -> DataFrame:
+    """The current snapshot: one row per key (the open version)."""
+    return dim.where(F.col(IS_CURRENT)).drop(VALID_FROM, VALID_TO, IS_CURRENT)
+
+
+def scd2_temporal_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str | list[str],
+    dim_key: str | list[str],
+    ts_col: str,
+    how: str = "inner",
+    broadcast_dim: bool = False,
+) -> DataFrame:
+    """Join each fact row to the dimension version valid at its event
+    time: ``dim.valid_from <= fact.ts < dim.valid_to`` (open version ==
+    ``valid_to IS NULL``).
+
+    The interval predicate rides INSIDE the join condition — a left join
+    null-extends facts with no valid version (e.g. events before the
+    first change) instead of dropping them. Because one key's intervals
+    are disjoint, each fact row matches at most one version: no fan-out,
+    ``inner``/``left`` both exact. Joins hash on the equi-key; pass
+    ``broadcast_dim=True`` when the version table fits the broadcast
+    budget (dimension row count x versions, usually tiny next to the
+    fact).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"scd2_temporal_join supports inner/left, not {how!r}")
+    fkeys = [fact_key] if isinstance(fact_key, str) else list(fact_key)
+    dkeys = [dim_key] if isinstance(dim_key, str) else list(dim_key)
+    if len(fkeys) != len(dkeys):
+        raise ValueError("fact_key and dim_key must have the same arity")
+    # dim columns that clash with fact columns surface as dim_<name>
+    # (join keys excepted — they are dropped after the join)
+    d = dim
+    rename = {}
+    for c in dim.columns:
+        if c in fact.columns:
+            if f"dim_{c}" in fact.columns or f"dim_{c}" in dim.columns:
+                raise ValueError(f"cannot disambiguate clashing column {c!r}")
+            rename[c] = f"dim_{c}"
+            d = d.withColumnRenamed(c, f"dim_{c}")
+    if broadcast_dim:
+        d = F.broadcast(d)
+
+    def dcol(c: str):
+        return d[rename.get(c, c)]
+
+    cond = None
+    for fk, dk in zip(fkeys, dkeys):
+        piece = fact[fk] == dcol(dk)
+        cond = piece if cond is None else (cond & piece)
+    cond = (
+        cond
+        & (dcol(VALID_FROM) <= fact[ts_col])
+        & (dcol(VALID_TO).isNull() | (fact[ts_col] < dcol(VALID_TO)))
+    )
+    joined = fact.join(d, cond, how)
+    # the dim-side join keys duplicate fact information — drop them
+    return joined.drop(*[dcol(dk) for dk in dkeys])
+
+
+def scd2_merge_changes(
+    dim: DataFrame,
+    changes: DataFrame,
+    key: str | list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Incrementally merge a batch of new change rows into an existing
+    SCD2 dimension (the continuous-ingest path).
+
+    Keys absent from the batch pass through untouched (anti-join — no
+    window, no rewrite). Keys present in the batch are rebuilt from the
+    union of their existing versions (re-expressed as change rows) and
+    the batch, through the same :func:`scd2_from_changelog` pass — which
+    handles every arrival order, including late changes that land between
+    two existing versions (the affected intervals re-tile correctly).
+
+    Cost: O(batch + history of touched keys); the untouched 99.x% of a
+    large dimension is never shuffled through a window. Equivalent by
+    construction to rebuilding from the full concatenated change log —
+    property-tested in ``tests/test_scd.py``.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    attrs = [c for c in changes.columns if c not in {*keys, ts_col}]
+    from data_cube_spark.model import BROADCAST_MAX_ROWS
+
+    # distinct batch keys drive both the anti- and semi-join; materialize
+    # once (lazy localCheckpoint — no persist entry left behind) and hint
+    # broadcast only under the engine-wide size gate
+    batch_keys = changes.select(*keys).distinct().localCheckpoint(eager=False)
+    hinted = (
+        F.broadcast(batch_keys)
+        if batch_keys.count() <= BROADCAST_MAX_ROWS
+        else batch_keys
+    )
+    untouched = dim.join(hinted, keys, "left_anti")
+    touched_old = (
+        dim.join(hinted, keys, "left_semi")
+        .select(*keys, *attrs, F.col(VALID_FROM).alias(ts_col))
+    )
+    rebuilt = scd2_from_changelog(
+        touched_old.unionByName(changes.select(*keys, *attrs, ts_col)),
+        keys,
+        ts_col,
+    )
+    return untouched.unionByName(rebuilt)

@@ -2280,6 +2280,42 @@ def q_range_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_zorder_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `write_zorder_layout` READ path as driver evidence: events
+    persisted Z-ordered on (user_id, value) — each file covers a
+    contiguous stretch of the Morton curve, i.e. a region bounded in
+    BOTH columns, so parquet footer min/max prunes files for the
+    two-sided predicate below (a 1-D layout can prune only its leading
+    column; fraction-of-files-pruned asserted in
+    tests/test_sources.py::test_write_zorder_layout_prunes_both_columns).
+    Layout cannot change results: the oracle is the same filter+aggregate
+    on the raw table."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_cube_spark.sources.ingest import write_zorder_layout
+
+    t = load_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="sg_zorder_")
+    path = os.path.join(base, "events")
+    try:
+        write_zorder_layout(
+            t["events"].select("user_id", "value", "event_type"),
+            path, ["user_id", "value"], n_files=16)
+        ev = spark.read.parquet(path)
+        out = (
+            ev.where((F.col("user_id") < 200) & (F.col("value") >= 50.0))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_value"))
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-versioning diff (operators/curation.py::corpus_diff): two
     snapshots derived deterministically from the documents table (old =
@@ -2366,6 +2402,118 @@ def q_bucketed_join_copartition(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name in tables:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _scd2_changelog_parts(spark: SparkSession, sf_dir: str):
+    """Deterministic customer-segment change log (three waves), identical
+    in both engines: every customer gets a v1 at 1994-01-01 (its raw
+    segment); even custkeys change segment in 1998; custkeys divisible by
+    3 change again in 2000."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    v1 = cust.select(
+        "c_custkey",
+        F.lit("1994-01-01").cast("timestamp").alias("eff_ts"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    v2 = cust.where(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.lit("1998-01-01").cast("timestamp").alias("eff_ts"),
+        F.concat(F.col("c_mktsegment"), F.lit("-R2")).alias("segment"),
+    )
+    v3 = cust.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.lit("2000-01-01").cast("timestamp").alias("eff_ts"),
+        F.concat(F.col("c_mktsegment"), F.lit("-R3")).alias("segment"),
+    )
+    return v1, v2, v3
+
+
+def q_scd2_segment_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 version table from a change log
+    (operators/scd.py::scd2_from_changelog): one lead-window pass
+    partitioned by the natural key turns (key, ts, attrs) change rows
+    into versions with half-open [valid_from, valid_to) intervals and an
+    is_current flag. The reference's dimensions are static snapshots
+    (R/dimension.R); this is the continuously-fed-warehouse treatment.
+    Oracle: the same LEAD window in SQL."""
+    from data_cube_spark.operators.scd import scd2_from_changelog
+
+    v1, v2, v3 = _scd2_changelog_parts(spark, sf_dir)
+    dim = scd2_from_changelog(v1.unionByName(v2).unionByName(v3),
+                              "c_custkey", "eff_ts")
+    return dim.select("c_custkey", "segment", "valid_from", "valid_to",
+                      "is_current")
+
+
+def q_scd2_temporal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-SCD2 temporal join
+    (operators/scd.py::scd2_temporal_join): each order joins the segment
+    version valid AT ORDER TIME — the validity-interval predicate rides
+    inside an equi-join on the customer key (hash join; intervals per key
+    are disjoint, so no fan-out), revenue then aggregates by
+    segment-as-of-then. Oracle: join with the interval predicate in SQL."""
+    from data_cube_spark.operators.scd import (
+        scd2_from_changelog,
+        scd2_temporal_join,
+    )
+
+    v1, v2, v3 = _scd2_changelog_parts(spark, sf_dir)
+    dim = scd2_from_changelog(v1.unionByName(v2).unionByName(v3),
+                              "c_custkey", "eff_ts")
+    orders = load_tables(spark, sf_dir)["orders"]
+    j = scd2_temporal_join(orders, dim, "o_custkey", "c_custkey",
+                           "o_orderdate", how="inner", broadcast_dim=True)
+    return j.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .alias("sum_price"),
+    )
+
+
+def q_scd2_merge_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance as driver evidence
+    (operators/scd.py::scd2_merge_changes): the dimension is built from
+    the 1994 wave only, then the 1998+2000 change batch is MERGED in —
+    touched keys (and only touched keys) rebuild through the lead window,
+    untouched keys pass through an anti-join. The oracle is the full
+    rebuild from the whole change log: a hash match proves
+    merge(build(early), late) == build(early ∪ late)."""
+    from data_cube_spark.operators.scd import (
+        scd2_from_changelog,
+        scd2_merge_changes,
+    )
+
+    v1, v2, v3 = _scd2_changelog_parts(spark, sf_dir)
+    base = scd2_from_changelog(v1, "c_custkey", "eff_ts")
+    merged = scd2_merge_changes(base, v2.unionByName(v3),
+                                "c_custkey", "eff_ts")
+    return merged.select("c_custkey", "segment", "valid_from", "valid_to",
+                         "is_current")
+
+
+_SCD2_CHG_SQL = """
+      SELECT c_custkey, TIMESTAMP '1994-01-01' AS eff_ts,
+             c_mktsegment AS segment FROM customer
+      UNION ALL
+      SELECT c_custkey, TIMESTAMP '1998-01-01',
+             c_mktsegment || '-R2' FROM customer WHERE c_custkey % 2 = 0
+      UNION ALL
+      SELECT c_custkey, TIMESTAMP '2000-01-01',
+             c_mktsegment || '-R3' FROM customer WHERE c_custkey % 3 = 0
+"""
+
+_SCD2_DIM_SQL = f"""
+      SELECT c_custkey, segment, eff_ts AS valid_from,
+             LEAD(eff_ts) OVER (PARTITION BY c_custkey ORDER BY eff_ts)
+               AS valid_to
+      FROM ({_SCD2_CHG_SQL})
+"""
+
+_SCD2_HISTORY_SQL = f"""
+      SELECT c_custkey, segment, valid_from, valid_to,
+             (valid_to IS NULL) AS is_current
+      FROM ({_SCD2_DIM_SQL})
+"""
 
 
 # ===========================================================================
@@ -2504,6 +2652,10 @@ QUERIES: dict[str, QueryFn] = {
     "range_layout_prune": q_range_layout_prune,
     "dedup_keep_longest": q_dedup_keep_longest,
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
+    "zorder_layout_prune": q_zorder_layout_prune,
+    "scd2_segment_history": q_scd2_segment_history,
+    "scd2_temporal_revenue": q_scd2_temporal_revenue,
+    "scd2_merge_rebuild": q_scd2_merge_rebuild,
 }
 
 
@@ -3372,6 +3524,13 @@ ORACLE: dict[str, str] = {
       WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
       GROUP BY 1
     """,
+    "zorder_layout_prune": """
+      SELECT event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE user_id < 200 AND value >= 50.0
+      GROUP BY 1
+    """,
     "corpus_snapshot_diff": """
       WITH old AS (
         SELECT doc_id, md5(text) AS old_hash FROM documents
@@ -4078,6 +4237,19 @@ ORACLE: dict[str, str] = {
              CAST(row_number() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, match_id) AS INT) AS rank
       FROM scored QUALIFY rank <= 5
+    """,
+    "scd2_segment_history": _SCD2_HISTORY_SQL,
+    "scd2_merge_rebuild": _SCD2_HISTORY_SQL,
+    "scd2_temporal_revenue": f"""
+      SELECT s.segment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+      FROM orders o
+      JOIN ({_SCD2_DIM_SQL}) s
+        ON o.o_custkey = s.c_custkey
+       AND o.o_orderdate >= s.valid_from
+       AND (s.valid_to IS NULL OR o.o_orderdate < s.valid_to)
+      GROUP BY 1
     """,
 }
 

@@ -260,3 +260,90 @@ def test_driver_rotation_orders_unchecked_first():
     seen = e._evidence_rounds()
     ranks = [seen.get(n, 0) for n in order]
     assert ranks == sorted(ranks), "checked queries must not precede unchecked"
+
+
+def _file_spans(path, col_name):
+    """Per-file (min, max) of a column from parquet footer statistics."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        schema_names = md.schema.names
+        ci = schema_names.index(col_name)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    return spans
+
+
+def test_write_zorder_layout_prunes_both_columns(spark, tables, tmp_path):
+    """Z-order layout: each file covers a region bounded in BOTH
+    interleaved columns, so footer min/max prunes files for a predicate
+    on the second column — which a 1-D range layout on the first column
+    cannot do — and the layout never changes query results."""
+    from data_cube_spark.sources.ingest import (
+        write_range_layout,
+        write_zorder_layout,
+    )
+
+    ev = tables["events"].select("user_id", "value", "event_type")
+    zpath = str(tmp_path / "zorder")
+    rpath = str(tmp_path / "range1d")
+    write_zorder_layout(ev, zpath, ["user_id", "value"], n_files=16)
+    write_range_layout(ev, rpath, ["user_id"], n_files=16)
+
+    # a band strictly inside one rank-space quadrant (a band straddling
+    # the median boundary touches both halves of the curve by design)
+    lo, hi = ev.stat.approxQuantile("value", [0.55, 0.65], 0.001)
+
+    def overlapping(spans):
+        return sum(1 for mn, mx in spans if mx >= lo and mn <= hi)
+
+    z_spans = _file_spans(zpath, "value")
+    r_spans = _file_spans(rpath, "value")
+    # range partitioner may fold near-empty boundary partitions; the
+    # comparison is by FRACTION of files a scan must touch
+    assert len(z_spans) >= 8 and len(r_spans) >= 8
+    # 1-D layout on user_id leaves (nearly) every file overlapping a
+    # value band; the Z layout must prune at least half
+    assert overlapping(r_spans) >= 0.9 * len(r_spans)
+    assert overlapping(z_spans) <= 0.5 * len(z_spans)
+    # and user_id pruning survives the interleave: a narrow user band
+    # must not touch every file
+    u_lo, u_hi = ev.stat.approxQuantile("user_id", [0.1, 0.2], 0.001)
+    z_user_spans = _file_spans(zpath, "user_id")
+    z_user = sum(1 for mn, mx in z_user_spans if mx >= u_lo and mn <= u_hi)
+    assert z_user <= 0.75 * len(z_user_spans)
+
+    # layout is results-invariant
+    pred = (F.col("value") >= lo) & (F.col("value") <= hi)
+    assert (spark.read.parquet(zpath).where(pred).count()
+            == ev.where(pred).count())
+
+    from data_cube_spark.plans import pushed_filters
+    back = spark.read.parquet(zpath).where(F.col("value") >= lo)
+    assert "value" in pushed_filters(back)
+
+
+def test_zorder_key_validation(spark, tables):
+    import pytest as _pytest
+
+    from data_cube_spark.sources.ingest import zorder_key
+
+    with _pytest.raises(ValueError):
+        zorder_key(tables["events"], ["user_id"])
+    with _pytest.raises(ValueError):
+        zorder_key(tables["events"], ["user_id", "value"], bits=0)
+    keyed, kc = zorder_key(
+        tables["events"].select("user_id", "ts", "value"),
+        ["user_id", "ts"], bits=4)
+    # timestamp columns bucket via epoch seconds; key stays bounded
+    row = keyed.agg(F.min(kc), F.max(kc)).collect()[0]
+    assert 0 <= row[0] <= row[1] < (1 << 8)
+    assert set(keyed.columns) == {"user_id", "ts", "value", kc}
