@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "bucketed_join_copartition",
     "weighted_sample_docs",
     "token_budget_sample_docs",
+    "scd2_temporal_revenue",
+    "scd2_merge_rebuild",
+    "zorder_layout_prune",
+    "dpp_partition_prune",
 ]
 
 

@@ -2316,6 +2316,47 @@ def q_zorder_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_dpp_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning as driver evidence: events persisted
+    hive-partitioned by event_date, then joined to a dim the optimizer
+    CANNOT statically push — the busiest days, an aggregate-derived
+    attribute (a filter on a function of the join key would be pushed at
+    plan time; a filter on an aggregate only exists at runtime). Spark's
+    DPP inserts a dynamicpruningexpression into the fact scan's
+    PartitionFilters, so only the matching date directories are read
+    — at 100 TB this is the difference between scanning a decade and
+    scanning a week. The busy-day rule (n_day >= 0.8 x the max day
+    count; the max is one collected scalar) keeps the dim-side Filter
+    selective, which the PartitionPruning rule requires — a bare LIMIT
+    dim does NOT trigger DPP. Plan pinned by
+    tests/test_plans.py::test_dpp_prunes_fact_partitions; results are
+    layout-independent (oracle: IN-subquery on the raw table)."""
+    import os
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="sg_dpp_")
+    path = os.path.join(base, "events_bydate")
+    try:
+        ev = t["events"].withColumn("event_date", F.to_date(F.col("ts")))
+        ev.write.partitionBy("event_date").parquet(path)
+        fact = spark.read.parquet(path)
+        cal = fact.groupBy("event_date").agg(
+            F.count(F.lit(1)).alias("n_day"))
+        mx = cal.agg(F.max("n_day")).collect()[0][0]
+        busy = cal.where(F.col("n_day") >= 0.8 * float(mx))
+        j = fact.join(F.broadcast(busy.select("event_date")), "event_date")
+        out = j.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("sum_value"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-versioning diff (operators/curation.py::corpus_diff): two
     snapshots derived deterministically from the documents table (old =
@@ -2653,6 +2694,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_keep_longest": q_dedup_keep_longest,
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "zorder_layout_prune": q_zorder_layout_prune,
+    "dpp_partition_prune": q_dpp_partition_prune,
     "scd2_segment_history": q_scd2_segment_history,
     "scd2_temporal_revenue": q_scd2_temporal_revenue,
     "scd2_merge_rebuild": q_scd2_merge_rebuild,
@@ -3529,6 +3571,19 @@ ORACLE: dict[str, str] = {
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events
       WHERE user_id < 200 AND value >= 50.0
+      GROUP BY 1
+    """,
+    "dpp_partition_prune": """
+      WITH cal AS (
+        SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_day
+        FROM events GROUP BY 1),
+      busy AS (
+        SELECT event_date FROM cal
+        WHERE n_day >= 0.8 * (SELECT MAX(n_day) FROM cal))
+      SELECT event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE CAST(ts AS DATE) IN (SELECT event_date FROM busy)
       GROUP BY 1
     """,
     "corpus_snapshot_diff": """

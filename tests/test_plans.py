@@ -353,3 +353,28 @@ def test_incremental_dedup_no_corpus_self_join(spark, tables):
     for plan in (p1, p2):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dpp_prunes_fact_partitions(spark, tables, tmp_path):
+    """Joining a hive-partitioned fact to a runtime-only dim (aggregate-
+    derived busy days) must trigger dynamic partition pruning: the fact
+    scan's PartitionFilters carry a dynamicpruningexpression, and only
+    the matching date directories are read."""
+    path = str(tmp_path / "events_bydate")
+    ev = tables["events"].withColumn("event_date", F.to_date(F.col("ts")))
+    ev.write.partitionBy("event_date").parquet(path)
+    fact = spark.read.parquet(path)
+    cal = fact.groupBy("event_date").agg(F.count(F.lit(1)).alias("n_day"))
+    mx = cal.agg(F.max("n_day")).collect()[0][0]
+    busy = cal.where(F.col("n_day") >= 0.8 * float(mx))
+    j = fact.join(F.broadcast(busy.select("event_date")), "event_date")
+    out = j.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("dynamicpruningexpression" in l for l in scan_lines), plan
+    # and the pruned result equals the direct filter
+    days = [r.event_date for r in busy.select("event_date").collect()]
+    assert 0 < len(days)
+    direct = (ev.where(F.col("event_date").isin(days))
+              .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, direct.collect()))
