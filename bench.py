@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "token_budget_sample_docs",
     "scd2_temporal_revenue",
     "scd2_merge_rebuild",
+    "hll_sketch_regrain",
     "zorder_layout_prune",
     "dpp_partition_prune",
 ]

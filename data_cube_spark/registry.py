@@ -1374,6 +1374,41 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_sketch_regrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable sketch-valued measures
+    (operators/stats.py::sketch_summary / sketch_regrain): distinct
+    users are materialized ONCE as DataSketches HLL binaries at
+    (event_type, day) grain, then re-aggregated to event_type purely by
+    sketch UNION — the fact table is never rescanned. This closes the
+    aggregate-navigator gap for COUNT(DISTINCT) (non-additive, so plain
+    summaries can't serve coarser grains; sketch union is lossless by
+    construction). Emitted invariants the oracle verifies: exact distinct
+    + row counts (recomputed in SQL), `union_lossless` (the regrained
+    estimate equals a direct single-pass sketch of the raw data — the
+    mergeability contract), and `approx_within_5pct` (lg_k=12 => RSE
+    ~1.6%, 5%% is a ~3-sigma bound)."""
+    from data_cube_spark.operators.stats import sketch_regrain, sketch_summary
+
+    ev = load_tables(spark, sf_dir)["events"].withColumn(
+        "day", F.to_date("ts"))
+    summ = sketch_summary(ev, ["event_type", "day"], ["user_id"])
+    merged = sketch_regrain(summ, ["event_type"], ["user_id"])
+    direct = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+        .cast("long").alias("_direct"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type",
+        "n_rows",
+        "n_users_exact",
+        (F.col("user_id_distinct_approx") == F.col("_direct"))
+        .alias("union_lossless"),
+        (F.abs(F.col("user_id_distinct_approx") - F.col("n_users_exact"))
+         <= 0.05 * F.col("n_users_exact")).alias("approx_within_5pct"),
+    )
+
+
 def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: extract a JSON property from the
     events ``props`` column (JVM-side get_json_object — no UDF) and
@@ -2532,6 +2567,45 @@ def q_scd2_merge_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "is_current")
 
 
+def q_scd2_dim_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension maintenance as driver evidence
+    (streaming/cube_stream.py::streaming_scd2_dimension): the three
+    change waves arrive as separate micro-batches (one file per trigger,
+    availableNow); each
+    batch merges into the standing version table via the verified batch
+    operator, rewriting ONLY the hash buckets its keys touch (dynamic
+    partition overwrite — O(touched buckets) per trigger, not
+    O(dimension)). The oracle is the same LEAD-window SQL as the batch
+    build: a hash match proves the streamed dimension is byte-equal to
+    building from the full log at once."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_cube_spark.streaming import streaming_scd2_dimension
+
+    v1, v2, v3 = _scd2_changelog_parts(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="sg_scdstream_")
+    src = os.path.join(base, "chg")
+    target = os.path.join(base, "dim")
+    try:
+        for wave in (v1, v2, v3):
+            wave.coalesce(1).write.mode("append").parquet(src)
+        writer = streaming_scd2_dimension(
+            spark, src, v1.schema, os.path.join(base, "ck"), target,
+            key="c_custkey", ts_col="eff_ts", n_buckets=8,
+            max_files_per_trigger=1)
+        q = writer.start()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("scd2 dimension stream did not finish in 300s")
+        out = spark.read.parquet(target).select(
+            "c_custkey", "segment", "valid_from", "valid_to", "is_current")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _SCD2_CHG_SQL = """
       SELECT c_custkey, TIMESTAMP '1994-01-01' AS eff_ts,
              c_mktsegment AS segment FROM customer
@@ -2695,9 +2769,11 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "zorder_layout_prune": q_zorder_layout_prune,
     "dpp_partition_prune": q_dpp_partition_prune,
+    "hll_sketch_regrain": q_hll_sketch_regrain,
     "scd2_segment_history": q_scd2_segment_history,
     "scd2_temporal_revenue": q_scd2_temporal_revenue,
     "scd2_merge_rebuild": q_scd2_merge_rebuild,
+    "scd2_dim_stream": q_scd2_dim_stream,
 }
 
 
@@ -4293,8 +4369,16 @@ ORACLE: dict[str, str] = {
                                      ORDER BY cosine DESC, match_id) AS INT) AS rank
       FROM scored QUALIFY rank <= 5
     """,
+    "hll_sketch_regrain": """
+      SELECT event_type, COUNT(*) AS n_rows,
+             COUNT(DISTINCT user_id) AS n_users_exact,
+             TRUE AS union_lossless,
+             TRUE AS approx_within_5pct
+      FROM events GROUP BY 1
+    """,
     "scd2_segment_history": _SCD2_HISTORY_SQL,
     "scd2_merge_rebuild": _SCD2_HISTORY_SQL,
+    "scd2_dim_stream": _SCD2_HISTORY_SQL,
     "scd2_temporal_revenue": f"""
       SELECT s.segment, COUNT(*) AS n_orders,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

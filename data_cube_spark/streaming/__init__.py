@@ -5,6 +5,7 @@ from data_cube_spark.streaming.cube_stream import (
     stateful_sessionize,
     stateful_user_totals,
     streaming_cube,
+    streaming_scd2_dimension,
     tumbling_agg,
     user_totals_batch,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "stateful_sessionize",
     "stateful_user_totals",
     "streaming_cube",
+    "streaming_scd2_dimension",
     "tumbling_agg",
     "user_totals_batch",
 ]

@@ -439,3 +439,89 @@ def streaming_dedup(
         .format("parquet")
         .option("path", target_dir)
     )
+
+
+def streaming_scd2_dimension(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    target_dir: str,
+    key,
+    ts_col: str,
+    n_buckets: int = 64,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain an SCD Type-2 dimension from a STREAM of change rows —
+    the continuously-fed twin of ``operators.scd.scd2_merge_changes``.
+
+    Each micro-batch merges into the standing version table via the
+    verified batch operator (foreachBatch, same rationale as
+    :func:`streaming_corpus_ingest`: per-group rebuild is not
+    append-mode-expressible, but inside foreachBatch the batch operator
+    runs unchanged). The target is partitioned by a stable hash bucket
+    of the natural key (``dim_bucket``), and a batch reads + rewrites
+    ONLY the buckets its keys hash into, with dynamic partition
+    overwrite — cost per trigger is O(touched buckets), not O(dimension),
+    the same read-merge-write shape as :func:`make_window_upsert`.
+
+    Idempotent under foreachBatch's at-least-once replay: re-merging an
+    already-applied batch rebuilds the same touched keys from
+    (existing versions ∪ batch), and the (key, ts) dedupe collapses the
+    duplicates — the rebuilt versions are identical, so the overwrite
+    converges (proven by the replay test in tests/test_streaming.py).
+    Size ``n_buckets`` so one bucket ≈ one comfortable file; hot-key
+    histories stay together by construction."""
+    from data_cube_spark.operators.scd import (
+        scd2_from_changelog,
+        scd2_merge_changes,
+    )
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def bucket_of(df: DataFrame):
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys]), F.lit(int(n_buckets))
+        ).cast("int")
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        b = batch_df.persist()
+        touched = [r[0] for r in
+                   b.select(bucket_of(b).alias("_b")).distinct().collect()]
+        if not touched:
+            b.unpersist()
+            return
+        try:
+            existing = (
+                spark.read.parquet(target_dir)
+                .where(F.col("dim_bucket").isin(touched))
+                .drop("dim_bucket")
+            )
+            merged = scd2_merge_changes(existing, b, keys, ts_col)
+        except Exception:  # first batch: no target yet
+            merged = scd2_from_changelog(b, keys, ts_col)
+        out = merged.withColumn("dim_bucket", bucket_of(merged))
+        # eager materialization: the target's files must be fully read
+        # before the dynamic overwrite starts deleting them
+        out = out.localCheckpoint()
+        (
+            out.repartition("dim_bucket")
+            .write.mode("overwrite")
+            .partitionBy("dim_bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(target_dir)
+        )
+        b.unpersist()
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(source_dir)
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

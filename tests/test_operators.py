@@ -978,3 +978,42 @@ def test_equi_depth_bins_approx_balanced(spark, tables):
         tot = sum(counts)
         for c in counts:
             assert abs(c / tot - 0.25) < 0.05, (flag, counts)
+
+
+def test_sketch_summary_union_is_lossless(spark, tables):
+    """HLL sketch merging: regraining a fine summary must give the SAME
+    estimate as sketching the raw data directly, for every coarser
+    grain — the mergeability contract that lets one summary serve all
+    rollups. Estimates must also track exact distincts."""
+    from data_cube_spark.operators.stats import sketch_regrain, sketch_summary
+
+    ev = tables["events"].withColumn("day", F.to_date("ts"))
+    summ = sketch_summary(ev, ["event_type", "day"], ["user_id"])
+
+    for grain in (["event_type"], ["day"]):
+        merged = {tuple(r[g] for g in grain): r["user_id_distinct_approx"]
+                  for r in sketch_regrain(summ, grain, ["user_id"]).collect()}
+        direct = {tuple(r[g] for g in grain): (r["_d"], r["_x"])
+                  for r in ev.groupBy(*grain).agg(
+                      F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+                      .cast("long").alias("_d"),
+                      F.countDistinct("user_id").alias("_x")).collect()}
+        assert set(merged) == set(direct)
+        for k, est in merged.items():
+            d, exact = direct[k]
+            assert est == d, f"{k}: union {est} != direct {d}"
+            assert abs(est - exact) <= max(1, 0.05 * exact)
+
+    # n_rows stays an exact sum through the regrain
+    tot = sketch_regrain(summ, ["event_type"], ["user_id"]) \
+        .agg(F.sum("n_rows")).collect()[0][0]
+    assert tot == ev.count()
+
+
+def test_sketch_summary_validation(spark, tables):
+    from data_cube_spark.operators.stats import sketch_summary
+
+    with pytest.raises(ValueError):
+        sketch_summary(tables["events"], [], ["user_id"])
+    with pytest.raises(ValueError):
+        sketch_summary(tables["events"], ["event_type"], [])
