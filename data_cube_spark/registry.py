@@ -2606,6 +2606,59 @@ def q_scd2_dim_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful stream-stream interval join
+    (streaming/stream_join.py::interval_attribution_join): purchases
+    attributed to same-user views within 30 minutes, BOTH sides real
+    file streams with watermarks — the time bound in the join condition
+    is what lets Spark's state store evict (bounded state; an
+    unbounded-history stream join is inexpressible here by design).
+    Inner stream-stream joins emit eagerly, so the availableNow run
+    produces every pair; the oracle is the batch inequality join in SQL
+    — a hash match proves stream == batch. Stream==batch also pinned at
+    the operator level by
+    tests/test_streaming.py::test_stream_stream_attribution_join_equals_batch."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from data_cube_spark.streaming.stream_join import (
+        interval_attribution_join,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"))
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"), "value")
+    base = tempfile.mkdtemp(prefix="sg_ssj_")
+    vdir, bdir = os.path.join(base, "views"), os.path.join(base, "buys")
+    qname = f"ssj_{uuid.uuid4().hex[:8]}"
+    try:
+        views.write.parquet(vdir)
+        buys.write.parquet(bdir)
+        vs = spark.readStream.schema(views.schema).parquet(vdir)
+        bs = spark.readStream.schema(buys.schema).parquet(bdir)
+        joined = interval_attribution_join(
+            vs, bs, "user_id", "view_ts", "buy_ts", within="30 minutes")
+        q = (joined.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(base, "ck"))
+             .start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("attribution stream did not finish in 300s")
+        out = spark.table(qname).select("user_id", "view_id", "buy_id",
+                                        "value")
+        return out.localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _SCD2_CHG_SQL = """
       SELECT c_custkey, TIMESTAMP '1994-01-01' AS eff_ts,
              c_mktsegment AS segment FROM customer
@@ -2774,6 +2827,7 @@ QUERIES: dict[str, QueryFn] = {
     "scd2_temporal_revenue": q_scd2_temporal_revenue,
     "scd2_merge_rebuild": q_scd2_merge_rebuild,
     "scd2_dim_stream": q_scd2_dim_stream,
+    "stream_attribution_join": q_stream_attribution_join,
 }
 
 
@@ -4379,6 +4433,16 @@ ORACLE: dict[str, str] = {
     "scd2_segment_history": _SCD2_HISTORY_SQL,
     "scd2_merge_rebuild": _SCD2_HISTORY_SQL,
     "scd2_dim_stream": _SCD2_HISTORY_SQL,
+    "stream_attribution_join": """
+      SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id,
+             b.value
+      FROM events v
+      JOIN events b
+        ON v.user_id = b.user_id
+       AND b.ts >= v.ts
+       AND b.ts <= v.ts + INTERVAL 30 MINUTE
+      WHERE v.event_type = 'view' AND b.event_type = 'purchase'
+    """,
     "scd2_temporal_revenue": f"""
       SELECT s.segment, COUNT(*) AS n_orders,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

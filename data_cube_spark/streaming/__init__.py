@@ -1,3 +1,4 @@
+from data_cube_spark.streaming.stream_join import interval_attribution_join
 from data_cube_spark.streaming.cube_stream import (
     cube_from_materialized,
     session_windows,
@@ -12,6 +13,7 @@ from data_cube_spark.streaming.cube_stream import (
 
 __all__ = [
     "cube_from_materialized",
+    "interval_attribution_join",
     "session_windows",
     "sessionize_batch",
     "stateful_sessionize",

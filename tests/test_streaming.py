@@ -576,3 +576,38 @@ def test_streaming_scd2_restart_resumes_from_checkpoint(spark, tmp_path):
     want = scd2_from_changelog(log, "k", "eff_ts")
     assert sorted(map(tuple, got.select(*want.columns).collect())) \
         == sorted(map(tuple, want.collect()))
+
+
+def test_stream_stream_attribution_join_equals_batch(spark, tables, tmp_path):
+    """Stateful stream-stream interval join (purchases attributed to
+    views within 30 min, per user) must emit exactly the batch twin's
+    pairs; both sides watermarked so join state stays bounded."""
+    from data_cube_spark.streaming.stream_join import interval_attribution_join
+
+    ev = tables["events"]
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"))
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"), "value")
+    vdir, bdir = str(tmp_path / "views"), str(tmp_path / "buys")
+    views.write.parquet(vdir)
+    buys.write.parquet(bdir)
+
+    vs = spark.readStream.schema(views.schema).parquet(vdir)
+    bs = spark.readStream.schema(buys.schema).parquet(bdir)
+    joined = interval_attribution_join(
+        vs, bs, "user_id", "view_ts", "buy_ts", within="30 minutes")
+    q = (joined.writeStream.format("memory").queryName("ssj_attr")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    assert q.awaitTermination(120)
+
+    got = spark.table("ssj_attr").select(
+        "user_id", "view_id", "buy_id", "value")
+    want = interval_attribution_join(
+        views, buys, "user_id", "view_ts", "buy_ts", within="30 minutes"
+    ).select("user_id", "view_id", "buy_id", "value")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert want.count() > 0  # non-vacuous
