@@ -214,6 +214,38 @@ CURATED: dict[str, str] = {
         "checkpoint with broadcast disabled, matching "
         "test_bucketed_join_has_zero_exchanges.)"
     ),
+    "scd2_segment_history": (
+        "SCD2 build: one lead-window pass partitioned by the natural key "
+        "over the deduped changelog — a single key shuffle, no join, no "
+        "global sort; versions tile time per key by construction."
+    ),
+    "scd2_temporal_revenue": (
+        "SCD2 temporal join: the validity-interval predicate rides INSIDE "
+        "a broadcast hash equi-join on the customer key (intervals per "
+        "key are disjoint, so no fan-out and no dedup pass); one fact-"
+        "side aggregate after. Never a nested loop."
+    ),
+    "scd2_merge_rebuild": (
+        "Incremental SCD2 merge: untouched keys pass through a broadcast "
+        "anti-join with NO window; only the touched keys (bounded by the "
+        "batch) rebuild through the lead window. Union of the two "
+        "branches. Cost per merge is O(batch + touched history), not "
+        "O(dimension)."
+    ),
+    "hll_sketch_regrain": (
+        "Mergeable sketch regrain: hll_sketch_agg partial-aggregates "
+        "map-side at (event_type, day), hll_union_agg merges at "
+        "event_type — the fact is scanned once to BUILD the summary; "
+        "the regrain itself touches only summary rows (sketch binaries, "
+        "~4 KB each). COUNT(DISTINCT) becomes additive."
+    ),
+    "stream_attribution_join": (
+        "Stream-stream interval join (batch twin shown — the unified "
+        "expression): hash equi-join on user_id with the time-range "
+        "residual folded into the join condition; on streams both sides "
+        "are watermarked and the bound drives state eviction. Never a "
+        "nested loop."
+    ),
 }
 
 
@@ -249,7 +281,30 @@ def _build_bucketed_join(spark, sf_dir):
 
 #: queries whose registry form hides the interesting plan (checkpointed
 #: result); re-built here for capture
-SPECIAL_BUILD = {"bucketed_join_copartition": _build_bucketed_join}
+def _build_attribution_batch(spark, sf_dir):
+    """Batch twin of stream_attribution_join (the registry query returns
+    a checkpointed memory-sink read; the unified expression's plan is
+    what matters)."""
+    from pyspark.sql import functions as F
+
+    from data_cube_spark.sources.star import load_tables
+    from data_cube_spark.streaming.stream_join import interval_attribution_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"))
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"), "value")
+    return interval_attribution_join(
+        views, buys, "user_id", "view_ts", "buy_ts", within="30 minutes")
+
+
+SPECIAL_BUILD = {
+    "bucketed_join_copartition": _build_bucketed_join,
+    "stream_attribution_join": _build_attribution_batch,
+}
 
 
 def main() -> int:
