@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "scd2_temporal_revenue",
     "scd2_merge_rebuild",
     "hll_sketch_regrain",
+    "vocab_overlap_sources",
+    "topk_sketch_regrain",
     "zorder_layout_prune",
     "dpp_partition_prune",
 ]

@@ -611,6 +611,15 @@ class DataCube:
         metadata-only, no job."""
         return list(self.fact.df.columns)
 
+    def plan_report(self) -> dict:
+        """Scale audit of this cube's current fact plan (see
+        :func:`data_cube_spark.plans.plan_report`): shuffle count, join
+        strategy mix, nested-loop count, scan pushdown — the pre-submit
+        checklist, no job run."""
+        from data_cube_spark.plans import plan_report
+
+        return plan_report(self.fact.df)
+
     @property
     def measures(self) -> dict[str, Measure]:
         return self.fact.measures

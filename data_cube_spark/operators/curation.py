@@ -216,3 +216,55 @@ def tfidf_top_terms(
         scored.withColumn("term_rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("term_rank") <= top_k)
     )
+
+
+def vocab_overlap(
+    df: DataFrame,
+    top_n: int,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between groups (sources, languages,
+    snapshots): each group's vocabulary is its ``top_n`` whitespace
+    tokens (count DESC, token ASC — deterministic at the cutoff), and
+    every overlapping group pair reports the shared-token count and the
+    Jaccard of the two vocabularies — the standard domain-similarity /
+    contamination-screen signal when composing a training mixture.
+
+    Shape: one (group, token) hash aggregate over the exploded corpus, a
+    per-group top-N window on the (tiny) aggregated vocabulary, and a
+    self-equi-join on token whose size is bounded by
+    ``top_n × groups²`` in the worst case — never by corpus size. Pairs
+    with zero shared tokens are omitted (inner join), matching the SQL
+    oracle."""
+    tok = df.select(
+        F.col(by),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    counts = tok.groupBy(by, "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(by).orderBy(F.col("n").desc(), F.col("token").asc())
+    vocab = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= int(top_n))
+        .select(by, "token")
+    )
+    sizes = vocab.groupBy(by).agg(F.count(F.lit(1)).alias("_size"))
+    a = vocab.select(F.col(by).alias("g_a"), "token")
+    b = vocab.select(F.col(by).alias("g_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(by).alias("g_a"), F.col("_size").alias("_sa"))
+    sb = sizes.select(F.col(by).alias("g_b"), F.col("_size").alias("_sb"))
+    return (
+        inter.join(F.broadcast(sa), "g_a").join(F.broadcast(sb), "g_b")
+        .select(
+            "g_a", "g_b", "n_shared",
+            (F.col("n_shared").cast("double")
+             / (F.col("_sa") + F.col("_sb") - F.col("n_shared"))
+             .cast("double")).alias("jaccard"),
+        )
+    )

@@ -83,6 +83,18 @@ def scd2_current(dim: DataFrame) -> DataFrame:
     return dim.where(F.col(IS_CURRENT)).drop(VALID_FROM, VALID_TO, IS_CURRENT)
 
 
+def scd2_snapshot_at(dim: DataFrame, at) -> DataFrame:
+    """The dimension as it looked at time ``at``: one row per key whose
+    validity interval covers the instant (``valid_from <= at <
+    valid_to``). A pure filter — no window, no join; pairs with
+    :func:`scd2_temporal_join` for the fact-side variant."""
+    at = F.lit(at).cast("timestamp")
+    return dim.where(
+        (F.col(VALID_FROM) <= at)
+        & (F.col(VALID_TO).isNull() | (at < F.col(VALID_TO)))
+    ).drop(VALID_FROM, VALID_TO, IS_CURRENT)
+
+
 def scd2_temporal_join(
     fact: DataFrame,
     dim: DataFrame,

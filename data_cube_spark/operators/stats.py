@@ -277,3 +277,47 @@ def sketch_regrain(
             .cast("long").alias(f"{c}_distinct_approx")
         )
     return summary.groupBy(*grain).agg(*aggs)
+
+
+def topk_sketch_summary(
+    df: DataFrame,
+    grain: list[str],
+    col: str,
+    max_items: int = 1024,
+) -> DataFrame:
+    """Heavy-hitters twin of :func:`sketch_summary`: materialize a
+    MERGEABLE top-k sketch (``approx_top_k_accumulate``, the
+    DataSketches frequent-items state) per ``grain`` group, plus an
+    exact row count. ``max_items`` bounds both memory and error: with
+    more items tracked than the group's distinct values the counts are
+    EXACT; beyond that the standard frequent-items guarantee applies
+    (error <= n / max_items per item)."""
+    if not grain or not col:
+        raise ValueError("grain and col must be non-empty")
+    return df.groupBy(*grain).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(f"approx_top_k_accumulate({col}, {int(max_items)})")
+        .alias(f"{col}_topk_sketch"),
+    )
+
+
+def topk_sketch_regrain(
+    summary: DataFrame,
+    grain: list[str],
+    col: str,
+    k: int,
+) -> DataFrame:
+    """Re-aggregate a :func:`topk_sketch_summary` to a coarser grain:
+    sketches merge via ``approx_top_k_combine`` (never rescanning the
+    fact), then surface the top-``k`` items as
+    ``<col>_topk: array<struct<item, count>>``. Row counts stay exact
+    sums. The 100 TB use: ONE fine-grained summary serves "top items by
+    any dimension subset" dashboards at summary cost."""
+    merged = summary.groupBy(*grain).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.expr(f"approx_top_k_combine({col}_topk_sketch)").alias("_comb"),
+    )
+    return merged.select(
+        *grain, "n_rows",
+        F.expr(f"approx_top_k_estimate(_comb, {int(k)})").alias(f"{col}_topk"),
+    )

@@ -60,3 +60,40 @@ def read_schema_columns(df: DataFrame) -> list[str]:
         if "ReadSchema" in line:
             cols.update(re.findall(r"(\w+):", line.split("ReadSchema")[-1]))
     return sorted(cols)
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-call plan audit for a query you are about to run at scale:
+    the numbers a reviewer checks before a 100 TB submit, as a dict.
+
+    Keys: ``exchanges`` (static shuffle count, pre-AQE), ``scans``
+    (parquet FileScan count), ``broadcast_joins`` / ``sort_merge_joins``
+    (join strategy mix), ``nested_loop_joins`` (CartesianProduct +
+    BroadcastNestedLoopJoin — should be 0 or a deliberate 1-row scalar),
+    ``pushed_filters`` (True iff any scan received pushdown),
+    ``partition_filters`` (True iff any scan prunes partitions, static
+    or dynamic), ``dynamic_pruning`` (DPP subquery present).
+    """
+    plan = explain_str(df, "simple")
+    return {
+        "exchanges": count_exchanges(df),
+        "scans": plan.count("FileScan"),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "nested_loop_joins": (plan.count("BroadcastNestedLoopJoin")
+                              + plan.count("CartesianProduct")),
+        "pushed_filters": "PushedFilters: [" in plan
+        and "PushedFilters: []" != _first_pushed(plan),
+        "partition_filters": "PartitionFilters: [" in plan
+        and any(seg.split("]")[0].strip()
+                for seg in plan.split("PartitionFilters: [")[1:]),
+        "dynamic_pruning": "dynamicpruning" in plan.lower(),
+    }
+
+
+def _first_pushed(plan: str) -> str:
+    for seg in plan.split("PushedFilters: [")[1:]:
+        inner = seg.split("]")[0].strip()
+        if inner:
+            return f"PushedFilters: [{inner}]"
+    return "PushedFilters: []"

@@ -2351,6 +2351,70 @@ def q_zorder_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_topk_sketch_regrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitters sketches
+    (operators/stats.py::topk_sketch_summary / topk_sketch_regrain):
+    per-(event_type, day) frequent-items states merged to event_type by
+    sketch combine — the fact is never rescanned for a coarser top-k.
+    Driver-checkable invariants (sketch internals are engine-specific;
+    the GUARANTEES are the contract): ``counts_match`` — every estimated
+    item's count equals its exact count (max_items=8192 tracks every
+    user, so frequent-items is exact here); ``valid_topk`` — the k-th
+    estimated count is >= the best count outside the estimated set
+    (i.e. the estimate IS a true top-k under ties). The oracle
+    recomputes exact row counts and asserts both flags TRUE."""
+    from data_cube_spark.operators.stats import (
+        topk_sketch_regrain,
+        topk_sketch_summary,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].withColumn(
+        "day", F.to_date("ts"))
+    summ = topk_sketch_summary(ev, ["event_type", "day"], "user_id",
+                               max_items=8192)
+    reg = topk_sketch_regrain(summ, ["event_type"], "user_id", k=3)
+    est = reg.select(
+        "event_type", "n_rows",
+        F.explode("user_id_topk").alias("e")
+    ).select("event_type", "n_rows",
+             F.col("e.item").alias("user_id"),
+             F.col("e.count").alias("est_n"))
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("exact_n"))
+    j = est.join(exact, ["event_type", "user_id"], "left")
+    per_type = j.groupBy("event_type").agg(
+        F.first("n_rows").alias("n_rows"),
+        (F.count(F.lit(1)) == F.sum(
+            (F.col("est_n") == F.col("exact_n")).cast("int")))
+        .alias("counts_match"),
+        F.min("est_n").alias("_kth"),
+    )
+    outside = (
+        exact.join(est.select("event_type", "user_id"),
+                   ["event_type", "user_id"], "left_anti")
+        .groupBy("event_type").agg(F.max("exact_n").alias("_best_out"))
+    )
+    return per_type.join(outside, "event_type", "left").select(
+        "event_type", "n_rows", F.lit(3).alias("k"), "counts_match",
+        (F.col("_kth") >= F.coalesce(F.col("_best_out"), F.lit(0)))
+        .alias("valid_topk"),
+    )
+
+
+def q_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap
+    (operators/curation.py::vocab_overlap): each source's top-10 token
+    vocabulary, pairwise shared-token counts and vocabulary Jaccard —
+    the domain-similarity screen for composing a training mixture. The
+    join is vocabulary x vocabulary (bounded by top_n x groups^2), never
+    corpus-sized; the division is one double op over exact ints, so the
+    oracle hash-matches."""
+    from data_cube_spark.operators.curation import vocab_overlap
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return vocab_overlap(docs, 10)
+
+
 def q_dpp_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning as driver evidence: events persisted
     hive-partitioned by event_date, then joined to a dim the optimizer
@@ -2823,6 +2887,8 @@ QUERIES: dict[str, QueryFn] = {
     "zorder_layout_prune": q_zorder_layout_prune,
     "dpp_partition_prune": q_dpp_partition_prune,
     "hll_sketch_regrain": q_hll_sketch_regrain,
+    "vocab_overlap_sources": q_vocab_overlap_sources,
+    "topk_sketch_regrain": q_topk_sketch_regrain,
     "scd2_segment_history": q_scd2_segment_history,
     "scd2_temporal_revenue": q_scd2_temporal_revenue,
     "scd2_merge_rebuild": q_scd2_merge_rebuild,
@@ -4428,6 +4494,36 @@ ORACLE: dict[str, str] = {
              COUNT(DISTINCT user_id) AS n_users_exact,
              TRUE AS union_lossless,
              TRUE AS approx_within_5pct
+      FROM events GROUP BY 1
+    """,
+    "vocab_overlap_sources": r"""
+      WITH tok AS (
+        SELECT source,
+               unnest(string_split_regex(TRIM(text), '\s+')) AS token
+        FROM documents),
+      counts AS (
+        SELECT source, token, COUNT(*) AS n
+        FROM tok WHERE token <> '' GROUP BY 1, 2),
+      vocab AS (
+        SELECT source, token FROM counts
+        QUALIFY row_number() OVER (PARTITION BY source
+                                   ORDER BY n DESC, token ASC) <= 10),
+      sizes AS (SELECT source, COUNT(*) AS sz FROM vocab GROUP BY 1),
+      inter AS (
+        SELECT a.source AS g_a, b.source AS g_b, COUNT(*) AS n_shared
+        FROM vocab a JOIN vocab b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT g_a, g_b, n_shared,
+             CAST(n_shared AS DOUBLE)
+               / CAST(sa.sz + sb.sz - n_shared AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.source = g_a
+      JOIN sizes sb ON sb.source = g_b
+    """,
+    "topk_sketch_regrain": """
+      SELECT event_type, COUNT(*) AS n_rows, 3 AS k,
+             TRUE AS counts_match, TRUE AS valid_topk
       FROM events GROUP BY 1
     """,
     "scd2_segment_history": _SCD2_HISTORY_SQL,

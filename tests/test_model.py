@@ -481,3 +481,9 @@ def test_summary_navigator_refuses_inexact_measures(spark, tables):
     )
     dc.with_summary(["order.l_orderkey"])
     assert dc._summaries == []
+
+
+def test_cube_plan_report(cube_cold):
+    rep = cube_cold.q().plan_report()
+    assert rep["nested_loop_joins"] == 0
+    assert rep["scans"] >= 1

@@ -1017,3 +1017,63 @@ def test_sketch_summary_validation(spark, tables):
         sketch_summary(tables["events"], [], ["user_id"])
     with pytest.raises(ValueError):
         sketch_summary(tables["events"], ["event_type"], [])
+
+
+def test_vocab_overlap_matches_manual(spark):
+    """Hand-checkable corpus: vocab Jaccard over two groups with a known
+    shared set; identical groups give 1.0; tie-break at the cutoff is
+    deterministic."""
+    from data_cube_spark.operators.curation import vocab_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "x x y z"),
+            (2, "a", "x y w"),
+            (3, "b", "x q r"),
+            (4, "b", "q r s"),
+            (5, "c", "x x y z w q r s"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {(r.g_a, r.g_b): (r.n_shared, round(r.jaccard, 6))
+           for r in vocab_overlap(docs, 3, by="source").collect()}
+    # a's top-3: x(3), w/y/z tie at 1 -> w,y by token asc => {x, w, y}
+    # b's top-3: q(2), r(2), s/x tie at 1 -> s => {q, r, s}
+    # c's top-3: x(2), q/r/s/w/y/z tie 1 -> q, r => {x, q, r}
+    assert out[("a", "c")] == (1, round(1 / 5, 6))
+    assert out[("b", "c")] == (2, round(2 / 4, 6))
+    assert ("a", "b") not in out  # zero shared tokens -> omitted
+
+
+def test_topk_sketch_merge_matches_direct_and_exact(spark, tables):
+    """Top-k sketch merging: regraining per-day sketches must equal the
+    direct single-pass sketch, and with max_items covering all distinct
+    values the counts are exact."""
+    from data_cube_spark.operators.stats import (
+        topk_sketch_regrain,
+        topk_sketch_summary,
+    )
+
+    ev = tables["events"].withColumn("day", F.to_date("ts"))
+    summ = topk_sketch_summary(ev, ["event_type", "day"], "user_id",
+                               max_items=8192)
+    reg = topk_sketch_regrain(summ, ["event_type"], "user_id", k=5)
+    merged = {r["event_type"]: [(e["item"], e["count"])
+                                for e in r["user_id_topk"]]
+              for r in reg.collect()}
+    exact = {}
+    for r in ev.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("n")).collect():
+        exact.setdefault(r["event_type"], {})[r["user_id"]] = r["n"]
+    for et, items in merged.items():
+        counts = exact[et]
+        for item, n in items:
+            assert counts[item] == n, (et, item, n, counts[item])
+        # valid top-5 under ties
+        kth = min(n for _, n in items)
+        outside = [n for u, n in counts.items()
+                   if u not in {i for i, _ in items}]
+        assert not outside or kth >= max(outside)
+
+    with pytest.raises(ValueError):
+        topk_sketch_summary(ev, [], "user_id")

@@ -138,3 +138,15 @@ def test_scd2_merge_does_not_window_untouched_keys(spark):
     # exactly one Window (the rebuild of touched keys); the pass-through
     # branch is join-only
     assert plan.count("Window") == 1
+
+
+def test_scd2_snapshot_at(spark):
+    from data_cube_spark.operators.scd import scd2_snapshot_at
+
+    dim = scd2_from_changelog(_changelog(spark), "k", "ts")
+    snap = {r.k: r.tier
+            for r in scd2_snapshot_at(dim, datetime(2022, 1, 1)).collect()}
+    assert snap == {1: "silver", 2: "bronze", 3: "silver"}
+    before = scd2_snapshot_at(dim, datetime(2019, 1, 1))
+    assert before.count() == 0
+    assert set(before.columns) == {"k", "segment", "tier"}
