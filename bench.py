@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "hll_sketch_regrain",
     "vocab_overlap_sources",
     "topk_sketch_regrain",
+    "revenue_share_of_region",
+    "events_gap_fill",
     "zorder_layout_prune",
     "dpp_partition_prune",
 ]

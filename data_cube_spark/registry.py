@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_cube_spark.export import denormalize, pivot_format
@@ -2351,6 +2351,51 @@ def q_zorder_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent (ratio-to-report) analytics: nation revenue as a
+    fraction of its region's total — the cube aggregate at
+    (nation, region) grain composed with a region-partitioned window
+    sum. The window runs over the AGGREGATED frame (one row per nation),
+    so the fact is scanned and shuffled exactly once; the share division
+    is one double op over decimal-exact sums, hash-matching the SQL
+    window."""
+    dc = tpch_cube(spark, sf_dir)
+    agg = dc.aggregate(["supplier.n_name", "supplier.r_name"])
+    w = Window.partitionBy("r_name")
+    return agg.select(
+        "n_name", "r_name",
+        F.col("revenue").cast("double").alias("revenue"),
+        (F.col("revenue").cast("double")
+         / F.sum(F.col("revenue")).over(w).cast("double"))
+        .alias("share_of_region"),
+    )
+
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification
+    (operators/timeseries.py::gap_fill_daily): one row per
+    (event_type, day) for every day in each type's observed span, silent
+    days zero-filled — the regularization step before dashboards /
+    anomaly baselines. The calendar explodes from each key's OWN
+    [min, max] span (never keys x global calendar), so cost is output
+    rows, not |keys| x |history|."""
+    from data_cube_spark.operators.timeseries import gap_fill_daily
+
+    ev = load_tables(spark, sf_dir)["events"]
+    out = gap_fill_daily(
+        ev, "ts", ["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double"),
+        },
+        fill={"n_events": 0, "sum_value": 0.0},
+    )
+    # DATE round-trips differently through the two engines' pandas
+    # bridges; timestamps are the repo-wide convention for day keys
+    return out.withColumn("day", F.col("day").cast("timestamp"))
+
+
 def q_topk_sketch_regrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable heavy-hitters sketches
     (operators/stats.py::topk_sketch_summary / topk_sketch_regrain):
@@ -2889,6 +2934,8 @@ QUERIES: dict[str, QueryFn] = {
     "hll_sketch_regrain": q_hll_sketch_regrain,
     "vocab_overlap_sources": q_vocab_overlap_sources,
     "topk_sketch_regrain": q_topk_sketch_regrain,
+    "revenue_share_of_region": q_revenue_share_of_region,
+    "events_gap_fill": q_events_gap_fill,
     "scd2_segment_history": q_scd2_segment_history,
     "scd2_temporal_revenue": q_scd2_temporal_revenue,
     "scd2_merge_rebuild": q_scd2_merge_rebuild,
@@ -4525,6 +4572,41 @@ ORACLE: dict[str, str] = {
       SELECT event_type, COUNT(*) AS n_rows, 3 AS k,
              TRUE AS counts_match, TRUE AS valid_topk
       FROM events GROUP BY 1
+    """,
+    "revenue_share_of_region": f"""
+      WITH agg AS (
+        SELECT n_name, r_name, {SQL_REV} AS rev_dec
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2)
+      SELECT n_name, r_name, CAST(rev_dec AS DOUBLE) AS revenue,
+             CAST(rev_dec AS DOUBLE)
+               / CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE)
+               AS share_of_region
+      FROM agg
+    """,
+    "events_gap_fill": """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+        FROM events GROUP BY 1, 2),
+      span AS (
+        SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY 1),
+      cal AS (
+        SELECT event_type,
+               unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                      CAST(d1 AS TIMESTAMP),
+                                      INTERVAL 1 DAY)) AS day
+        FROM span)
+      SELECT c.event_type, c.day,
+             COALESCE(d.n, 0) AS n_events,
+             COALESCE(d.s, 0.0) AS sum_value
+      FROM cal c
+      LEFT JOIN daily d
+        ON d.event_type = c.event_type AND CAST(d.day AS TIMESTAMP) = c.day
     """,
     "scd2_segment_history": _SCD2_HISTORY_SQL,
     "scd2_merge_rebuild": _SCD2_HISTORY_SQL,

@@ -1077,3 +1077,34 @@ def test_topk_sketch_merge_matches_direct_and_exact(spark, tables):
 
     with pytest.raises(ValueError):
         topk_sketch_summary(ev, [], "user_id")
+
+
+def test_gap_fill_daily_zero_and_ffill(spark):
+    from datetime import date, datetime
+
+    from data_cube_spark.operators.timeseries import gap_fill_daily
+
+    ev = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 5), 10.0),
+            ("a", datetime(2024, 1, 1, 9), 20.0),
+            ("a", datetime(2024, 1, 4, 1), 5.0),
+            ("b", datetime(2024, 2, 1, 0), 1.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = gap_fill_daily(
+        ev, "ts", ["k"],
+        aggs={"n": F.count(F.lit(1)), "sum_v": F.sum("v"),
+              "last_v": F.last("v")},
+        fill={"n": 0, "sum_v": 0.0},
+        ffill_cols=["last_v"],
+    )
+    rows = {(r.k, r.day): (r.n, r.sum_v, r.last_v) for r in out.collect()}
+    # a spans 4 days (2 silent), b spans 1 — never a cross of keys x days
+    assert len(rows) == 5
+    assert rows[("a", date(2024, 1, 1))] == (2, 30.0, 20.0)
+    assert rows[("a", date(2024, 1, 2))] == (0, 0.0, 20.0)  # zero + ffill
+    assert rows[("a", date(2024, 1, 3))] == (0, 0.0, 20.0)
+    assert rows[("a", date(2024, 1, 4))] == (1, 5.0, 5.0)
+    assert rows[("b", date(2024, 2, 1))] == (1, 1.0, 1.0)
