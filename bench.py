@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "topk_sketch_regrain",
     "revenue_share_of_region",
     "events_gap_fill",
+    "data_quality_report",
     "zorder_layout_prune",
     "dpp_partition_prune",
 ]

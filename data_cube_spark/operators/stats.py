@@ -266,9 +266,11 @@ def sketch_regrain(
     distinct_cols: list[str],
 ) -> DataFrame:
     """Re-aggregate a :func:`sketch_summary` table to a coarser
-    ``grain``: sketches merge via ``hll_union_agg`` (lossless — the
-    merged sketch is identical to one built from the raw union), then
-    surface as ``<col>_distinct_approx`` estimates. Row counts stay
+    ``grain``: sketches merge via ``hll_union_agg`` — merging loses no
+    information vs rescanning the raw union (the accuracy guarantee is
+    preserved; estimates are bit-equal to a direct sketch while inputs
+    are in sparse mode and within the sketch's own error once dense) —
+    then surface as ``<col>_distinct_approx`` estimates. Row counts stay
     exact sums. Never touches the fact table."""
     aggs = [F.sum("n_rows").alias("n_rows")]
     for c in distinct_cols:

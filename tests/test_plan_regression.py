@@ -79,6 +79,9 @@ SINGLE_PARTITION_OK = {
                                  # — the documented §2.6 design)
     "key_skew_users",            # rank window over <= top_n profile rows
     "tfidf_keywords",            # 1-row corpus-count scalar broadcast
+    "data_quality_report",       # per-rule 1-row violation totals (map-side
+                                 # partials; the merge reduces one row per
+                                 # partition, the grand_total shape)
 }
 
 #: Bounded join shapes: BroadcastNestedLoopJoin / CartesianProduct whose

@@ -246,6 +246,28 @@ CURATED: dict[str, str] = {
         "are watermarked and the bound drives state eviction. Never a "
         "nested loop."
     ),
+    "revenue_share_of_region": (
+        "Share-of-parent: the window sum runs over the AGGREGATED frame "
+        "(25 nation rows), not the fact — one fact scan, one aggregate "
+        "shuffle, one tiny window partitioned by region."
+    ),
+    "events_gap_fill": (
+        "Calendar densification: per-key span aggregate -> sequence "
+        "explode -> left join keyed (key, day). The calendar is "
+        "output-sized (each key's own span), never |keys| x global "
+        "history; all three shuffles hash on the key."
+    ),
+    "vocab_overlap_sources": (
+        "Vocabulary overlap: corpus-sized work is ONE (group, token) "
+        "hash aggregate; the top-N window and the token self-join run "
+        "on the vocabulary (bounded by top_n x groups), broadcast-sized."
+    ),
+    "topk_sketch_regrain": (
+        "Mergeable top-k: approx_top_k_accumulate partials at the fine "
+        "grain, approx_top_k_combine at the coarse grain — the "
+        "verification joins against exact counts are the invariant "
+        "harness, not the production path (summary-only regrain)."
+    ),
 }
 
 
