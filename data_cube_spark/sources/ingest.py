@@ -156,9 +156,12 @@ def zorder_key(
         tmp_cols.append(f"_z_num_{i}")
         tmp = tmp.withColumn(f"_z_num_{i}", num)
     probs = [q / n_buckets for q in range(1, n_buckets)]
+    # ONE quantile pass covers every column (approxQuantile batches the
+    # sketch per column in a single scan)
+    all_cuts = tmp.stat.approxQuantile(tmp_cols, probs, 1.0 / (4 * n_buckets))
     z = F.lit(0).cast("long")
     for j, tc in enumerate(tmp_cols):
-        cuts = tmp.stat.approxQuantile(tc, probs, 1.0 / (4 * n_buckets))
+        cuts = all_cuts[j]
         cut_arr = F.array(*[F.lit(float(v)) for v in cuts])
         target = F.col(tc)
         bucket = F.size(F.filter(cut_arr, lambda cut: cut < target))

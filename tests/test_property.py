@@ -280,3 +280,89 @@ def test_skew_aware_join_invariant(spark, left_keys, right_keys, min_share, salt
     out = Counter((r.k, r.v, r.w) for r in skew_aware_join(
         left, right, "k", top_n=3, min_share=min_share, salt=salt).collect())
     assert out == plain
+
+
+# -- SCD2 merge == full rebuild for ANY changelog and ANY split -------------
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    changes=st.lists(
+        st.tuples(st.integers(0, 5),          # key
+                  st.integers(0, 9),          # day offset
+                  st.sampled_from("abc")),    # attr value
+        min_size=1, max_size=25),
+    split_day=st.integers(0, 10),
+)
+def test_scd2_merge_equals_rebuild_any_changelog(spark, changes, split_day):
+    """For ANY change log (duplicate (key, ts) rows included) and ANY
+    early/late split — including empty sides — merging the late half
+    into the early build equals building from the whole log."""
+    from datetime import datetime
+
+    from data_cube_spark.operators.scd import (
+        scd2_from_changelog,
+        scd2_merge_changes,
+    )
+
+    rows = [(k, datetime(2024, 1, 1 + d), s) for k, d, s in changes]
+    log = spark.createDataFrame(rows, "k int, ts timestamp, seg string")
+    cut = datetime(2024, 1, 1 + split_day)
+    early = log.where(F.col("ts") < F.lit(cut))
+    late = log.where(F.col("ts") >= F.lit(cut))
+    full = scd2_from_changelog(log, "k", "ts")
+    if early.count() == 0:
+        merged = scd2_from_changelog(late, "k", "ts")
+    else:
+        merged = scd2_merge_changes(
+            scd2_from_changelog(early, "k", "ts"), late, "k", "ts")
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, full.collect()))
+
+
+# -- gap fill: coverage + conservation for ANY series -----------------------
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    points=st.lists(
+        st.tuples(st.sampled_from("pq"),      # key
+                  st.integers(0, 12),         # day offset
+                  st.integers(-5, 5)),        # value
+        min_size=1, max_size=30),
+)
+def test_gap_fill_invariants(spark, points):
+    """For ANY series: every key covers exactly its [min, max] day span
+    with no holes; zero-filled silent days; totals conserved."""
+    from datetime import datetime, timedelta
+
+    from data_cube_spark.operators.timeseries import gap_fill_daily
+
+    rows = [(k, datetime(2024, 3, 1 + d, 12), float(v)) for k, d, v in points]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = gap_fill_daily(
+        df, "ts", ["k"],
+        aggs={"n": F.count(F.lit(1)), "s": F.sum("v")},
+        fill={"n": 0, "s": 0.0},
+    ).collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    truth_days: dict = {}
+    truth_totals: dict = {}
+    for k, d, v in points:
+        truth_days.setdefault(k, set()).add(d)
+        truth_totals[k] = truth_totals.get(k, 0.0) + v
+    for k, rs in by_key.items():
+        days = sorted(r.day for r in rs)
+        lo, hi = min(truth_days[k]), max(truth_days[k])
+        assert len(days) == hi - lo + 1 == len(set(days))  # no holes, no dups
+        assert (days[-1] - days[0]).days == hi - lo
+        assert sum(r.n for r in rs) == len([1 for kk, *_ in points if kk == k])
+        assert abs(sum(r.s for r in rs) - truth_totals[k]) < 1e-9
+        for r in rs:
+            if r.n == 0:
+                assert r.s == 0.0
+    assert set(by_key) == set(truth_days)
