@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "revenue_share_of_region",
     "events_gap_fill",
     "data_quality_report",
+    "contrastive_negatives",
     "zorder_layout_prune",
     "dpp_partition_prune",
 ]

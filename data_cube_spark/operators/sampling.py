@@ -231,3 +231,72 @@ def shuffle_positions(
     with_draw = df.withColumn("_draw", draw_hex(key, salt))
     out = add_dense_positions(with_draw, ["_draw"], pos_col)
     return out.drop("_draw")
+
+
+def sample_negatives(
+    positives: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    anchor_col: str = "anchor_id",
+    pos_col: str = "pos_id",
+    id_col: str = "doc_id",
+    margin: int = 8,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for each distinct anchor in ``positives``, draw up to ``k`` corpus
+    documents that are neither the anchor itself nor any of its
+    positives. Output: ``(anchor_col, neg_id, neg_rank)`` with
+    ``neg_rank`` 1..k in draw order.
+
+    Draws are md5-indexed positions into the corpus (one dense-position
+    pass over the corpus ids, the same two-stage ranking as
+    ``shuffle_order`` — no single-reducer window), so reruns and other
+    engines produce the SAME negatives. ``k + margin`` slots are drawn
+    per anchor and collisions (duplicate draws, the anchor, true
+    positives) are discarded before ranking; with a corpus much larger
+    than each anchor's positive set, ``margin`` of 8 makes a short
+    return vanishingly rare (short = that anchor emits < k rows, never
+    wrong rows). Shape: one corpus position pass, one slot explosion
+    bounded by anchors x (k+margin), hash joins on position and the
+    pair anti-join — no corpus x corpus product anywhere."""
+    from data_cube_spark.functions import add_dense_positions
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    n = corpus.select(id_col).count()
+    if n == 0:
+        raise ValueError("corpus is empty")
+    pool = add_dense_positions(corpus.select(id_col), [id_col], "_pos")
+    anchors = positives.select(anchor_col).distinct()
+    slots = anchors.withColumn(
+        "_slot", F.explode(F.array(*[F.lit(j) for j in range(k + margin)]))
+    )
+    hx = F.substring(
+        draw_hex(
+            F.concat(F.col(anchor_col).cast("string"), F.lit("#"),
+                     F.col("_slot").cast("string")),
+            salt=salt,
+        ),
+        1, 8,
+    )
+    slots = slots.withColumn(
+        "_pos", (F.conv(hx, 16, 10).cast("long") % F.lit(n) + 1)
+    )
+    cands = (
+        slots.join(pool, "_pos")
+        .where(F.col(id_col).cast("string") != F.col(anchor_col).cast("string"))
+        .join(
+            positives.select(anchor_col, F.col(pos_col).alias(id_col)),
+            [anchor_col, id_col], "left_anti",
+        )
+    )
+    w_first = Window.partitionBy(anchor_col, id_col).orderBy(F.col("_slot"))
+    w_rank = Window.partitionBy(anchor_col).orderBy(F.col("_slot"))
+    return (
+        cands.withColumn("_dup", F.row_number().over(w_first))
+        .where(F.col("_dup") == 1)
+        .withColumn("neg_rank", F.row_number().over(w_rank))
+        .where(F.col("neg_rank") <= int(k))
+        .select(anchor_col, F.col(id_col).alias("neg_id"), "neg_rank")
+    )

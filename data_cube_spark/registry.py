@@ -2355,6 +2355,26 @@ def q_zorder_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive pairs
+    (operators/sampling.py::sample_negatives): every 10th document is an
+    anchor (its positive = the next id); each anchor draws 4 negatives
+    as md5-indexed positions into the corpus, excluding itself and its
+    positives. The draw arithmetic (hex-prefix mod corpus-size into the
+    doc_id-ordered position table) is replayed exactly by the SQL
+    oracle, so the negative SETS hash-match across engines — the
+    reproducibility contract a training-data pipeline needs for
+    negatives, same as `shuffle_order` for ordering."""
+    from data_cube_spark.operators.sampling import sample_negatives
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pos = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("anchor_id"),
+        (F.col("doc_id") + 1).alias("pos_id"),
+    )
+    return sample_negatives(pos, docs, 4)
+
+
 def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expectations-style constraint validation
     (operators/quality.py::check_constraints): the pre-merge ingestion
@@ -2968,6 +2988,7 @@ QUERIES: dict[str, QueryFn] = {
     "revenue_share_of_region": q_revenue_share_of_region,
     "events_gap_fill": q_events_gap_fill,
     "data_quality_report": q_data_quality_report,
+    "contrastive_negatives": q_contrastive_negatives,
     "scd2_segment_history": q_scd2_segment_history,
     "scd2_temporal_revenue": q_scd2_temporal_revenue,
     "scd2_merge_rebuild": q_scd2_merge_rebuild,
@@ -4604,6 +4625,40 @@ ORACLE: dict[str, str] = {
       SELECT event_type, COUNT(*) AS n_rows, 3 AS k,
              TRUE AS counts_match, TRUE AS valid_topk
       FROM events GROUP BY 1
+    """,
+    "contrastive_negatives": """
+      WITH pool AS (
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS pos
+        FROM documents),
+      cnt AS (SELECT COUNT(*) AS n FROM documents),
+      anchors AS (
+        SELECT doc_id AS anchor_id, doc_id + 1 AS pos_id
+        FROM documents WHERE doc_id % 10 = 0),
+      slots AS (
+        SELECT DISTINCT anchor_id, s.slot
+        FROM anchors, (SELECT unnest(range(12)) AS slot) s),
+      cand AS (
+        SELECT anchor_id, slot,
+               (('0x' || substr(md5('neg' || CAST(anchor_id AS VARCHAR)
+                                    || '#' || CAST(slot AS VARCHAR)), 1, 8)
+                )::UBIGINT % (SELECT n FROM cnt)) + 1 AS pos
+        FROM slots),
+      withdoc AS (
+        SELECT c.anchor_id, c.slot, p.doc_id
+        FROM cand c JOIN pool p ON p.pos = c.pos
+        WHERE CAST(p.doc_id AS VARCHAR) <> CAST(c.anchor_id AS VARCHAR)
+          AND NOT EXISTS (SELECT 1 FROM anchors a
+                          WHERE a.anchor_id = c.anchor_id
+                            AND a.pos_id = p.doc_id)),
+      first AS (
+        SELECT anchor_id, doc_id, MIN(slot) AS slot
+        FROM withdoc GROUP BY 1, 2)
+      SELECT anchor_id, neg_id, neg_rank FROM (
+        SELECT anchor_id, doc_id AS neg_id,
+               CAST(row_number() OVER (PARTITION BY anchor_id
+                                       ORDER BY slot) AS INT) AS neg_rank
+        FROM first)
+      WHERE neg_rank <= 4
     """,
     "data_quality_report": """
       WITH counts AS (

@@ -246,3 +246,32 @@ def test_tfidf_hand_computed(spark):
     assert rows[(1, "b")][2] == 2 and abs(rows[(1, "b")][1] - idf_rare) < 1e-12
     # doc 2: rare c outranks universal a
     assert rows[(2, "c")][2] == 1 and rows[(2, "a")][2] == 2
+
+
+def test_sample_negatives_invariants(spark, tables):
+    """Negatives: never the anchor, never a positive, distinct per
+    anchor, ranks 1..k dense, deterministic across reruns."""
+    from data_cube_spark.operators.sampling import sample_negatives
+
+    docs = tables["documents"]
+    pos = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("anchor_id"),
+        (F.col("doc_id") + 2).alias("pos_id"))
+    out = sample_negatives(pos, docs, 3).collect()
+    again = sample_negatives(pos, docs, 3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    positives = {(r.anchor_id, r.pos_id) for r in pos.collect()}
+    by_anchor = {}
+    for r in out:
+        assert r.neg_id != r.anchor_id
+        assert (r.anchor_id, r.neg_id) not in positives
+        by_anchor.setdefault(r.anchor_id, []).append(r.neg_rank)
+    for a, ranks in by_anchor.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sample_negatives(pos, docs, 0)
+    with _pytest.raises(ValueError):
+        sample_negatives(pos, docs.where(F.lit(False)), 3)
