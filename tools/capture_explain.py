@@ -268,6 +268,19 @@ CURATED: dict[str, str] = {
         "verification joins against exact counts are the invariant "
         "harness, not the production path (summary-only regrain)."
     ),
+    "data_quality_report": (
+        "Constraint validation: the three row-local rules are ONE fused "
+        "conditional-sum aggregate over one scan; uniqueness is one "
+        "keyed aggregate; the FK check one broadcast anti-join. The "
+        "SinglePartition merges reduce one partial row per task — the "
+        "grand_total shape, sanctioned."
+    ),
+    "contrastive_negatives": (
+        "Negative sampling: dense corpus positions (two-stage ranking, "
+        "no single-reducer window), slot explosion bounded by anchors x "
+        "(k+margin), hash join on position, anti-join on the positive "
+        "pairs, per-anchor rank windows. No corpus self-join."
+    ),
 }
 
 
