@@ -121,3 +121,33 @@ def snowflake_dimension(
     hiers = {hn: Hierarchy(spec, hn) for hn, spec in (hierarchies or {}).items()}
     return Dimension(name, key, base, lvls, hiers,
                      approx_rows=approx_rows, broadcast=broadcast)
+
+
+def scd2_dimension(
+    name: str,
+    key: str,
+    changelog: DataFrame,
+    ts_col: str,
+    at=None,
+    approx_rows: int | None = None,
+) -> Dimension:
+    """Build a cube dimension from an SCD Type-2 change log
+    (``operators.scd``): by default the CURRENT snapshot (one row per
+    key, latest attributes); pass ``at`` for the dimension as it stood
+    at that instant — point-in-time cube queries over a versioned
+    dimension without touching the fact side.
+
+    The reference's dimensions are immutable snapshots (R/dimension.R);
+    this is the bridge from the continuously-maintained version table to
+    that model: rebuild the Dimension per reporting run (metadata-cheap
+    — the snapshot is a filter over the version table), dice and
+    aggregate as usual."""
+    from data_cube_spark.operators.scd import (
+        scd2_current,
+        scd2_from_changelog,
+        scd2_snapshot_at,
+    )
+
+    dim2 = scd2_from_changelog(changelog, key, ts_col)
+    snap = scd2_current(dim2) if at is None else scd2_snapshot_at(dim2, at)
+    return Dimension(name, key, snap, approx_rows=approx_rows)

@@ -150,3 +150,37 @@ def test_scd2_snapshot_at(spark):
     before = scd2_snapshot_at(dim, datetime(2019, 1, 1))
     assert before.count() == 0
     assert set(before.columns) == {"k", "segment", "tier"}
+
+
+def test_scd2_dimension_point_in_time_cube(spark):
+    """An SCD2-versioned dimension plugs into the cube API: the same
+    fact diced through the 2022 snapshot vs the current snapshot
+    attributes different tiers to the same keys."""
+    from data_cube_spark.build import scd2_dimension
+    from data_cube_spark.model import DataCube, Fact, Measure
+    from data_cube_spark.selectors import C
+
+    facts = spark.createDataFrame(
+        [(1, 100.0), (1, 50.0), (2, 10.0), (3, 1.0)],
+        "k int, amount double")
+    fact = Fact.build(
+        facts, ["k"],
+        [Measure("total", F.col("amount").cast("decimal(18,2)"), agg="sum")])
+    log = _changelog(spark)
+
+    dc_2022 = DataCube(fact, {"cust": scd2_dimension(
+        "cust", "k", log, "ts", at=datetime(2022, 6, 1))})
+    dc_now = DataCube(fact, {"cust": scd2_dimension("cust", "k", log, "ts")})
+
+    def totals(dc):
+        return {r["tier"]: float(r["total"])
+                for r in dc.aggregate(["cust.tier"]).collect()}
+
+    # key 1 was silver in mid-2022 and is gold now; key 3 stays silver
+    # (its duplicate-ts dedupe picked silver), key 2 stays bronze
+    assert totals(dc_2022) == {"silver": 151.0, "bronze": 10.0}
+    assert totals(dc_now) == {"gold": 150.0, "silver": 1.0, "bronze": 10.0}
+    # silver-tier dice (fact is at key grain): keys {1, 3} at the 2022
+    # snapshot, only key 3 now
+    assert dc_2022.q(cust=C(tier=["silver"])).fact.df.count() == 2
+    assert dc_now.q(cust=C(tier=["silver"])).fact.df.count() == 1
