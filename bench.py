@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "events_gap_fill",
     "data_quality_report",
     "contrastive_negatives",
+    "histogram_percentile_regrain",
     "zorder_layout_prune",
     "dpp_partition_prune",
 ]

@@ -323,3 +323,104 @@ def topk_sketch_regrain(
         *grain, "n_rows",
         F.expr(f"approx_top_k_estimate(_comb, {int(k)})").alias(f"{col}_topk"),
     )
+
+
+def histogram_sketch_summary(
+    df: DataFrame,
+    grain: list[str],
+    col: str,
+    n_bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Percentile twin of :func:`sketch_summary` /
+    :func:`topk_sketch_summary`, completing the mergeable-measure trio
+    (distinct counts, heavy hitters, percentiles): per ``grain`` group,
+    a dense equi-width bin-count array over ``[lo, hi)`` (edge bins
+    clamp, the :func:`equi_width_histogram` convention) plus the exact
+    row count. Bin arrays merge by element-wise sum — exactly additive,
+    engine-independent — so ONE fine-grained summary serves percentile
+    queries at every coarser grain with error bounded by the bin width.
+
+    Shape: one (grain, bin) hash aggregate (map-side combined), one
+    (grain) aggregate to densify — both shuffles keyed on the grain;
+    the array is ``n_bins`` longs per group regardless of row count."""
+    if hi <= lo or n_bins < 1:
+        raise ValueError("require hi > lo and n_bins >= 1")
+    w = (hi - lo) / n_bins
+    raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(w))
+    bin_id = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    per_bin = (
+        df.select(*grain, bin_id.alias("_bin"))
+        .groupBy(*grain, "_bin")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    dense = per_bin.groupBy(*grain).agg(
+        F.sum("_n").alias("n_rows"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_bin"), F.col("_n")))
+        ).alias("_m"),
+    )
+    seq = F.sequence(F.lit(0), F.lit(n_bins - 1))
+    return dense.select(
+        *grain,
+        "n_rows",
+        # element_at on a MAP takes the KEY (the bin id), not a position
+        F.transform(
+            seq, lambda i: F.coalesce(F.element_at("_m", i), F.lit(0))
+        ).alias(f"{col}_bins"),
+    )
+
+
+def histogram_sketch_regrain(
+    summary: DataFrame,
+    grain: list[str],
+    col: str,
+) -> DataFrame:
+    """Merge :func:`histogram_sketch_summary` rows to a coarser grain:
+    bin arrays sum element-wise (``zip_with`` fold — exact, additive),
+    row counts sum. Never touches the fact."""
+    bins_col = f"{col}_bins"
+    return summary.groupBy(*grain).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.aggregate(
+            F.collect_list(bins_col),
+            F.expr("cast(array() as array<bigint>)"),
+            lambda acc, x: F.when(F.size(acc) == 0, x).otherwise(
+                F.zip_with(acc, x, lambda a, b: a + b)
+            ),
+        ).alias(bins_col),
+    )
+
+
+def histogram_percentile(
+    bins_col: str,
+    q: float,
+    lo: float,
+    hi: float,
+    n_bins: int,
+):
+    """Column expression: percentile ``q`` estimated from a bin-count
+    array — the upper edge of the first bin whose cumulative count
+    reaches ``ceil(q * total)``. Always within one bin width of the
+    exact nearest-rank percentile (for in-range data; clamped edge bins
+    carry the out-of-range mass)."""
+    w = (hi - lo) / n_bins
+    total = F.aggregate(F.col(bins_col), F.lit(0).cast("long"),
+                        lambda a, b: a + b)
+    target = F.ceil(F.lit(q) * total).cast("long")
+    # running cumulative: the number of bins whose cumsum stays below the
+    # target rank IS the index of the bin containing it
+    idx = F.size(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col(bins_col))),
+                lambda k: F.aggregate(
+                    F.slice(F.col(bins_col), F.lit(1), k),
+                    F.lit(0).cast("long"), lambda a, b: a + b,
+                ),
+            ),
+            lambda c: c < target,
+        )
+    )
+    return (F.lit(lo) + (idx + 1) * F.lit(w)).cast("double")

@@ -2355,6 +2355,51 @@ def q_zorder_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_histogram_percentile_regrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third mergeable-summary measure
+    (operators/stats.py::histogram_sketch_summary / _regrain /
+    histogram_percentile), completing the trio with `hll_sketch_regrain`
+    (distinct) and `topk_sketch_regrain` (heavy hitters): per-(type, day)
+    equi-width bin-count arrays merge by element-wise sum to type level
+    — exactly additive, engine-independent, never rescanning the fact —
+    and percentiles read off the cumulative bins with error bounded by
+    ONE BIN WIDTH vs the exact nearest-rank percentile. The oracle
+    recomputes the exact cuts (ROW_NUMBER nearest-rank, the
+    `winsorized_price_stats` convention) and asserts the in-bin flags."""
+    from data_cube_spark.operators.stats import (
+        _percentile_cuts,
+        histogram_percentile,
+        histogram_sketch_regrain,
+        histogram_sketch_summary,
+    )
+
+    n_bins, lo, hi = 600, 0.0, 600.0
+    ev = load_tables(spark, sf_dir)["events"].withColumn(
+        "day", F.to_date("ts"))
+    summ = histogram_sketch_summary(ev, ["event_type", "day"], "value",
+                                    n_bins, lo, hi)
+    reg = histogram_sketch_regrain(summ, ["event_type"], "value")
+    est = reg.select(
+        "event_type", "n_rows",
+        histogram_percentile("value_bins", 0.5, lo, hi, n_bins)
+        .alias("_p50e"),
+        histogram_percentile("value_bins", 0.95, lo, hi, n_bins)
+        .alias("_p95e"),
+    )
+    cuts = _percentile_cuts(ev, "value", ["event_type"],
+                            {"p50_exact": 0.5, "p95_exact": 0.95})
+    w = (hi - lo) / n_bins
+    return est.join(cuts, "event_type").select(
+        "event_type", "n_rows",
+        F.col("p50_exact").cast("double").alias("p50_exact"),
+        F.col("p95_exact").cast("double").alias("p95_exact"),
+        (F.abs(F.col("_p50e") - F.col("p50_exact")) <= F.lit(w))
+        .alias("p50_within_bin"),
+        (F.abs(F.col("_p95e") - F.col("p95_exact")) <= F.lit(w))
+        .alias("p95_within_bin"),
+    )
+
+
 def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for contrastive pairs
     (operators/sampling.py::sample_negatives): every 10th document is an
@@ -2989,6 +3034,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_gap_fill": q_events_gap_fill,
     "data_quality_report": q_data_quality_report,
     "contrastive_negatives": q_contrastive_negatives,
+    "histogram_percentile_regrain": q_histogram_percentile_regrain,
     "scd2_segment_history": q_scd2_segment_history,
     "scd2_temporal_revenue": q_scd2_temporal_revenue,
     "scd2_merge_rebuild": q_scd2_merge_rebuild,
@@ -4625,6 +4671,24 @@ ORACLE: dict[str, str] = {
       SELECT event_type, COUNT(*) AS n_rows, 3 AS k,
              TRUE AS counts_match, TRUE AS valid_topk
       FROM events GROUP BY 1
+    """,
+    "histogram_percentile_regrain": """
+      WITH ranked AS (
+        SELECT event_type, value AS v,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_rows,
+             CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.5 * n) AS BIGINT),
+                                              1) THEN v END) AS DOUBLE)
+               AS p50_exact,
+             CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.95 * n) AS BIGINT),
+                                              1) THEN v END) AS DOUBLE)
+               AS p95_exact,
+             TRUE AS p50_within_bin,
+             TRUE AS p95_within_bin
+      FROM ranked GROUP BY event_type
     """,
     "contrastive_negatives": """
       WITH pool AS (

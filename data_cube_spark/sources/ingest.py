@@ -27,8 +27,9 @@ def read_source(
     **options,
 ) -> DataFrame:
     """Thin reader: csv (header on, schema declared or inferred), json,
-    parquet. Declare ``schema`` in production — inference is an extra full
-    scan of the source."""
+    parquet, orc (any Spark-registered format passes through). Declare
+    ``schema`` in production — inference is an extra full scan of the
+    source."""
     reader = spark.read
     if fmt == "csv":
         options.setdefault("header", True)

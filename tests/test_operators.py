@@ -1158,3 +1158,41 @@ def test_check_constraints_report(spark, tables):
 
     with pytest.raises(TypeError):
         check_constraints(df, [object()])
+
+
+def test_histogram_sketch_merge_and_percentile_bound(spark, tables):
+    """Bin-array summaries: the regrained array equals the direct
+    histogram exactly (integer addition is exact), and bin-read
+    percentiles land within one bin width of the exact nearest rank."""
+    from data_cube_spark.operators.stats import (
+        _percentile_cuts,
+        histogram_percentile,
+        histogram_sketch_regrain,
+        histogram_sketch_summary,
+    )
+
+    ev = tables["events"].withColumn("day", F.to_date("ts"))
+    n_bins, lo, hi = 600, 0.0, 600.0
+    summ = histogram_sketch_summary(ev, ["event_type", "day"], "value",
+                                    n_bins, lo, hi)
+    reg = histogram_sketch_regrain(summ, ["event_type"], "value")
+    direct = histogram_sketch_summary(ev, ["event_type"], "value",
+                                      n_bins, lo, hi)
+    merged = {r["event_type"]: (r["n_rows"], r["value_bins"])
+              for r in reg.collect()}
+    one_pass = {r["event_type"]: (r["n_rows"], r["value_bins"])
+                for r in direct.collect()}
+    assert merged == one_pass  # exact additivity, no estimate drift
+
+    est = reg.select(
+        "event_type",
+        histogram_percentile("value_bins", 0.5, lo, hi, n_bins).alias("e50"),
+        histogram_percentile("value_bins", 0.95, lo, hi, n_bins).alias("e95"))
+    cuts = _percentile_cuts(ev, "value", ["event_type"],
+                            {"x50": 0.5, "x95": 0.95})
+    for r in est.join(cuts, "event_type").collect():
+        assert abs(r["e50"] - r["x50"]) <= (hi - lo) / n_bins
+        assert abs(r["e95"] - r["x95"]) <= (hi - lo) / n_bins
+
+    with pytest.raises(ValueError):
+        histogram_sketch_summary(ev, ["event_type"], "value", 0, 0.0, 1.0)

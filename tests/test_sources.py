@@ -347,3 +347,18 @@ def test_zorder_key_validation(spark, tables):
     row = keyed.agg(F.min(kc), F.max(kc)).collect()[0]
     assert 0 <= row[0] <= row[1] < (1 << 8)
     assert set(keyed.columns) == {"user_id", "ts", "value", kc}
+
+
+def test_read_source_orc_round_trip(spark, tables, tmp_path):
+    """ORC passes through read_source with pushdown intact — format
+    breadth for warehouses standardized on ORC."""
+    from data_cube_spark.sources.ingest import read_source
+
+    path = str(tmp_path / "orc_events")
+    ev = tables["events"].select("event_id", "user_id", "value")
+    ev.write.format("orc").save(path)
+    back = read_source(spark, path, fmt="orc")
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)
+    from data_cube_spark.plans import pushed_filters
+    assert "user_id" in pushed_filters(back.where(F.col("user_id") < 10))
