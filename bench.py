@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "data_quality_report",
     "contrastive_negatives",
     "histogram_percentile_regrain",
+    "events_anomaly_zscore",
     "zorder_layout_prune",
     "dpp_partition_prune",
 ]

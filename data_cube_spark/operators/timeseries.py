@@ -63,3 +63,51 @@ def gap_fill_daily(
         elif n in fill:
             out = out.withColumn(n, F.coalesce(F.col(n), F.lit(fill[n])))
     return out
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    order_col: str,
+    window_size: int = 7,
+    min_periods: int = 3,
+) -> DataFrame:
+    """Trailing-window anomaly score: for each row, the z-score of
+    ``value_col`` against the mean/std of the PRECEDING ``window_size``
+    rows in ``order_col`` order within each key (the current row is
+    excluded — a spike must not mask itself). Rows with fewer than
+    ``min_periods`` trailing observations or zero variance score NULL.
+
+    Cross-engine determinism: the window sums of v and v² run as exact
+    decimals; mean/variance/z are then a FIXED sequence of double ops
+    (one division, one multiply-subtract, one sqrt-divide), identical
+    IEEE arithmetic on any engine — asserted by the
+    `events_anomaly_zscore` oracle. One shuffle on the key; the frame is
+    row-bounded so state per key is ``window_size`` rows.
+
+    Output: input columns + ``trail_mean``, ``trail_std``, ``zscore``.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(-window_size, -1)
+    )
+    # decimal(18,6): v*v stays within the 38-digit cap of every engine
+    v = F.col(value_col).cast("decimal(18,6)")
+    s1 = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    n = F.count(F.lit(1)).over(w)
+    mean = s1.cast("double") / n
+    var = s2.cast("double") / n - mean * mean
+    std = F.sqrt(var)
+    z = F.when(
+        (n >= int(min_periods)) & (var > 0),
+        (F.col(value_col) - mean) / std,
+    )
+    return df.select(
+        "*",
+        F.when(n >= int(min_periods), mean).alias("trail_mean"),
+        F.when((n >= int(min_periods)) & (var > 0), std).alias("trail_std"),
+        z.alias("zscore"),
+    )

@@ -2355,6 +2355,27 @@ def q_zorder_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly baseline
+    (operators/timeseries.py::rolling_zscore over gap_fill_daily): daily
+    per-type event counts (silent days zero-filled so gaps don't corrupt
+    the baseline) scored against the preceding 7 days' mean/std, current
+    day excluded. Decimal-exact window sums + a fixed double op sequence
+    make the z-scores hash-identical across engines. One key shuffle
+    end-to-end."""
+    from data_cube_spark.operators.timeseries import (
+        gap_fill_daily,
+        rolling_zscore,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = gap_fill_daily(
+        ev, "ts", ["event_type"],
+        aggs={"n_events": F.count(F.lit(1))}, fill={"n_events": 0})
+    out = rolling_zscore(daily, "n_events", ["event_type"], "day")
+    return out.withColumn("day", F.col("day").cast("timestamp"))
+
+
 def q_histogram_percentile_regrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The third mergeable-summary measure
     (operators/stats.py::histogram_sketch_summary / _regrain /
@@ -3035,6 +3056,7 @@ QUERIES: dict[str, QueryFn] = {
     "data_quality_report": q_data_quality_report,
     "contrastive_negatives": q_contrastive_negatives,
     "histogram_percentile_regrain": q_histogram_percentile_regrain,
+    "events_anomaly_zscore": q_events_anomaly_zscore,
     "scd2_segment_history": q_scd2_segment_history,
     "scd2_temporal_revenue": q_scd2_temporal_revenue,
     "scd2_merge_rebuild": q_scd2_merge_rebuild,
@@ -4671,6 +4693,48 @@ ORACLE: dict[str, str] = {
       SELECT event_type, COUNT(*) AS n_rows, 3 AS k,
              TRUE AS counts_match, TRUE AS valid_topk
       FROM events GROUP BY 1
+    """,
+    "events_anomaly_zscore": """
+      WITH daily0 AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      span AS (
+        SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily0 GROUP BY 1),
+      cal AS (
+        SELECT event_type,
+               unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                      CAST(d1 AS TIMESTAMP),
+                                      INTERVAL 1 DAY)) AS day
+        FROM span),
+      daily AS (
+        SELECT c.event_type, c.day, COALESCE(d.n, 0) AS n_events
+        FROM cal c
+        LEFT JOIN daily0 d
+          ON d.event_type = c.event_type AND CAST(d.day AS TIMESTAMP) = c.day),
+      win AS (
+        SELECT event_type, day, n_events,
+               SUM(CAST(n_events AS DECIMAL(18,6))) OVER w AS s1,
+               SUM(CAST(n_events AS DECIMAL(18,6))
+                   * CAST(n_events AS DECIMAL(18,6))) OVER w AS s2,
+               COUNT(*) OVER w AS n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, day, n_events,
+             CASE WHEN n >= 3 THEN CAST(s1 AS DOUBLE) / n END AS trail_mean,
+             CASE WHEN n >= 3 AND (CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) > 0
+                  THEN sqrt(CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             END AS trail_std,
+             CASE WHEN n >= 3 AND (CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) > 0
+                  THEN (n_events - CAST(s1 AS DOUBLE) / n)
+                       / sqrt(CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             END AS zscore
+      FROM win
     """,
     "histogram_percentile_regrain": """
       WITH ranked AS (

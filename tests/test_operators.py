@@ -1196,3 +1196,29 @@ def test_histogram_sketch_merge_and_percentile_bound(spark, tables):
 
     with pytest.raises(ValueError):
         histogram_sketch_summary(ev, ["event_type"], "value", 0, 0.0, 1.0)
+
+
+def test_rolling_zscore_manual(spark):
+    """Hand-checked trailing z-score: current row excluded, min_periods
+    respected, zero-variance windows score NULL."""
+    import math
+
+    from data_cube_spark.operators.timeseries import rolling_zscore
+
+    rows = [("a", i, v) for i, v in enumerate([10, 10, 10, 10, 40, 10])]
+    df = spark.createDataFrame(rows, "k string, t int, v int")
+    out = {r.t: (r.trail_mean, r.trail_std, r.zscore)
+           for r in rolling_zscore(df, "v", ["k"], "t",
+                                   window_size=4, min_periods=3).collect()}
+    # t=0,1,2: fewer than 3 trailing rows -> all NULL
+    assert out[0] == (None, None, None)
+    assert out[2] == (None, None, None)
+    # t=3: trail {10,10,10}, zero variance -> mean present, z NULL
+    assert out[3][0] == 10.0 and out[3][1] is None and out[3][2] is None
+    # t=4: trail {10,10,10,10} -> still zero variance
+    assert out[4][2] is None
+    # t=5: trail {10,10,10,40}: mean 17.5, var 168.75
+    mean, std, z = out[5]
+    assert mean == 17.5
+    assert abs(std - math.sqrt(168.75)) < 1e-12
+    assert abs(z - (10 - 17.5) / math.sqrt(168.75)) < 1e-12
