@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "contrastive_negatives",
     "histogram_percentile_regrain",
     "events_anomaly_zscore",
+    "value_drift_psi",
     "zorder_layout_prune",
     "dpp_partition_prune",
 ]

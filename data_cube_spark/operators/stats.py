@@ -424,3 +424,34 @@ def histogram_percentile(
         )
     )
     return (F.lit(lo) + (idx + 1) * F.lit(w)).cast("double")
+
+
+def histogram_psi(
+    bins_a: str,
+    bins_b: str,
+    eps: float = 1e-6,
+    round_digits: int = 6,
+):
+    """Column expression: Population Stability Index between two
+    bin-count arrays (same binning) — the standard drift score between a
+    baseline and a current window. ``PSI = Σ (p_i − q_i)·ln(p_i/q_i)``
+    over bin shares, with ``eps`` floor so empty bins don't blow up.
+    Rule of thumb: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted.
+
+    The result is rounded to ``round_digits`` (the tf-idf convention:
+    ``ln`` is libm-dependent at the last ulp, so the rounded value is
+    the cross-engine-stable contract)."""
+    tot = lambda c: F.aggregate(F.col(c), F.lit(0).cast("long"),
+                                lambda a, b: a + b)
+    ta, tb = tot(bins_a), tot(bins_b)
+    pairs = F.zip_with(
+        F.col(bins_a), F.col(bins_b),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    def term(x):
+        p = F.greatest(x["a"] / ta, F.lit(eps))
+        q = F.greatest(x["b"] / tb, F.lit(eps))
+        return (p - q) * F.log(p / q)
+    psi = F.aggregate(pairs, F.lit(0.0),
+                      lambda acc, x: acc + term(x))
+    return F.round(psi, round_digits)

@@ -2355,6 +2355,34 @@ def q_zorder_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring
+    (operators/stats.py::histogram_psi over histogram_sketch_summary):
+    Population Stability Index of the value distribution per event type,
+    first half of January vs the rest — the standard
+    baseline-vs-current drift score (<0.1 stable, >0.25 shifted). Built
+    entirely from the mergeable bin arrays, so at 100 TB the baseline
+    side is a stored summary, not a rescan. PSI is rounded to 6 digits
+    (ln is libm-dependent at the last ulp; the rounded value is the
+    cross-engine contract, the tf-idf convention)."""
+    from data_cube_spark.operators.stats import (
+        histogram_psi,
+        histogram_sketch_summary,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    early = ev.where(F.col("ts") < F.lit("2024-01-15"))
+    late = ev.where(F.col("ts") >= F.lit("2024-01-15"))
+    ha = histogram_sketch_summary(early, ["event_type"], "value",
+                                  60, 0.0, 600.0).select(
+        "event_type", F.col("value_bins").alias("bins_a"))
+    hb = histogram_sketch_summary(late, ["event_type"], "value",
+                                  60, 0.0, 600.0).select(
+        "event_type", F.col("value_bins").alias("bins_b"))
+    return ha.join(hb, "event_type").select(
+        "event_type", histogram_psi("bins_a", "bins_b").alias("psi"))
+
+
 def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly baseline
     (operators/timeseries.py::rolling_zscore over gap_fill_daily): daily
@@ -3057,6 +3085,7 @@ QUERIES: dict[str, QueryFn] = {
     "contrastive_negatives": q_contrastive_negatives,
     "histogram_percentile_regrain": q_histogram_percentile_regrain,
     "events_anomaly_zscore": q_events_anomaly_zscore,
+    "value_drift_psi": q_value_drift_psi,
     "scd2_segment_history": q_scd2_segment_history,
     "scd2_temporal_revenue": q_scd2_temporal_revenue,
     "scd2_merge_rebuild": q_scd2_merge_rebuild,
@@ -4693,6 +4722,36 @@ ORACLE: dict[str, str] = {
       SELECT event_type, COUNT(*) AS n_rows, 3 AS k,
              TRUE AS counts_match, TRUE AS valid_topk
       FROM events GROUP BY 1
+    """,
+    "value_drift_psi": """
+      WITH e AS (
+        SELECT event_type, ts,
+               CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 10.0), 0), 59)
+                    AS INT) AS bin
+        FROM events),
+      a AS (SELECT event_type, bin, COUNT(*) AS n FROM e
+            WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1, 2),
+      b AS (SELECT event_type, bin, COUNT(*) AS n FROM e
+            WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY 1, 2),
+      grid AS (
+        SELECT t.event_type, s.bin
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(range(60)) AS bin) s),
+      j AS (
+        SELECT grid.event_type, grid.bin,
+               COALESCE(a.n, 0) AS na, COALESCE(b.n, 0) AS nb
+        FROM grid
+        LEFT JOIN a ON a.event_type = grid.event_type AND a.bin = grid.bin
+        LEFT JOIN b ON b.event_type = grid.event_type AND b.bin = grid.bin),
+      tot AS (
+        SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb
+        FROM j GROUP BY 1)
+      SELECT j.event_type,
+             ROUND(SUM((GREATEST(na / ta, 1e-6) - GREATEST(nb / tb, 1e-6))
+                       * ln(GREATEST(na / ta, 1e-6)
+                            / GREATEST(nb / tb, 1e-6))), 6) AS psi
+      FROM j JOIN tot ON tot.event_type = j.event_type
+      GROUP BY 1
     """,
     "events_anomaly_zscore": """
       WITH daily0 AS (

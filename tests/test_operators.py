@@ -1222,3 +1222,31 @@ def test_rolling_zscore_manual(spark):
     assert mean == 17.5
     assert abs(std - math.sqrt(168.75)) < 1e-12
     assert abs(z - (10 - 17.5) / math.sqrt(168.75)) < 1e-12
+
+
+def test_histogram_psi_properties(spark):
+    """PSI: identical distributions score ~0; a clear shift scores
+    high; symmetric in sign structure (psi(a,b) == psi(b,a))."""
+    from data_cube_spark.operators.stats import (
+        histogram_psi,
+        histogram_sketch_summary,
+    )
+
+    rows_a = [("g", float(v % 10)) for v in range(1000)]
+    rows_b = [("g", float(v % 10) + 5.0) for v in range(1000)]
+    da = spark.createDataFrame(rows_a, "k string, v double")
+    db = spark.createDataFrame(rows_b, "k string, v double")
+
+    def bins(df, alias):
+        return histogram_sketch_summary(df, ["k"], "v", 20, 0.0, 20.0) \
+            .select("k", F.col("v_bins").alias(alias))
+
+    same = bins(da, "bins_a").join(bins(da, "bins_b"), "k") \
+        .select(histogram_psi("bins_a", "bins_b").alias("psi")).collect()
+    assert same[0]["psi"] == 0.0
+    shift = bins(da, "bins_a").join(bins(db, "bins_b"), "k") \
+        .select(histogram_psi("bins_a", "bins_b").alias("psi")).collect()
+    assert shift[0]["psi"] > 0.25
+    rev = bins(db, "bins_a").join(bins(da, "bins_b"), "k") \
+        .select(histogram_psi("bins_a", "bins_b").alias("psi")).collect()
+    assert rev[0]["psi"] == shift[0]["psi"]  # PSI is symmetric
