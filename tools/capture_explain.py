@@ -281,6 +281,23 @@ CURATED: dict[str, str] = {
         "(k+margin), hash join on position, anti-join on the positive "
         "pairs, per-anchor rank windows. No corpus self-join."
     ),
+    "events_anomaly_zscore": (
+        "Anomaly baseline: gap-filled daily series -> ONE key-partitioned "
+        "window with a row-bounded trailing frame (state per key = "
+        "window_size rows); decimal window sums, double math after."
+    ),
+    "value_drift_psi": (
+        "Drift PSI: two bin-array summaries (one aggregate each) joined "
+        "on the 5-row group key; the PSI fold runs over the arrays in a "
+        "projection — no per-bin shuffle, baseline reusable as a stored "
+        "summary."
+    ),
+    "histogram_percentile_regrain": (
+        "Percentile summary: (grain, bin) hash aggregate -> densify to "
+        "bin arrays -> element-wise zip_with merge at the coarse grain; "
+        "the exact-cut verification windows are the invariant harness, "
+        "not the production path."
+    ),
 }
 
 
