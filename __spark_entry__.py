@@ -3,10 +3,10 @@
 - ``entry(spark)``   — flagship query on /root/testdata/sf0.001.
 - ``queries()``      — one entry per implemented operator (SURVEY.md §2 +
                        north-star pipeline ops), each ``(spark, sf_dir) -> DataFrame``.
-- ``oracle_sql()``   — matching DuckDB SQL per query (omitted only for
-                       the two genuinely non-SQL-expressible ops:
-                       ``simhash_pairs`` — engine-specific signature — and
-                       ``documents_stream_ingest`` — stateful streaming).
+- ``oracle_sql()``   — matching DuckDB SQL per query. Every registry
+                       entry has one: engine-specific outputs (simhash,
+                       LSH, streaming) are emitted in driver-checkable
+                       invariant form so the oracle can assert them.
 
 Implementation lives in :mod:`data_cube_spark.registry`.
 """
@@ -52,7 +52,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _evidence_rounds() -> dict[str, int]:
-    """query name -> latest round with a CORRECTNESS row for it."""
+    """query name -> latest round with a GREEN CORRECTNESS row for it.
+
+    Rows with a non-null ``err`` (e.g. the pre-conversion
+    ``FAIL:no_oracle`` rows) are NOT evidence — a query whose only rows
+    are errors sorts as never-checked, so a freshly oracle-converted
+    query re-enters the driver window the same round it is converted
+    instead of waiting out its stale error row (VERDICT r4 #1/#2)."""
     import glob
     import json
 
@@ -65,10 +71,12 @@ def _evidence_rounds() -> dict[str, int]:
         rnd = int(m.group(1))
         try:
             with open(path) as f:
-                names = list(json.load(f))
+                rows = json.load(f)
         except Exception:
             continue
-        for n in names:
+        for n, row in rows.items():
+            if isinstance(row, dict) and row.get("err"):
+                continue
             latest[n] = max(rnd, latest.get(n, 0))
     return latest
 
