@@ -106,11 +106,23 @@ def pivot_format(
     return df.orderBy(*[F.col(r).asc_nulls_last() for r in rows])
 
 
+#: dense-cell gate for the array bridge: the DENSIFIED array can dwarf the
+#: sparse fact (product of member counts), so both the fact rows and the
+#: dense cell count are gated
+DENSE_ARRAY_MAX_CELLS = 50_000_000
+
+
 def to_array(dc: DataCube, measure: str | None = None, na_fill=None):
     """Collect to a dense numpy N-d array indexed by sorted dimension
     members (reference E3, R/data.table.R:44-83). Collect-side bridge for
-    tests/interop — refuses nothing, so only call on small cubes."""
+    tests/interop — count-gated (:func:`...model.assert_driver_sized` on
+    every dimension and the fact, plus a dense-cell product gate) so a
+    large cube raises clearly instead of OOM-ing the driver."""
+    import math
+
     import numpy as np
+
+    from data_cube_spark.model import assert_driver_sized
 
     if measure is None:
         if len(dc.measures) != 1:
@@ -118,12 +130,27 @@ def to_array(dc: DataCube, measure: str | None = None, na_fill=None):
         measure = next(iter(dc.measures))
     names = list(dc.dims)
     keys = [dc.dims[n].key for n in names]
-    members = {n: [r[0] for r in dc.dims[n].members().collect()] for n in names}
+    members = {
+        n: [
+            r[0]
+            for r in assert_driver_sized(
+                dc.dims[n].members(), f"to_array dimension {n!r}"
+            ).collect()
+        ]
+        for n in names
+    }
     idx = {n: {v: i for i, v in enumerate(members[n])} for n in names}
     shape = tuple(len(members[n]) for n in names) or (1,)
+    if math.prod(shape) > DENSE_ARRAY_MAX_CELLS:
+        raise ValueError(
+            f"to_array would densify to {math.prod(shape):,} cells "
+            f"(gate {DENSE_ARRAY_MAX_CELLS:,}); keep the result sparse "
+            f"(DataFrame API) for cubes this large."
+        )
     fill = np.nan if na_fill is None else na_fill
     arr = np.full(shape, fill, dtype=float)
-    for row in dc.fact.df.select(*keys, measure).collect():
+    fact = assert_driver_sized(dc.fact.df, "to_array fact")
+    for row in fact.select(*keys, measure).collect():
         pos = tuple(idx[n][row[i]] for i, n in enumerate(names))
         v = row[len(names)]
         arr[pos if names else 0] = fill if v is None else float(v)

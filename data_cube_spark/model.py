@@ -298,6 +298,32 @@ class Hierarchy:
 #: session sets, so the gate and the auto-threshold agree in spirit.
 BROADCAST_MAX_ROWS = 4_000_000
 
+#: row gate for the reference-parity DRIVER-side export conveniences
+#: (``DataCube.dimnames``, ``export.to_array``) — same convention as
+#: ``similarity.DRIVER_PAIRS_MAX_ROWS``: these collect to the driver by
+#: contract (array bridge / member listing), so refuse clearly above the
+#: gate instead of OOM-ing the driver on a fact-grain dimension.
+DRIVER_EXPORT_MAX_ROWS = 1_000_000
+
+
+def assert_driver_sized(df: DataFrame, what: str,
+                        gate: int | None = None) -> DataFrame:
+    """Count-gate a frame that is about to be collect()ed to the driver;
+    raises with a clear message instead of letting the collect OOM.
+    ``gate`` defaults to :data:`DRIVER_EXPORT_MAX_ROWS` at call time (so
+    tests can lower it)."""
+    if gate is None:
+        gate = DRIVER_EXPORT_MAX_ROWS
+    n = df.count()
+    if n > gate:
+        raise ValueError(
+            f"{what} would collect {n:,} rows to the driver "
+            f"(gate {gate:,}). This is a driver-side export convenience; "
+            f"for large data keep the result distributed (DataFrame API) "
+            f"or raise the gate explicitly."
+        )
+    return df
+
 
 class Dimension:
     """A dimension: base table (key + all level keys, the star/snowflake
@@ -596,8 +622,18 @@ class DataCube:
         return [d.base.count() for d in self.dims.values()]
 
     def dimnames(self) -> dict[str, list]:
+        """Member list per dimension (reference R/data.cube.R:424-426).
+        Driver-side by contract; each dimension is count-gated
+        (:func:`assert_driver_sized`) so a fact-grain dimension raises
+        clearly instead of OOM-ing the driver."""
         return {
-            name: [r[0] for r in d.members().collect()] for name, d in self.dims.items()
+            name: [
+                r[0]
+                for r in assert_driver_sized(
+                    d.members(), f"dimnames[{name!r}]"
+                ).collect()
+            ]
+            for name, d in self.dims.items()
         }
 
     def __len__(self) -> int:

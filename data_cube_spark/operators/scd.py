@@ -158,6 +158,7 @@ def scd2_merge_changes(
     changes: DataFrame,
     key: str | list[str],
     ts_col: str,
+    broadcast_keys: bool = False,
 ) -> DataFrame:
     """Incrementally merge a batch of new change rows into an existing
     SCD2 dimension (the continuous-ingest path).
@@ -176,17 +177,16 @@ def scd2_merge_changes(
     """
     keys = [key] if isinstance(key, str) else list(key)
     attrs = [c for c in changes.columns if c not in {*keys, ts_col}]
-    from data_cube_spark.model import BROADCAST_MAX_ROWS
 
     # distinct batch keys drive both the anti- and semi-join; materialize
-    # once (lazy localCheckpoint — no persist entry left behind) and hint
-    # broadcast only under the engine-wide size gate
+    # once (lazy localCheckpoint — no persist entry left behind). The
+    # API stays fully lazy: callers that KNOW the batch is small pass
+    # ``broadcast_keys=True`` (the Dimension broadcast-flag convention);
+    # otherwise AQE picks the strategy at runtime — an eager count()
+    # here would cost a Spark job per call even if the merge is never
+    # executed.
     batch_keys = changes.select(*keys).distinct().localCheckpoint(eager=False)
-    hinted = (
-        F.broadcast(batch_keys)
-        if batch_keys.count() <= BROADCAST_MAX_ROWS
-        else batch_keys
-    )
+    hinted = F.broadcast(batch_keys) if broadcast_keys else batch_keys
     untouched = dim.join(hinted, keys, "left_anti")
     touched_old = (
         dim.join(hinted, keys, "left_semi")

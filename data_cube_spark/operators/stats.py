@@ -43,8 +43,11 @@ def equi_width_histogram(
     bin_id = F.least(
         F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
     ).cast("int")
+    # NULL values carry no bin (greatest() skips nulls, so an unfiltered
+    # NULL would silently land in bin 0 and inflate the lo edge)
     return (
-        df.select(*by, bin_id.alias("bin_id"))
+        df.where(F.col(value_col).isNotNull())
+        .select(*by, bin_id.alias("bin_id"))
         .groupBy(*by, "bin_id")
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .select(
@@ -351,7 +354,10 @@ def histogram_sketch_summary(
     raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(w))
     bin_id = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
     per_bin = (
-        df.select(*grain, bin_id.alias("_bin"))
+        # NULLs carry no bin — without the filter they'd land in bin 0
+        # (greatest() skips nulls) and inflate n_rows at the lo edge
+        df.where(F.col(col).isNotNull())
+        .select(*grain, bin_id.alias("_bin"))
         .groupBy(*grain, "_bin")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
@@ -409,21 +415,21 @@ def histogram_percentile(
     total = F.aggregate(F.col(bins_col), F.lit(0).cast("long"),
                         lambda a, b: a + b)
     target = F.ceil(F.lit(q) * total).cast("long")
-    # running cumulative: the number of bins whose cumsum stays below the
-    # target rank IS the index of the bin containing it
-    idx = F.size(
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(1), F.size(F.col(bins_col))),
-                lambda k: F.aggregate(
-                    F.slice(F.col(bins_col), F.lit(1), k),
-                    F.lit(0).cast("long"), lambda a, b: a + b,
-                ),
-            ),
-            lambda c: c < target,
-        )
+    # single O(n_bins) fold: carry (running cumsum, prefixes-below-target);
+    # the number of prefixes whose cumsum stays below the target rank IS
+    # the index of the bin containing it (the prefix-per-bin variant was
+    # O(n_bins^2) expression nodes — codegen blowup at high bin counts)
+    folded = F.aggregate(
+        F.col(bins_col),
+        F.struct(F.lit(0).cast("long").alias("cum"),
+                 F.lit(0).cast("int").alias("idx")),
+        lambda acc, b: F.struct(
+            (acc["cum"] + b).alias("cum"),
+            F.when(acc["cum"] + b < target, acc["idx"] + 1)
+            .otherwise(acc["idx"]).alias("idx"),
+        ),
     )
-    return (F.lit(lo) + (idx + 1) * F.lit(w)).cast("double")
+    return (F.lit(lo) + (folded["idx"] + 1) * F.lit(w)).cast("double")
 
 
 def histogram_psi(

@@ -14,6 +14,7 @@ IS the correctness argument for the streaming path.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -493,14 +494,35 @@ def streaming_scd2_dimension(
         if not touched:
             b.unpersist()
             return
-        try:
-            existing = (
-                spark.read.parquet(target_dir)
-                .where(F.col("dim_bucket").isin(touched))
-                .drop("dim_bucket")
-            )
-            merged = scd2_merge_changes(existing, b, keys, ts_col)
-        except Exception:  # first batch: no target yet
+        # Only a PROVABLY absent/empty target falls back to the from-scratch
+        # build; any other failure (transient read error, a failed merge
+        # job) must propagate so the micro-batch fails and foreachBatch
+        # replays it — swallowing it here would silently replace the
+        # touched keys' full version history with batch-only history.
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(target_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            try:
+                existing_all = spark.read.parquet(target_dir)
+            except AnalysisException as ex:
+                # directory exists but holds no readable footers yet (a
+                # first write that crashed pre-commit) — that exact error
+                # class is the empty case; anything else re-raises
+                if "UNABLE_TO_INFER_SCHEMA" not in (
+                    (ex.getErrorClass() or "") + str(ex)
+                ):
+                    raise
+                merged = scd2_from_changelog(b, keys, ts_col)
+            else:
+                existing = (
+                    existing_all
+                    .where(F.col("dim_bucket").isin(touched))
+                    .drop("dim_bucket")
+                )
+                # a micro-batch's key set is trigger-bounded — broadcast
+                merged = scd2_merge_changes(existing, b, keys, ts_col,
+                                            broadcast_keys=True)
+        else:  # first batch: no target yet
             merged = scd2_from_changelog(b, keys, ts_col)
         out = merged.withColumn("dim_bucket", bucket_of(merged))
         # eager materialization: the target's files must be fully read

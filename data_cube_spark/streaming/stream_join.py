@@ -67,15 +67,20 @@ def interval_attribution_join(
         if right_cols is None else list(right_cols)
     )
     taken = {key, left_ts, *left_cols}
-    r_sel = [F.col(key).alias("_rk"), F.col(right_ts)] + [
+    # the ts column itself gets the clash prefix too — both sides naming
+    # their timestamp 'ts' (the natural event-table case) must not emit
+    # two identically named columns (AMBIGUOUS_REFERENCE downstream)
+    out_right_ts = f"r_{right_ts}" if right_ts in taken else right_ts
+    r_sel = [F.col(key).alias("_rk"),
+             F.col(right_ts).alias(out_right_ts)] + [
         F.col(c).alias(f"r_{c}" if c in taken or c == right_ts else c)
         for c in right_cols
     ]
     r2 = r.select(*r_sel)
     cond = (
         (l[key] == r2["_rk"])
-        & (r2[right_ts] >= l[left_ts])
-        & (r2[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
+        & (r2[out_right_ts] >= l[left_ts])
+        & (r2[out_right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     out = l.select(key, left_ts, *left_cols).join(r2, cond, "inner")
     return out.drop("_rk")

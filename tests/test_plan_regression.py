@@ -73,6 +73,7 @@ SINGLE_PARTITION_OK = {
     "sketch_error_bounds",
     "ann_lsh_topk",              # 1-row mean-recall scalar broadcast
     "ann_ivf_topk",
+    "simhash_pairs",             # 1-row global-invariant-flags aggregate
     "tpch_q19_disjunctive_revenue",  # single-row final aggregate
     "window_running_total",      # window over the ~dozens-row MONTHLY
                                  # aggregate (aggregate-first, window after
@@ -102,6 +103,7 @@ BOUNDED_JOIN_OK = {
     "pipeline_pretraining",
     "ann_lsh_topk",              # 1-row mean-recall scalar broadcast
     "ann_ivf_topk",
+    "simhash_pairs",             # 1-row global-invariant-flags broadcast
     "key_skew_users",            # 1-row table-total scalar broadcast
     # fixed small query batch broadcast against the corpus (the exact
     # brute-force baseline — documented as the verifier tier)
