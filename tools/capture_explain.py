@@ -298,6 +298,20 @@ CURATED: dict[str, str] = {
         "the exact-cut verification windows are the invariant harness, "
         "not the production path."
     ),
+    "simhash_pairs": (
+        "SimHash invariant form: the banded candidate join is an "
+        "equi-join on (band_id, band_val) — no cross product; the "
+        "token-set-duplicate truth side is an equi-join on the sorted-"
+        "distinct-token hash; the only nested-loop is the sanctioned "
+        "1-row global-flags broadcast."
+    ),
+    "minhash_lsh_pairs": (
+        "MinHash recall-invariant harness: the banded LSH candidate side "
+        "is (band_id, band_hash) equi-joins over localCheckpoint-ed "
+        "signatures; the exact-truth side (inverted-index shingle join) "
+        "exists ONLY for evidence — bench times the production "
+        "minhash_dedup_pairs operator instead."
+    ),
 }
 
 
