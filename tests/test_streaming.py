@@ -611,3 +611,64 @@ def test_stream_stream_attribution_join_equals_batch(spark, tables, tmp_path):
     ).select("user_id", "view_id", "buy_id", "value")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert want.count() > 0  # non-vacuous
+
+
+def test_attribution_join_same_ts_name_both_sides(spark, tables):
+    """ADVICE r4: both sides naming their timestamp column 'ts' (the
+    natural event-table case) must yield a clash-prefixed r_ts, not two
+    identically named columns that break every downstream select."""
+    from data_cube_spark.streaming.stream_join import interval_attribution_join
+
+    ev = tables["events"]
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"))
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("buy_id"))
+    out = interval_attribution_join(
+        views, buys, "user_id", "ts", "ts", within="30 minutes")
+    assert out.columns.count("ts") == 1
+    assert "r_ts" in out.columns
+    # downstream select on every column must not be ambiguous
+    n = out.select("user_id", "ts", "r_ts", "view_id", "buy_id").count()
+    assert n > 0
+    for r in out.select("ts", "r_ts").limit(50).collect():
+        assert r["r_ts"] >= r["ts"]
+
+
+def test_streaming_scd2_failed_target_read_fails_batch(spark, tables, tmp_path):
+    """ADVICE r4 (medium): a target directory that EXISTS but cannot be
+    read must FAIL the micro-batch (so foreachBatch retries) instead of
+    being treated as 'first batch' — which would silently replace the
+    touched keys' full version history with batch-only history."""
+    import os
+
+    from data_cube_spark.streaming.cube_stream import streaming_scd2_dimension
+
+    changes = (
+        tables["events"].limit(40)
+        .select(F.col("user_id").alias("k"), F.col("ts").alias("eff_ts"),
+                F.col("event_type").alias("segment"))
+    )
+    src = str(tmp_path / "src")
+    changes.coalesce(1).write.parquet(src)
+    target = str(tmp_path / "target")
+    # target exists and holds a data-looking file with garbage bytes:
+    # parquet footer read fails -> the batch must propagate the error
+    os.makedirs(target)
+    with open(os.path.join(target, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    q = streaming_scd2_dimension(
+        spark, src, changes.schema, str(tmp_path / "ckpt"), target,
+        key="k", ts_col="eff_ts").start()
+    with pytest.raises(Exception) as ei:
+        if q.awaitTermination(120):
+            # stream "finished": only acceptable if it actually failed
+            if q.exception() is not None:
+                raise q.exception()
+    assert "PARQUET" in str(ei.value).upper() or "not a parquet" in str(
+        ei.value).lower() or "FAILED_READ_FILE" in str(ei.value)
+    # and the corrupt target was NOT silently overwritten with
+    # batch-only history
+    assert open(os.path.join(target, "part-00000.parquet"), "rb").read() \
+        == b"this is not a parquet file"
