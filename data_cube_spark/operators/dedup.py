@@ -499,27 +499,119 @@ def incremental_minhash_pairs(
     # instead of accumulating CacheManager entries per ingest batch
     sig_b = minhash_signatures(batch, text_col, id_col, num_hashes,
                                k).localCheckpoint()
-    bb = banded_buckets(sig_b, id_col, bands, rows).select(
-        F.col(id_col).alias("batch_id"), "band_id", "band_hash")
     bc = banded_buckets(corpus_signatures, id_col, bands, rows).select(
         F.col(id_col).alias("corpus_id"), "band_id", "band_hash")
-    cands = (bb.join(bc, ["band_id", "band_hash"])
+    sc_ = corpus_signatures.select(F.col(id_col).alias("corpus_id"),
+                                   F.col("signature").alias("_sig_b"))
+    return _incremental_pairs_core(sig_b, bc, sc_, id_col, threshold,
+                                   num_hashes, bands, rows)
+
+
+def _incremental_pairs_core(
+    sig_b: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    rows: int,
+) -> DataFrame:
+    """Batch-vs-corpus candidate + estimate joins against a corpus index
+    given as (corpus_id, band_id, band_hash) bands and (corpus_id,
+    _sig_b) signatures — shared by the inline and the persisted-index
+    entry points."""
+    bb = banded_buckets(sig_b, id_col, bands, rows).select(
+        F.col(id_col).alias("batch_id"), "band_id", "band_hash")
+    cands = (bb.join(corpus_bands, ["band_id", "band_hash"])
              .select("batch_id", "corpus_id").dropDuplicates())
     sa = sig_b.select(F.col(id_col).alias("batch_id"),
                       F.col("signature").alias("_sig_a"))
-    sc_ = corpus_signatures.select(F.col(id_col).alias("corpus_id"),
-                                   F.col("signature").alias("_sig_b"))
     matches = F.aggregate(
         F.zip_with("_sig_a", "_sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     )
     return (
-        cands.join(sa, "batch_id").join(sc_, "corpus_id")
+        cands.join(sa, "batch_id").join(corpus_sigs, "corpus_id")
         .select("batch_id", "corpus_id",
                 (matches / F.lit(num_hashes)).cast("double").alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
+
+
+def write_minhash_index(
+    corpus: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    path: str | None = None,
+) -> None:
+    """Persist the standing corpus's LSH dedup index as two BUCKETED
+    catalog tables — the storage half of continuous-ingest dedup at
+    100 TB:
+
+    - ``<table>_bands``: (corpus_id, band_id, band_hash), bucketed +
+      bucket-sorted on (band_id, band_hash) — the candidate equi-join
+      key — so every per-batch join reads the corpus side already hash-
+      partitioned: ONLY the (small) batch side shuffles, the corpus
+      index never does (pinned by
+      tests/test_plans.py::test_minhash_index_corpus_side_exchange_free).
+    - ``<table>_sig``: (corpus_id, signature), bucketed on corpus_id for
+      the estimate join.
+
+    Written once per corpus-refresh cadence (the compaction-style batch
+    job); :func:`incremental_minhash_pairs_indexed` is the per-ingest
+    read path. ``path`` makes both tables external under ``path/``.
+    """
+    import os
+
+    from data_cube_spark.sources.ingest import write_bucketed
+
+    rows = num_hashes // bands
+    sigs = minhash_signatures(corpus, text_col, id_col, num_hashes,
+                              k).localCheckpoint()
+    write_bucketed(
+        sigs.select(F.col(id_col).alias("corpus_id"), "signature"),
+        f"{table}_sig", ["corpus_id"], n_buckets,
+        path=None if path is None else os.path.join(path, "sig"))
+    bandtbl = banded_buckets(sigs, id_col, bands, rows).select(
+        F.col(id_col).alias("corpus_id"), "band_id", "band_hash")
+    write_bucketed(
+        bandtbl, f"{table}_bands", ["band_id", "band_hash"], n_buckets,
+        path=None if path is None else os.path.join(path, "bands"))
+
+
+def incremental_minhash_pairs_indexed(
+    batch: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """:func:`incremental_minhash_pairs` against a PERSISTED
+    :func:`write_minhash_index` — the production read path: only the
+    batch is shingled, signed and shuffled; the corpus bands table comes
+    off disk pre-partitioned on the join key (zero corpus-side
+    exchange). Same (batch_id, corpus_id, est_jaccard) contract,
+    property-tested equal to the inline operator."""
+    spark = batch.sparkSession
+    rows = num_hashes // bands
+    sig_b = minhash_signatures(batch, text_col, id_col, num_hashes,
+                               k).localCheckpoint()
+    corpus_bands = spark.table(f"{table}_bands")
+    corpus_sigs = spark.table(f"{table}_sig").select(
+        "corpus_id", F.col("signature").alias("_sig_b"))
+    return _incremental_pairs_core(sig_b, corpus_bands, corpus_sigs,
+                                   id_col, threshold, num_hashes, bands,
+                                   rows)
 
 
 # -- paragraph-level exact dedup --------------------------------------------

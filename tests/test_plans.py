@@ -442,3 +442,44 @@ def test_plan_report_fields(spark, cube_cold, tables):
 
     bad = tables["region"].crossJoin(tables["nation"])
     assert plan_report(bad)["nested_loop_joins"] >= 1
+
+
+def test_minhash_index_corpus_side_exchange_free(spark, tables, tmp_path):
+    """The persisted LSH index (write_minhash_index) makes the corpus
+    side of the per-batch candidate join exchange-free: the bands table
+    is bucketed on the (band_id, band_hash) join key, so only the batch
+    side shuffles — and the indexed operator returns exactly the inline
+    operator's pairs."""
+    from data_cube_spark.operators import dedup
+
+    docs = tables["documents"]
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    try:
+        dedup.write_minhash_index(corpus, "t_mh_idx", n_buckets=8,
+                                  path=str(tmp_path / "idx"))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            # candidate join in isolation: batch bands vs the index table
+            sig_b = dedup.minhash_signatures(batch).localCheckpoint()
+            bb = dedup.banded_buckets(sig_b).select(
+                F.col("doc_id").alias("batch_id"), "band_id", "band_hash")
+            j = bb.join(spark.table("t_mh_idx_bands"),
+                        ["band_id", "band_hash"])
+            # exactly ONE exchange: the batch side repartitioning to the
+            # index's bucketing; the corpus scan itself is exchange-free
+            assert count_exchanges(j) == 1, explain_str(j, "simple")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        got = dedup.incremental_minhash_pairs_indexed(
+            batch, "t_mh_idx", threshold=0.3)
+        sigs = dedup.minhash_signatures(corpus).localCheckpoint()
+        want = dedup.incremental_minhash_pairs(batch, sigs, threshold=0.3)
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, want.collect()))
+        assert want.count() > 0  # non-vacuous
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_mh_idx_bands")
+        spark.sql("DROP TABLE IF EXISTS t_mh_idx_sig")
