@@ -344,11 +344,12 @@ def streaming_corpus_ingest(
     schema,
     checkpoint_dir: str,
     target_dir: str,
-    corpus_signatures,
+    corpus_signatures=None,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
     max_files_per_trigger: int | None = None,
+    index_table: str | None = None,
 ):
     """Continuous corpus ingest with near-dup suppression: every
     micro-batch of incoming documents is MinHash-banded against the
@@ -356,6 +357,13 @@ def streaming_corpus_ingest(
     (:func:`...dedup.incremental_minhash_pairs`) and only the survivors
     append to the target — the streaming twin of the batch
     ``incremental_dedup_keep``.
+
+    The index is either an in-session signature frame
+    (``corpus_signatures``) or — the production shape — a PERSISTED
+    bucketed index (``index_table``, written once by
+    :func:`...dedup.write_minhash_index`): then each micro-batch's
+    candidate join reads the corpus side pre-partitioned on the band key
+    and only the micro-batch shuffles.
 
     ``foreachBatch`` is the idiomatic shape: signature building is a
     per-document aggregation, which append-mode streaming cannot express
@@ -378,17 +386,27 @@ def streaming_corpus_ingest(
     harmless metadata."""
     import os
 
-    from data_cube_spark.operators.dedup import incremental_minhash_pairs
+    from data_cube_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        incremental_minhash_pairs_indexed,
+    )
+
+    if (corpus_signatures is None) == (index_table is None):
+        raise ValueError(
+            "pass exactly one of corpus_signatures / index_table")
 
     def ingest(batch_df, epoch_id: int) -> None:
         if not batch_df.columns:
             return
-        dup = (
-            incremental_minhash_pairs(
+        if index_table is not None:
+            pairs = incremental_minhash_pairs_indexed(
+                batch_df, index_table, text_col=text_col,
+                id_col=id_col, threshold=threshold)
+        else:
+            pairs = incremental_minhash_pairs(
                 batch_df, corpus_signatures, text_col=text_col,
                 id_col=id_col, threshold=threshold)
-            .select(F.col("batch_id").alias(id_col)).dropDuplicates()
-        )
+        dup = pairs.select(F.col("batch_id").alias(id_col)).dropDuplicates()
         (batch_df.join(dup, id_col, "left_anti")
          .write.mode("overwrite")
          .parquet(os.path.join(target_dir, f"ingest_epoch={int(epoch_id)}")))

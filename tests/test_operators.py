@@ -262,6 +262,28 @@ def test_simhash_banding_pigeonhole_guarantee(spark, tables):
     assert want <= got | set(), f"banding missed pairs: {sorted(want - got)[:5]}"
 
 
+def test_simhash_token_set_determinism(spark):
+    """The mathematical core of the simhash_pairs oracle invariant: the
+    signature is a function of the DISTINCT normalized-token SET alone —
+    reordering, repetition, case and punctuation changes leave it
+    bit-identical, so token-set duplicates are hamming-0 pairs the
+    banding can never miss."""
+    rows = [
+        (1, "Alpha beta, GAMMA delta!"),
+        (2, "delta gamma gamma   beta alpha"),   # reorder + repeat
+        (3, "ALPHA (beta) [gamma]; delta."),     # punctuation/case only
+        (4, "alpha beta gamma"),                 # different token set
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+    assert sig[1] == sig[2] == sig[3]
+    assert sig[4] != sig[1]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_near_pairs(df, band_bits=16,
+                                               max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
+
+
 def test_dedup_exact_keeps_min_id(spark):
     rows = [(5, "same text"), (2, "same text"), (9, "other text")]
     df = spark.createDataFrame(rows, "doc_id long, text string")

@@ -672,3 +672,50 @@ def test_streaming_scd2_failed_target_read_fails_batch(spark, tables, tmp_path):
     # batch-only history
     assert open(os.path.join(target, "part-00000.parquet"), "rb").read() \
         == b"this is not a parquet file"
+
+
+def test_streaming_corpus_ingest_with_persisted_index(spark, tables, tmp_path):
+    """The production index shape: streaming ingest suppressing against a
+    write_minhash_index bucketed catalog index must keep exactly the same
+    docs as the in-session signature frame path."""
+    from data_cube_spark.operators import dedup
+    from data_cube_spark.streaming.cube_stream import streaming_corpus_ingest
+
+    docs = tables["documents"].limit(40)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    clone = corpus.limit(1).select(
+        (F.lit(10_000_000) + F.col("doc_id")).alias("doc_id"), "text")
+    incoming = batch.unionByName(clone)
+    src = str(tmp_path / "src")
+    incoming.coalesce(1).write.parquet(src)
+    try:
+        dedup.write_minhash_index(corpus, "t_stream_idx", n_buckets=4,
+                                  path=str(tmp_path / "idx"))
+        q = streaming_corpus_ingest(
+            spark, src, incoming.schema,
+            str(tmp_path / "ckpt"), str(tmp_path / "out"),
+            index_table="t_stream_idx", threshold=0.7,
+        ).start()
+        assert q.awaitTermination(120)
+        got = {r["doc_id"]
+               for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+        sigs = dedup.minhash_signatures(corpus).localCheckpoint()
+        q2 = streaming_corpus_ingest(
+            spark, src, incoming.schema,
+            str(tmp_path / "ckpt2"), str(tmp_path / "out2"),
+            corpus_signatures=sigs, threshold=0.7,
+        ).start()
+        assert q2.awaitTermination(120)
+        want = {r["doc_id"]
+                for r in spark.read.parquet(str(tmp_path / "out2")).collect()}
+        assert got == want
+        assert (10_000_000 + corpus.limit(1).collect()[0]["doc_id"]) not in got
+
+        with pytest.raises(ValueError, match="exactly one"):
+            streaming_corpus_ingest(
+                spark, src, incoming.schema, "x", "y",
+                corpus_signatures=sigs, index_table="t_stream_idx")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_stream_idx_bands")
+        spark.sql("DROP TABLE IF EXISTS t_stream_idx_sig")

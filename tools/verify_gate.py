@@ -1,6 +1,7 @@
 """Driver-contract gate, runnable standalone (the /verify recipe step 2):
 
     python tools/verify_gate.py [SF_DIR] [--cpus N] [--shuffle-partitions N]
+                                [--only name1,name2]   # targeted re-check
 
 Registers the parquet tables as DuckDB views, runs every registry query
 with an oracle side-by-side, compares sorted-by-all-columns values with
@@ -51,6 +52,10 @@ def main() -> int:
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     ap.add_argument("--cpus", default="8")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names: run just these "
+                         "(faster iteration; the FULL gate remains "
+                         "mandatory before commit)")
     args = ap.parse_args()
 
     import duckdb
@@ -70,6 +75,12 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
 
     qs, osql = e.queries(), e.oracle_sql()
+    if args.only:
+        only = {n.strip() for n in args.only.split(",") if n.strip()}
+        unknown = only - set(qs)
+        assert not unknown, f"unknown queries: {sorted(unknown)}"
+        qs = {n: f for n, f in qs.items() if n in only}
+        osql = {n: q for n, q in osql.items() if n in only}
     sf = float(args.sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     bad = []
     for name in sorted(osql):
