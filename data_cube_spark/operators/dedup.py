@@ -586,6 +586,33 @@ def write_minhash_index(
         path=None if path is None else os.path.join(path, "bands"))
 
 
+def append_to_minhash_index(
+    new_docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> None:
+    """Fold freshly-accepted documents into a persisted
+    :func:`write_minhash_index` — the refresh half of the continuous-
+    ingest loop (ingest batches dedup against the index, survivors are
+    appended on the compaction cadence). ``insertInto`` preserves the
+    tables' bucketing: appended rows hash into the same bucket files'
+    directories, so the exchange-free read-path property is unchanged.
+    Only the new docs are shingled/signed — never the standing corpus."""
+    spark = new_docs.sparkSession
+    rows = num_hashes // bands
+    sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes,
+                              k).localCheckpoint()
+    (sigs.select(F.col(id_col).alias("corpus_id"), "signature")
+     .write.insertInto(f"{table}_sig"))
+    (banded_buckets(sigs, id_col, bands, rows)
+     .select(F.col(id_col).alias("corpus_id"), "band_id", "band_hash")
+     .write.insertInto(f"{table}_bands"))
+
+
 def incremental_minhash_pairs_indexed(
     batch: DataFrame,
     table: str,

@@ -1220,6 +1220,26 @@ def test_histogram_sketch_merge_and_percentile_bound(spark, tables):
         histogram_sketch_summary(ev, ["event_type"], "value", 0, 0.0, 1.0)
 
 
+def test_histograms_exclude_null_values(spark):
+    """ADVICE r4: NULL values must not be binned (greatest() skips nulls,
+    so unfiltered NULLs would land in bin 0 and inflate the lo edge) —
+    both histogram shapes count only non-null rows."""
+    from data_cube_spark.operators.stats import (
+        equi_width_histogram,
+        histogram_sketch_summary,
+    )
+
+    rows = [("a", 1.0), ("a", None), ("a", 9.0), ("b", None), ("b", 0.5)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    h = equi_width_histogram(df, "v", n_bins=2, lo=0.0, hi=10.0, by=["g"])
+    got = {(r["g"], r["bin_id"]): r["n_rows"] for r in h.collect()}
+    assert got == {("a", 0): 1, ("a", 1): 1, ("b", 0): 1}
+
+    s = histogram_sketch_summary(df, ["g"], "v", n_bins=2, lo=0.0, hi=10.0)
+    tot = {r["g"]: (r["n_rows"], sum(r["v_bins"])) for r in s.collect()}
+    assert tot == {"a": (2, 2), "b": (1, 1)}  # null rows not counted
+
+
 def test_rolling_zscore_manual(spark):
     """Hand-checked trailing z-score: current row excluded, min_periods
     respected, zero-variance windows score NULL."""

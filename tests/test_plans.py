@@ -483,3 +483,43 @@ def test_minhash_index_corpus_side_exchange_free(spark, tables, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_mh_idx_bands")
         spark.sql("DROP TABLE IF EXISTS t_mh_idx_sig")
+
+
+def test_minhash_index_append_refresh(spark, tables, tmp_path):
+    """append_to_minhash_index folds survivors into the persisted index
+    (the compaction-cadence refresh): after the append, the indexed
+    operator sees exactly the pairs the inline operator computes over
+    the ENLARGED corpus, and the bands table stays bucketed (the
+    candidate join still plans with a single batch-side exchange)."""
+    from data_cube_spark.operators import dedup
+
+    docs = tables["documents"]
+    corpus = docs.where(F.col("doc_id") % 4 == 0)
+    extra = docs.where(F.col("doc_id") % 4 == 2)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    try:
+        dedup.write_minhash_index(corpus, "t_mh_app", n_buckets=4,
+                                  path=str(tmp_path / "idx"))
+        dedup.append_to_minhash_index(extra, "t_mh_app")
+        got = dedup.incremental_minhash_pairs_indexed(
+            batch, "t_mh_app", threshold=0.3)
+        sigs = dedup.minhash_signatures(
+            corpus.unionByName(extra)).localCheckpoint()
+        want = dedup.incremental_minhash_pairs(batch, sigs, threshold=0.3)
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, want.collect()))
+        assert want.count() > 0
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            sig_b = dedup.minhash_signatures(batch).localCheckpoint()
+            bb = dedup.banded_buckets(sig_b).select(
+                F.col("doc_id").alias("batch_id"), "band_id", "band_hash")
+            j = bb.join(spark.table("t_mh_app_bands"),
+                        ["band_id", "band_hash"])
+            assert count_exchanges(j) == 1, explain_str(j, "simple")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_mh_app_bands")
+        spark.sql("DROP TABLE IF EXISTS t_mh_app_sig")
