@@ -366,3 +366,37 @@ def test_gap_fill_invariants(spark, points):
             if r.n == 0:
                 assert r.s == 0.0
     assert set(by_key) == set(truth_days)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    bins=st.lists(st.integers(min_value=0, max_value=50),
+                  min_size=1, max_size=40),
+    q=st.floats(min_value=0.01, max_value=0.99),
+)
+def test_histogram_percentile_fold_matches_naive(spark, bins, q):
+    """The O(n_bins) cumulative fold in histogram_percentile must agree
+    with the naive python prefix-sum definition (the upper edge of the
+    first bin whose cumulative count reaches ceil(q * total)) for ANY
+    bin-count array — including empty totals and all-mass-in-one-bin."""
+    import math as _math
+
+    from data_cube_spark.operators.stats import histogram_percentile
+
+    n_bins = len(bins)
+    lo, hi = 0.0, float(n_bins)  # bin width exactly 1.0
+    df = spark.createDataFrame([(bins,)], "b array<bigint>")
+    got = df.select(
+        histogram_percentile("b", q, lo, hi, n_bins).alias("p")
+    ).first()["p"]
+
+    total = sum(bins)
+    target = _math.ceil(q * total)
+    cum, idx = 0, 0
+    for b in bins:
+        cum += b
+        if cum < target:
+            idx += 1
+    want = lo + (idx + 1) * (hi - lo) / n_bins
+    assert got == pytest.approx(want)
