@@ -474,6 +474,67 @@ def incremental_dedup_keep(
     return batch.join(dup_ids, id_col, "left_anti")
 
 
+def write_fingerprint_index(
+    corpus: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    canonical: bool = True,
+    path: str | None = None,
+) -> None:
+    """Persist the standing corpus's EXACT-dedup fingerprint set as a
+    bucketed catalog table — the exact twin of
+    :func:`write_minhash_index`: (content_hash) bucketed + bucket-sorted
+    on content_hash, so a per-ingest anti-join reads the corpus side
+    pre-partitioned and shuffles only the batch. One row per DISTINCT
+    content — at 100 TB the index is fingerprints, not documents."""
+    from data_cube_spark.sources.ingest import write_bucketed
+
+    h = (fingerprint(text_col) if canonical
+         else F.md5(F.encode(F.col(text_col), "UTF-8")))
+    hashes = corpus.select(h.alias("content_hash")).dropDuplicates()
+    write_bucketed(hashes, f"{table}_fp", ["content_hash"], n_buckets,
+                   path=path)
+
+
+def append_to_fingerprint_index(
+    new_docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    canonical: bool = True,
+) -> None:
+    """Fold accepted documents' fingerprints into a persisted
+    :func:`write_fingerprint_index` (bucketing preserved by
+    ``insertInto``). Appending may re-insert an already-present hash —
+    harmless for the anti-join semantics; a compaction pass can
+    re-distinct on the refresh cadence."""
+    h = (fingerprint(text_col) if canonical
+         else F.md5(F.encode(F.col(text_col), "UTF-8")))
+    (new_docs.select(h.alias("content_hash")).dropDuplicates()
+     .write.insertInto(f"{table}_fp"))
+
+
+def dedup_exact_indexed(
+    batch: DataFrame,
+    table: str,
+    text_col: str = "text",
+    canonical: bool = True,
+) -> DataFrame:
+    """Batch documents whose exact (or canonical) content is NOT already
+    in a persisted :func:`write_fingerprint_index` — the per-ingest read
+    path: one anti-join on content_hash against the bucketed index
+    (corpus side exchange-free), only the batch is hashed and
+    shuffled."""
+    spark = batch.sparkSession
+    h = (fingerprint(text_col) if canonical
+         else F.md5(F.encode(F.col(text_col), "UTF-8")))
+    hashed = batch.withColumn("_fp", h)
+    idx = spark.table(f"{table}_fp").select(
+        F.col("content_hash").alias("_fp"))
+    return hashed.join(idx, "_fp", "left_anti").drop("_fp")
+
+
 def incremental_minhash_pairs(
     batch: DataFrame,
     corpus_signatures: DataFrame,

@@ -523,3 +523,40 @@ def test_minhash_index_append_refresh(spark, tables, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_mh_app_bands")
         spark.sql("DROP TABLE IF EXISTS t_mh_app_sig")
+
+
+def test_fingerprint_index_exact_dedup(spark, tables, tmp_path):
+    """The exact-dedup twin of the minhash index: per-ingest anti-join
+    against the persisted fingerprint table keeps exactly the batch docs
+    whose canonical content is absent from the corpus, appends fold in,
+    and the anti-join plans with only the batch-side exchange."""
+    from data_cube_spark.operators import dedup
+    from data_cube_spark.operators.text import fingerprint
+
+    docs = tables["documents"]
+    corpus = docs.where(F.col("doc_id") % 4 == 0)
+    extra = docs.where(F.col("doc_id") % 4 == 2)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    try:
+        dedup.write_fingerprint_index(corpus, "t_fp_idx", n_buckets=4,
+                                      path=str(tmp_path / "fp"))
+        dedup.append_to_fingerprint_index(extra, "t_fp_idx")
+        got = {r["doc_id"] for r in
+               dedup.dedup_exact_indexed(batch, "t_fp_idx").collect()}
+        ref_hashes = {r[0] for r in corpus.unionByName(extra).select(
+            fingerprint("text")).collect()}
+        want = {r["doc_id"] for r in
+                batch.withColumn("_h", fingerprint("text")).collect()
+                if r["_h"] not in ref_hashes}
+        assert got == want
+        assert len(want) > 0
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = dedup.dedup_exact_indexed(batch, "t_fp_idx")
+            assert count_exchanges(j) == 1, explain_str(j, "simple")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_fp_idx_fp")
