@@ -371,16 +371,26 @@ def blocked_near_pairs(
         import pandas as pd
 
         ids_, M_ = bc.value
+        # row-block the matmul so the (block x corpus) similarity slab
+        # stays ~64 MB: an unblocked Arrow batch (10k rows default)
+        # against a gate-sized corpus would allocate a multi-GB S per
+        # task — measured 2.5x slower at 60k corpus rows from the
+        # allocation churn alone
+        block = max(64, (64 << 20) // (max(len(ids_), 1) * 8))
         for b in batches:
             X = np.stack(b["_vec"].to_numpy()).astype("float64")
             X /= np.maximum(b["_norm"].to_numpy(), 1e-300)[:, None]
             row_ids = b[id_col].to_numpy().astype("int64")
-            S = X @ M_.T  # (batch, corpus) cosine block
-            hit = (S >= threshold) & (row_ids[:, None] < ids_[None, :])
-            r, c = np.nonzero(hit)
-            yield pd.DataFrame({
-                "id_a": row_ids[r], "id_b": ids_[c], "cosine": S[r, c],
-            })
+            for i0 in range(0, len(row_ids), block):
+                S = X[i0:i0 + block] @ M_.T  # (block, corpus) cosines
+                hit = (S >= threshold) & (
+                    row_ids[i0:i0 + block, None] < ids_[None, :])
+                r, c = np.nonzero(hit)
+                if len(r):
+                    yield pd.DataFrame({
+                        "id_a": row_ids[i0 + r], "id_b": ids_[c],
+                        "cosine": S[r, c],
+                    })
 
     return v.mapInPandas(gen, "id_a bigint, id_b bigint, cosine double")
 
@@ -466,6 +476,51 @@ def near_pairs(
         return blocked_near_pairs(df, threshold, id_col=id_col, vec_col=vec_col)
     return lsh_near_pairs(df, threshold, id_col=id_col, vec_col=vec_col,
                           dim=dim, corpus_rows=corpus_rows, **lsh_kwargs)
+
+
+def cap_pair_degree(pairs: DataFrame, max_degree: int,
+                    score_col: str = "cosine") -> DataFrame:
+    """Bound each node's degree in a near-pair graph to its ``max_degree``
+    strongest edges — THE scale knob for semantic dedup on
+    low-dimensional embeddings.
+
+    Why it exists: in d-dimensional space, random-pair cosine has std
+    ≈ 1/sqrt(d) (≈ 0.125 at d=64), so any fixed threshold within a few
+    sigma of zero admits a CONSTANT FRACTION of all pairs — the output
+    is inherently Θ(n²) regardless of how the candidates are generated
+    (measured: 0.2% pair density at threshold 0.35/d=64 at every corpus
+    size). A threshold alone therefore cannot keep the dedup graph
+    sparse at 100 TB; capping per-node degree does, and it preserves the
+    strongest edges — which is what connected-components clustering
+    actually consumes. Cost: one (rank window + filter) shuffle keyed on
+    the node, linear in the INPUT pair count; apply it as close to the
+    pair source as possible.
+
+    An edge survives if it is within EITHER endpoint's top
+    ``max_degree`` (keeps the graph symmetric-consistent and never
+    orphans a node that has any edge)."""
+    if max_degree < 1:
+        raise ValueError("max_degree must be >= 1")
+    # undirected degree: rank over each node's FULL edge list (a node
+    # appears as id_a in some edges and id_b in others), so symmetrize
+    # first — 2|E| rows through one rank window, still linear
+    half = pairs.select(
+        F.col("id_a").alias("_node"), F.col("id_b").alias("_other"),
+        F.col(score_col).alias("_s"),
+    ).unionByName(pairs.select(
+        F.col("id_b").alias("_node"), F.col("id_a").alias("_other"),
+        F.col(score_col).alias("_s"),
+    ))
+    w = Window.partitionBy("_node").orderBy(
+        F.col("_s").desc(), F.col("_other").asc())
+    keep = (
+        half.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= max_degree)
+        .select(F.least("_node", "_other").alias("id_a"),
+                F.greatest("_node", "_other").alias("id_b"))
+        .dropDuplicates()
+    )
+    return pairs.join(keep, ["id_a", "id_b"], "left_semi")
 
 
 def _broadcast_cosine_udf(spark, v: DataFrame, id_col: str):

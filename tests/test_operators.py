@@ -284,6 +284,47 @@ def test_simhash_token_set_determinism(spark):
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
 
 
+def test_cap_pair_degree_invariants(spark, tables):
+    """Degree cap on the near-pair graph: every node keeps at most
+    max_degree edges FROM ITS OWN ranking (an edge survives via either
+    endpoint, so no node with edges is orphaned), survivors are the
+    strongest, and capping is idempotent."""
+    from data_cube_spark.operators import similarity
+    from data_cube_spark.sources.star import parquet_rows
+
+    sf = "/root/testdata/sf0.001"
+    emb = tables["embeddings"]
+    pairs = similarity.near_pairs(
+        emb, threshold=0.35, corpus_rows=parquet_rows(sf, "embeddings")
+    ).localCheckpoint()
+    capped = similarity.cap_pair_degree(pairs, 1).localCheckpoint()
+    assert capped.count() < pairs.count()
+    # no node disappears entirely
+    nodes = lambda df: {r[0] for r in
+                        df.select(F.explode(F.array("id_a", "id_b"))).collect()}
+    assert nodes(capped) == nodes(pairs)
+    # every kept edge is within SOME endpoint's top-3
+    rows = pairs.collect()
+    import collections
+    ranked = collections.defaultdict(list)
+    for r in rows:
+        ranked[r["id_a"]].append((-r["cosine"], r["id_b"], ("a", r)))
+        ranked[r["id_b"]].append((-r["cosine"], r["id_a"], ("b", r)))
+    top = collections.defaultdict(set)
+    for node, es in ranked.items():
+        for _, other, _ in sorted(es)[:1]:
+            top[node].add(other)
+    want = {(r["id_a"], r["id_b"]) for r in rows
+            if r["id_b"] in top[r["id_a"]] or r["id_a"] in top[r["id_b"]]}
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == want
+    again = similarity.cap_pair_degree(capped, 1)
+    assert {(r["id_a"], r["id_b"]) for r in again.collect()} == got
+
+    with pytest.raises(ValueError):
+        similarity.cap_pair_degree(pairs, 0)
+
+
 def test_dedup_exact_keeps_min_id(spark):
     rows = [(5, "same text"), (2, "same text"), (9, "other text")]
     df = spark.createDataFrame(rows, "doc_id long, text string")

@@ -102,12 +102,27 @@ def replicate(tables: dict[str, DataFrame], replicas: int) -> dict[str, DataFram
     def emb_replica(i: int) -> DataFrame:
         e = shifted(t["embeddings"], i, vec_id="v")
         if i > 0:
+            # per-replica orthogonal transform = roll + deterministic
+            # random sign-flip. A permutation or diagonal +-1 matrix is
+            # orthogonal, so INTRA-replica cosines are bit-preserved; a
+            # roll ALONE is not enough cross-replica (circular
+            # autocorrelation of smooth embeddings stays high — measured
+            # quadratic near-pair growth), while the sign pattern drives
+            # the cross-replica inner product to ~N(0, 1/sqrt(dim)).
             n = F.size("embedding")
             rolled = F.concat(
                 F.slice("embedding", F.lit(i % 64 + 1), n),
                 F.slice("embedding", F.lit(1), F.lit(i % 64)),
             )
-            e = e.withColumn("embedding", rolled)
+            flipped = F.transform(
+                rolled,
+                lambda x, k: (
+                    x * F.when(
+                        F.pmod(F.xxhash64(F.lit(i), k), F.lit(2)) == 0,
+                        F.lit(1.0)).otherwise(F.lit(-1.0))
+                ).cast("float"),
+            )
+            e = e.withColumn("embedding", flipped)
         return e
 
     out["embeddings"] = union_replicas(emb_replica)
