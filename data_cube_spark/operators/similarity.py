@@ -249,6 +249,37 @@ def effective_planes(n_planes: int, corpus_rows: int | None,
     return max(n_planes, math.ceil(math.log2(corpus_rows / max_bucket_rows)))
 
 
+def lsh_plan(corpus_rows: int, n_planes: int = 4, n_tables: int = 10,
+             max_bucket_rows: int = 1024,
+             target_cosine: float = 0.8) -> dict:
+    """Pre-submit sizing report for :func:`lsh_near_pairs` — compute the
+    candidate volume and recall BEFORE paying for the job (the
+    `plan_report` idea applied to LSH parameters).
+
+    Returns: ``planes`` (after the occupancy guard), ``buckets``,
+    ``expected_occupancy`` (corpus/buckets), ``est_candidate_rows``
+    (~tables × buckets × occupancy²/2 — the size of the candidate join
+    output, 16 bytes/row), and ``est_recall`` at ``target_cosine``
+    (1-(1-p^planes)^tables with p = 1-θ/π). The two numbers move in
+    opposite directions with ``planes``; at 100 TB you pick planes for
+    the candidate budget first, then buy recall back with tables (cost
+    linear) — this function makes that an arithmetic decision instead
+    of a guess."""
+    import math
+
+    planes = effective_planes(n_planes, corpus_rows, max_bucket_rows)
+    buckets = 2 ** planes
+    occ = corpus_rows / buckets
+    p = 1.0 - math.acos(max(-1.0, min(1.0, target_cosine))) / math.pi
+    return {
+        "planes": planes,
+        "buckets": buckets,
+        "expected_occupancy": occ,
+        "est_candidate_rows": int(n_tables * buckets * occ * occ / 2),
+        "est_recall": 1.0 - (1.0 - p ** planes) ** n_tables,
+    }
+
+
 def lsh_near_pairs(
     df: DataFrame,
     threshold: float,

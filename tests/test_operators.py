@@ -284,6 +284,31 @@ def test_simhash_token_set_determinism(spark):
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
 
 
+def test_lsh_plan_arithmetic():
+    """lsh_plan: occupancy guard applied, candidate estimate =
+    tables*buckets*occ^2/2, recall matches the OR-amplification formula,
+    and raising planes trades candidates down for recall down."""
+    import math
+
+    from data_cube_spark.operators.similarity import lsh_plan
+
+    r = lsh_plan(60_000, n_planes=4, n_tables=48, max_bucket_rows=1024)
+    assert r["planes"] == 6  # guard: ceil(log2(60000/1024))
+    assert r["buckets"] == 64
+    occ = 60_000 / 64
+    assert r["est_candidate_rows"] == int(48 * 64 * occ * occ / 2)
+    p = 1 - math.acos(0.8) / math.pi
+    want = 1 - (1 - p ** 6) ** 48
+    assert abs(r["est_recall"] - want) < 1e-12
+
+    tight = lsh_plan(60_000, n_planes=4, n_tables=48, max_bucket_rows=128)
+    assert tight["planes"] > r["planes"]
+    assert tight["est_candidate_rows"] < r["est_candidate_rows"]
+    assert tight["est_recall"] < r["est_recall"]
+    # small corpus: guard inactive, planes unchanged
+    assert lsh_plan(500, n_planes=4)["planes"] == 4
+
+
 def test_cap_pair_degree_invariants(spark, tables):
     """Degree cap on the near-pair graph: every node keeps at most
     max_degree edges FROM ITS OWN ranking (an edge survives via either
