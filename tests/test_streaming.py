@@ -719,3 +719,43 @@ def test_streaming_corpus_ingest_with_persisted_index(spark, tables, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_stream_idx_bands")
         spark.sql("DROP TABLE IF EXISTS t_stream_idx_sig")
+
+
+def test_streaming_corpus_ingest_indexed_restart_exactly_once(
+        spark, tables, tmp_path):
+    """Kill-and-resume for the PERSISTED-INDEX ingest path: hard stop
+    after the first committed micro-batch, resume, and the survivor set
+    equals the batch twin with no duplicates — the epoch-keyed overwrite
+    idempotence is index-source-independent."""
+    from data_cube_spark.operators import dedup
+    from data_cube_spark.streaming.cube_stream import streaming_corpus_ingest
+
+    docs = tables["documents"].limit(60)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    src, ckpt, target = (str(tmp_path / d) for d in ("src", "ckpt", "tgt"))
+    for i in range(3):
+        incoming.where(F.col("doc_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+    try:
+        dedup.write_minhash_index(corpus, "t_restart_idx", n_buckets=4,
+                                  path=str(tmp_path / "idx"))
+
+        def start():
+            return streaming_corpus_ingest(
+                spark, src, incoming.schema, ckpt, target,
+                index_table="t_restart_idx",
+                threshold=0.7, max_files_per_trigger=1).start()
+
+        _run_until_n_batches(start(), 1)
+        q = start()
+        q.awaitTermination(120)
+        rows = spark.read.parquet(target).select("doc_id").collect()
+        ids = [r["doc_id"] for r in rows]
+        assert len(ids) == len(set(ids)), "duplicate survivors after replay"
+        dropped = {r["batch_id"] for r in dedup.incremental_minhash_pairs_indexed(
+            incoming, "t_restart_idx", threshold=0.7).collect()}
+        assert set(ids) == {r["doc_id"] for r in incoming.collect()} - dropped
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_restart_idx_bands")
+        spark.sql("DROP TABLE IF EXISTS t_restart_idx_sig")
