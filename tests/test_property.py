@@ -400,3 +400,46 @@ def test_histogram_percentile_fold_matches_naive(spark, bins, q):
             idx += 1
     want = lo + (idx + 1) * (hi - lo) / n_bins
     assert got == pytest.approx(want)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14),
+                  st.floats(min_value=-1.0, max_value=1.0,
+                            allow_nan=False)),
+        min_size=1, max_size=60),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_cap_pair_degree_matches_naive(spark, edges, k):
+    """cap_pair_degree on ANY random graph equals the naive python
+    reference: symmetrize, rank each node's edges by (score desc, other
+    asc), keep an edge iff it is within EITHER endpoint's top-k."""
+    from data_cube_spark.operators.similarity import cap_pair_degree
+
+    seen = set()
+    rows = []
+    for a, b, s in edges:
+        if a == b:
+            continue
+        a, b = min(a, b), max(a, b)
+        if (a, b) in seen:
+            continue
+        seen.add((a, b))
+        rows.append((a, b, round(s, 6)))
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "id_a long, id_b long, cosine double")
+    got = {(r["id_a"], r["id_b"])
+           for r in cap_pair_degree(df, k).collect()}
+
+    import collections
+    adj = collections.defaultdict(list)
+    for a, b, s in rows:
+        adj[a].append((-s, b))
+        adj[b].append((-s, a))
+    top = {n: {o for _, o in sorted(es)[:k]} for n, es in adj.items()}
+    want = {(a, b) for a, b, s in rows
+            if b in top[a] or a in top[b]}
+    assert got == want
