@@ -535,6 +535,141 @@ def dedup_exact_indexed(
     return hashed.join(idx, "_fp", "left_anti").drop("_fp")
 
 
+def write_prefix_index(
+    corpus: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    hash_shingles: bool = True,
+    path: str | None = None,
+) -> None:
+    """Persist the standing corpus's AllPairs/PPJoin prefix index — the
+    EXACT-Jaccard member of the persisted incremental-dedup index trio
+    (exact fingerprints / MinHash bands / prefix postings). Three
+    bucketed catalog tables:
+
+    - ``<table>_prefix``: the corpus prefix postings (corpus_id,
+      shingle, _sz), bucketed + sorted on ``shingle`` — the candidate
+      equi-join key, so per-batch joins read the corpus side
+      pre-partitioned and shuffle only the batch;
+    - ``<table>_df``: corpus document frequencies (the GLOBAL shingle
+      order both sides must share; a batch shingle absent from the
+      corpus gets df 0 — rarest-first, a conservative longer prefix,
+      zero recall loss);
+    - ``<table>_sets``: sorted shingle-set arrays bucketed on corpus_id
+      for the verification join.
+
+    ``threshold`` is the MINIMUM Jaccard the index serves: the prefix
+    theorem (prefix length = sz - ceil(t*sz) + 1) gives LONGER prefixes
+    at lower t, and a longer stored prefix is a candidate superset for
+    any higher query threshold — still exact after verification. Index
+    once at your lowest operating threshold."""
+    import os
+
+    from pyspark.sql import Window
+
+    from data_cube_spark.sources.ingest import write_bucketed
+
+    sh = shingle_table(corpus, text_col, id_col, k,
+                       hashed=hash_shingles).localCheckpoint(eager=False)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(),
+                                           F.col("shingle").asc())
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sizes, id_col)
+        .where(F.col("_pos")
+               <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+        .select(F.col(id_col).alias("corpus_id"), "shingle", "_sz")
+    )
+
+    def _p(sub):
+        return None if path is None else os.path.join(path, sub)
+
+    write_bucketed(prefix, f"{table}_prefix", ["shingle"], n_buckets,
+                   path=_p("prefix"))
+    write_bucketed(freq, f"{table}_df", ["shingle"], n_buckets,
+                   path=_p("df"))
+    sets = sh.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("shingle")).alias("_set"))
+    write_bucketed(sets.select(F.col(id_col).alias("corpus_id"), "_set"),
+                   f"{table}_sets", ["corpus_id"], n_buckets,
+                   path=_p("sets"))
+
+
+def incremental_prefix_pairs_indexed(
+    batch: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """:func:`jaccard_pairs_prefix_rs` against a PERSISTED
+    :func:`write_prefix_index` — per ingest batch only the batch is
+    shingled/prefixed/shuffled; the corpus postings come off disk
+    pre-partitioned on the shingle join key. EXACT: returns every
+    (batch_id, corpus_id, jaccard) with jaccard >= threshold (which must
+    be >= the index's stored threshold), property-tested equal to the
+    inline exact operator."""
+    from pyspark.sql import Window
+
+    spark = batch.sparkSession
+    sh_b = shingle_table(batch, text_col, id_col, k,
+                         hashed=hash_shingles).localCheckpoint(eager=False)
+    freq = spark.table(f"{table}_df")
+    sizes = sh_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(),
+                                           F.col("shingle").asc())
+    pre_b = (
+        # left join + df 0 for corpus-absent shingles: the shared global
+        # order is "corpus df, rarest first" on BOTH sides
+        sh_b.join(freq, "shingle", "left")
+        .withColumn("_df", F.coalesce("_df", F.lit(0)))
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sizes, id_col)
+        .where(F.col("_pos")
+               <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+        .select(F.col(id_col).alias("batch_id"), "shingle",
+                F.col("_sz").alias("_pa"))
+    )
+    pre_c = spark.table(f"{table}_prefix").select(
+        "corpus_id", "shingle", F.col("_sz").alias("_pb"))
+    cands = (
+        pre_b.join(pre_c, "shingle")
+        .where((F.lit(threshold) * F.col("_pa") <= F.col("_pb"))
+               & (F.lit(threshold) * F.col("_pb") <= F.col("_pa")))
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    set_b = sh_b.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("shingle")).alias("_set_a"))
+    set_c = spark.table(f"{table}_sets").select(
+        "corpus_id", F.col("_set").alias("_set_b"))
+    return (
+        cands
+        .join(set_b.select(F.col(id_col).alias("batch_id"), "_set_a"),
+              "batch_id")
+        .join(set_c, "corpus_id")
+        .select(
+            "batch_id", "corpus_id",
+            F.size(F.array_intersect("_set_a", "_set_b")).alias("_inter"),
+            F.size("_set_a").alias("_sa"), F.size("_set_b").alias("_sb"))
+        .select(
+            "batch_id", "corpus_id",
+            (F.col("_inter")
+             / (F.col("_sa") + F.col("_sb") - F.col("_inter")))
+            .cast("double").alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def incremental_minhash_pairs(
     batch: DataFrame,
     corpus_signatures: DataFrame,

@@ -560,3 +560,48 @@ def test_fingerprint_index_exact_dedup(spark, tables, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_fp_idx_fp")
+
+
+def test_prefix_index_exact_and_corpus_exchange_free(spark, tables, tmp_path):
+    """The persisted prefix index completes the incremental-dedup index
+    trio: the indexed operator returns EXACTLY the inline exact-Jaccard
+    R x S pairs (same output even at a higher query threshold than the
+    stored one), and the candidate join reads the corpus postings
+    pre-partitioned (single batch-side exchange)."""
+    from data_cube_spark.operators import dedup
+
+    docs = tables["documents"]
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    try:
+        dedup.write_prefix_index(corpus, "t_pfx_idx", n_buckets=4,
+                                 threshold=0.4, path=str(tmp_path / "pfx"))
+        for t in (0.4, 0.6):  # at and above the stored threshold
+            got = sorted(map(tuple, dedup.incremental_prefix_pairs_indexed(
+                batch, "t_pfx_idx", threshold=t).collect()))
+            want = sorted(map(tuple, dedup.jaccard_pairs_prefix_rs(
+                batch, corpus, threshold=t).collect()))
+            assert got == want, f"threshold {t}"
+        assert len(got) >= 0 and len(
+            dedup.incremental_prefix_pairs_indexed(
+                batch, "t_pfx_idx", threshold=0.4).collect()) > 0
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            # candidate-join isolation: batch postings vs the index table
+            pre_c = spark.table("t_pfx_idx_prefix")
+            sh_b = dedup.shingle_table(batch, "text", "doc_id", 3,
+                                       hashed=True)
+            j = sh_b.join(pre_c, "shingle")
+            plan = explain_str(j, "simple")
+            # the corpus postings scan is bucketed — no exchange above it;
+            # the only shuffles are batch-side (shingle spread + the join
+            # repartition to the index's bucketing)
+            assert "Bucketed: true" in plan, plan
+            assert count_exchanges(j) <= 2, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        for t in ("prefix", "df", "sets"):
+            spark.sql(f"DROP TABLE IF EXISTS t_pfx_idx_{t}")
