@@ -301,6 +301,27 @@ def streaming_cube(
     )
 
 
+def _read_target(spark: SparkSession, path: str) -> DataFrame | None:
+    """Open a parquet target maintained by a foreachBatch upsert, or return
+    ``None`` when the target PROVABLY holds no data yet (first batch): the
+    path does not exist (``PATH_NOT_FOUND``) or exists without a readable
+    footer — a first write that crashed pre-commit
+    (``UNABLE_TO_INFER_SCHEMA``). Every other failure — a corrupt footer,
+    a transient filesystem error, a failed job — propagates, so the
+    micro-batch FAILS and foreachBatch replays it; swallowing it would
+    dynamic-overwrite the touched partitions with batch-only state,
+    silently dropping previously merged rows. Connect-safe: classifies
+    analyzer error classes instead of probing the Hadoop FileSystem
+    through py4j internals (ADVICE r5)."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as ex:
+        marker = (ex.getErrorClass() or "") + str(ex)
+        if "PATH_NOT_FOUND" in marker or "UNABLE_TO_INFER_SCHEMA" in marker:
+            return None
+        raise
+
+
 def make_window_upsert(spark: SparkSession, target_dir: str, keys: list[str]):
     """Build the read-merge-write upsert used by :func:`streaming_cube`
     (documented there). Exposed so callers with their own source wiring
@@ -315,17 +336,17 @@ def make_window_upsert(spark: SparkSession, target_dir: str, keys: list[str]):
             b.unpersist()
             return
         out = b
-        try:
-            existing = spark.read.parquet(target_dir).where(
-                F.col("window_key").isin(touched)
-            )
+        # Only a provably absent/empty target skips the read-merge (first
+        # batch); any other read failure propagates and fails the
+        # micro-batch — same contract as streaming_scd2_dimension.
+        existing_all = _read_target(spark, target_dir)
+        if existing_all is not None:
+            existing = existing_all.where(F.col("window_key").isin(touched))
             keep = existing.join(
                 b.select("window_key", *keys).dropDuplicates(),
                 ["window_key", *keys], "left_anti",
             ).localCheckpoint()  # eager: files are read before the overwrite
             out = b.unionByName(keep)
-        except Exception:
-            pass  # first batch: no target yet
         (
             out.repartition("window_key")
             .write.mode("overwrite")
@@ -517,29 +538,16 @@ def streaming_scd2_dimension(
         # job) must propagate so the micro-batch fails and foreachBatch
         # replays it — swallowing it here would silently replace the
         # touched keys' full version history with batch-only history.
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(target_dir)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
-            try:
-                existing_all = spark.read.parquet(target_dir)
-            except AnalysisException as ex:
-                # directory exists but holds no readable footers yet (a
-                # first write that crashed pre-commit) — that exact error
-                # class is the empty case; anything else re-raises
-                if "UNABLE_TO_INFER_SCHEMA" not in (
-                    (ex.getErrorClass() or "") + str(ex)
-                ):
-                    raise
-                merged = scd2_from_changelog(b, keys, ts_col)
-            else:
-                existing = (
-                    existing_all
-                    .where(F.col("dim_bucket").isin(touched))
-                    .drop("dim_bucket")
-                )
-                # a micro-batch's key set is trigger-bounded — broadcast
-                merged = scd2_merge_changes(existing, b, keys, ts_col,
-                                            broadcast_keys=True)
+        existing_all = _read_target(spark, target_dir)
+        if existing_all is not None:
+            existing = (
+                existing_all
+                .where(F.col("dim_bucket").isin(touched))
+                .drop("dim_bucket")
+            )
+            # a micro-batch's key set is trigger-bounded — broadcast
+            merged = scd2_merge_changes(existing, b, keys, ts_col,
+                                        broadcast_keys=True)
         else:  # first batch: no target yet
             merged = scd2_from_changelog(b, keys, ts_col)
         out = merged.withColumn("dim_bucket", bucket_of(merged))

@@ -674,6 +674,41 @@ def test_streaming_scd2_failed_target_read_fails_batch(spark, tables, tmp_path):
         == b"this is not a parquet file"
 
 
+def test_streaming_cube_failed_target_read_fails_batch(spark, tables, tmp_path):
+    """VERDICT r5 #2: the window-upsert twin of the SCD2 guarantee — a
+    target that EXISTS but cannot be read must FAIL the micro-batch (the
+    exact condition foreachBatch retries exist for) instead of being
+    treated as 'first batch', which would dynamic-overwrite the touched
+    windows with batch-only aggregates and silently drop previously
+    merged keys."""
+    import os
+
+    from data_cube_spark.streaming import streaming_cube
+
+    ev = tables["events"].limit(100)
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    target = str(tmp_path / "target")
+    # target exists and holds a data-looking file with garbage bytes:
+    # parquet footer read fails -> the batch must propagate the error
+    os.makedirs(target)
+    with open(os.path.join(target, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    q = streaming_cube(
+        spark, src, ev.schema, str(tmp_path / "ckpt"), target,
+        keys=["event_type"]).start()
+    with pytest.raises(Exception) as ei:
+        if q.awaitTermination(120):
+            if q.exception() is not None:
+                raise q.exception()
+    assert "PARQUET" in str(ei.value).upper() or "not a parquet" in str(
+        ei.value).lower() or "FAILED_READ_FILE" in str(ei.value)
+    # the corrupt target was NOT replaced by batch-only window state
+    assert open(os.path.join(target, "part-00000.parquet"), "rb").read() \
+        == b"this is not a parquet file"
+
+
 def test_streaming_corpus_ingest_with_persisted_index(spark, tables, tmp_path):
     """The production index shape: streaming ingest suppressing against a
     write_minhash_index bucketed catalog index must keep exactly the same
