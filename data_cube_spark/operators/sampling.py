@@ -77,7 +77,11 @@ def sample_weighted_n(
     Scale shape: per-group top-n is a per-stratum rank window (one
     shuffle on the group key); ungrouped top-n is TakeOrdered, never a
     global sort. Reruns/retries/speculative tasks and ANY engine with
-    md5 reproduce the identical sample (ties impossible — distinct md5).
+    md5 reproduce the identical sample: distinct md5 draws make key
+    collisions practically impossible, but EXTREME weights can saturate
+    ``ln(u)/w`` to the same ±inf (e.g. a denormal weight overflows to
+    -inf — found by the hypothesis fuzz), so ties additionally break on
+    the unique ``key`` to keep the draw deterministic for any input.
     Rows with weight <= 0 or NULL are excluded (zero weight = never
     sampled, matching the limit of u^(1/w))."""
     w = F.col(weight_col).cast("double")
@@ -86,11 +90,13 @@ def sample_weighted_n(
         .withColumn("_wkey", F.ln(draw_uniform(key, salt)) / w)
     )
     if by:
-        win = Window.partitionBy(*by).orderBy(F.col("_wkey").desc())
+        win = Window.partitionBy(*by).orderBy(F.col("_wkey").desc(),
+                                              F.col(key).asc())
         out = (scored.withColumn("_r", F.row_number().over(win))
                .where(F.col("_r") <= int(n)).drop("_r"))
     else:
-        out = scored.orderBy(F.col("_wkey").desc()).limit(int(n))
+        out = (scored.orderBy(F.col("_wkey").desc(), F.col(key).asc())
+               .limit(int(n)))
     return out.drop("_wkey")
 
 

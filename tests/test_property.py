@@ -219,6 +219,23 @@ def test_sample_weighted_n_invariants(spark, weights, n):
     assert out == again
 
 
+def test_sample_weighted_n_denormal_weight_ties(spark):
+    """Regression (caught by the fuzz above in r6): denormal weights
+    saturate ln(u)/w to -inf for EVERY such row — identical sort keys —
+    so without the unique-key tie-break the selected set differed
+    between reruns. With it, the draw must be rerun-identical and the
+    tied rows must be chosen by ascending doc_id."""
+    from data_cube_spark.operators.sampling import sample_weighted_n
+
+    rows = [(i, 5e-324) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    runs = [
+        {r.doc_id for r in sample_weighted_n(df, "w", 3).collect()}
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2] == {0, 1, 2}
+
+
 @pytest.mark.usefixtures("spark")
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
