@@ -74,6 +74,8 @@ def _evidence_rounds() -> dict[str, int]:
                 rows = json.load(f)
         except Exception:
             continue
+        if not isinstance(rows, dict):
+            continue  # legacy/malformed file (e.g. a JSON list) — no evidence
         for n, row in rows.items():
             if isinstance(row, dict) and row.get("err"):
                 continue

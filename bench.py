@@ -139,11 +139,73 @@ def _production_incremental_minhash(spark, sf_dir):
 #: only the per-ingest cost
 _SIG_INDEX: dict = {}
 
+#: persisted on-disk index tables (write_*_index), built in the ingest
+#: phase — the timed entries below measure ONLY the per-ingest read
+#: paths, which is the recurring cost at 100 TB (the index is written
+#: once per refresh cadence)
+_DISK_INDEX: dict = {}
+
+
+def _build_disk_indexes(spark, sf_dir) -> None:
+    import tempfile
+
+    from data_cube_spark.operators import dedup
+    from data_cube_spark.sources.star import load_tables
+
+    corpus = load_tables(spark, sf_dir)["documents"].where("doc_id % 2 = 0")
+    base = tempfile.mkdtemp(prefix="sg_bench_idx_")
+    tag = os.path.basename(base).lower()
+    dedup.write_minhash_index(corpus, f"{tag}_mh", n_buckets=32,
+                              path=os.path.join(base, "mh"))
+    dedup.write_fingerprint_index(corpus, f"{tag}_fp", n_buckets=32,
+                                  path=os.path.join(base, "fp"))
+    dedup.write_prefix_index(corpus, f"{tag}_pfx", n_buckets=32,
+                             threshold=0.5, path=os.path.join(base, "pfx"))
+    _DISK_INDEX[sf_dir] = tag
+
+
+def _indexed_minhash_read(spark, sf_dir):
+    """Per-ingest read path against the PERSISTED bucketed LSH index:
+    only the batch is shingled/signed/shuffled; the corpus bands come off
+    disk pre-partitioned on the join key (zero corpus-side exchange)."""
+    from data_cube_spark.operators import dedup
+    from data_cube_spark.sources.star import load_tables
+
+    batch = load_tables(spark, sf_dir)["documents"].where("doc_id % 2 = 1")
+    return dedup.incremental_minhash_pairs_indexed(
+        batch, f"{_DISK_INDEX[sf_dir]}_mh", threshold=0.3)
+
+
+def _indexed_exact_read(spark, sf_dir):
+    """Per-ingest exact dedup against the persisted fingerprint index:
+    one anti-join on content_hash, corpus side exchange-free."""
+    from data_cube_spark.operators import dedup
+    from data_cube_spark.sources.star import load_tables
+
+    batch = load_tables(spark, sf_dir)["documents"].where("doc_id % 2 = 1")
+    return dedup.dedup_exact_indexed(batch, f"{_DISK_INDEX[sf_dir]}_fp")
+
+
+def _indexed_prefix_read(spark, sf_dir):
+    """Per-ingest EXACT-Jaccard pairs against the persisted prefix
+    postings: batch shingled/prefixed per run, corpus postings read
+    pre-partitioned on the shingle key."""
+    from data_cube_spark.operators import dedup
+    from data_cube_spark.sources.star import load_tables
+
+    batch = load_tables(spark, sf_dir)["documents"].where("doc_id % 2 = 1")
+    return dedup.incremental_prefix_pairs_indexed(
+        batch, f"{_DISK_INDEX[sf_dir]}_pfx", threshold=0.5)
+
+
 #: benched alongside the registry queries; keys land in the same
 #: "queries" dict of the output JSON
 EXTRA_BENCH = {
     "minhash_dedup_pairs": _production_minhash,
     "incremental_minhash_pairs": _production_incremental_minhash,
+    "indexed_minhash_read": _indexed_minhash_read,
+    "indexed_exact_read": _indexed_exact_read,
+    "indexed_prefix_read": _indexed_prefix_read,
 }
 
 
@@ -174,6 +236,9 @@ def main() -> None:
 
     _SIG_INDEX[sf_dir] = _dedup.minhash_signatures(
         tbl["documents"].where("doc_id % 2 = 0")).localCheckpoint()
+    # persisted index trio (bucketed catalog tables) — written once per
+    # refresh cadence in production, so built here outside the timed set
+    _build_disk_indexes(spark, sf_dir)
     ingest_sec = round(time.perf_counter() - t0, 3)
     QUERIES["grand_total"](spark, sf_dir).collect()
     # compile the heavy text-pipeline expression trees once at the smallest

@@ -474,6 +474,99 @@ def incremental_dedup_keep(
     return batch.join(dup_ids, id_col, "left_anti")
 
 
+_INDEX_PROP_PREFIX = "spark_graft.index."
+
+
+def _set_index_meta(spark, table: str, params: dict) -> None:
+    """Record the parameters an index was built with as table properties
+    — the read/append paths validate against them (ADVICE r5: a caller
+    passing different k/hashes/bands than the writer would silently lose
+    recall or corrupt the index; the preconditions live in the CATALOG,
+    not just in docstrings)."""
+    kv = ", ".join(f"'{_INDEX_PROP_PREFIX}{k}'='{v}'"
+                   for k, v in params.items())
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+
+
+def _index_meta(spark, table: str) -> dict:
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    return {r["key"][len(_INDEX_PROP_PREFIX):]: r["value"]
+            for r in rows if r["key"].startswith(_INDEX_PROP_PREFIX)}
+
+
+def _require_index_meta(spark, table: str, expect: dict) -> dict:
+    """Validate caller parameters against the stored index metadata.
+    Raises on any mismatch and on metadata-less tables (an index written
+    before metadata existed, or not by this library — rewrite it)."""
+    stored = _index_meta(spark, table)
+    if not stored:
+        raise ValueError(
+            f"{table} has no {_INDEX_PROP_PREFIX}* table properties — "
+            f"not written by write_*_index (or written by a pre-metadata "
+            f"version). Rewrite the index to stamp its parameters."
+        )
+    bad = {k: (str(v), stored.get(k)) for k, v in expect.items()
+           if stored.get(k) != str(v)}
+    if bad:
+        detail = ", ".join(f"{k}: caller={c} stored={s}"
+                           for k, (c, s) in bad.items())
+        raise ValueError(
+            f"index parameter mismatch on {table} ({detail}) — reading "
+            f"with parameters differing from the writer's silently loses "
+            f"recall / corrupts appends; rebuild the index or pass the "
+            f"stored parameters."
+        )
+    return stored
+
+
+def _table_layout(spark, table: str) -> tuple[str | None, bool]:
+    """(location, is_external) from the catalog — what an in-place
+    rewrite must preserve."""
+    rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    info = {r["col_name"].strip(): (r["data_type"] or "").strip()
+            for r in rows}
+    loc = info.get("Location") or None
+    external = info.get("Type", "").upper() == "EXTERNAL"
+    return loc, external
+
+
+def _compact_index_table(spark, table: str, keys: list[str]) -> int:
+    """Re-distinct one bucketed index table IN PLACE, preserving its
+    bucketing, location and metadata properties. Returns rows removed.
+    The staged-materialize-then-overwrite shape: the distinct rows are
+    eagerly localCheckpointed first, so the rewrite never reads the
+    table it is overwriting."""
+    from data_cube_spark.sources.ingest import write_bucketed
+
+    stored = _index_meta(spark, table)
+    n_buckets = int(stored["n_buckets"])
+    loc, external = _table_layout(spark, table)
+    before = spark.table(table).count()
+    distinct = spark.table(table).dropDuplicates().localCheckpoint()
+    write_bucketed(distinct, table, keys, n_buckets,
+                   path=loc if external else None)
+    _set_index_meta(spark, table, stored)
+    return before - distinct.count()
+
+
+def compact_fingerprint_index(spark, table: str) -> int:
+    """The maintenance half :func:`append_to_fingerprint_index` defers
+    to: appends may re-insert already-present hashes, so on the refresh
+    cadence this re-distincts ``<table>_fp`` in place (bucketing and the
+    exchange-free read plan preserved). Returns duplicate rows removed."""
+    return _compact_index_table(spark, f"{table}_fp", ["content_hash"])
+
+
+def compact_minhash_index(spark, table: str) -> int:
+    """Re-distinct both :func:`write_minhash_index` tables in place (a
+    doc appended twice contributes identical signature/band rows).
+    Returns total duplicate rows removed across ``_sig`` and ``_bands``."""
+    removed = _compact_index_table(spark, f"{table}_sig", ["corpus_id"])
+    removed += _compact_index_table(spark, f"{table}_bands",
+                                    ["band_id", "band_hash"])
+    return removed
+
+
 def write_fingerprint_index(
     corpus: DataFrame,
     table: str,
@@ -488,7 +581,9 @@ def write_fingerprint_index(
     :func:`write_minhash_index`: (content_hash) bucketed + bucket-sorted
     on content_hash, so a per-ingest anti-join reads the corpus side
     pre-partitioned and shuffles only the batch. One row per DISTINCT
-    content — at 100 TB the index is fingerprints, not documents."""
+    content — at 100 TB the index is fingerprints, not documents.
+    Build parameters are stamped as table properties and validated by
+    the read/append paths."""
     from data_cube_spark.sources.ingest import write_bucketed
 
     h = (fingerprint(text_col) if canonical
@@ -496,6 +591,8 @@ def write_fingerprint_index(
     hashes = corpus.select(h.alias("content_hash")).dropDuplicates()
     write_bucketed(hashes, f"{table}_fp", ["content_hash"], n_buckets,
                    path=path)
+    _set_index_meta(corpus.sparkSession, f"{table}_fp",
+                    {"canonical": canonical, "n_buckets": n_buckets})
 
 
 def append_to_fingerprint_index(
@@ -507,12 +604,19 @@ def append_to_fingerprint_index(
     """Fold accepted documents' fingerprints into a persisted
     :func:`write_fingerprint_index` (bucketing preserved by
     ``insertInto``). Appending may re-insert an already-present hash —
-    harmless for the anti-join semantics; a compaction pass can
-    re-distinct on the refresh cadence."""
+    harmless for the anti-join semantics; run
+    :func:`compact_fingerprint_index` on the refresh cadence to
+    re-distinct. Raises if ``canonical`` differs from the writer's."""
+    spark = new_docs.sparkSession
+    _require_index_meta(spark, f"{table}_fp", {"canonical": canonical})
     h = (fingerprint(text_col) if canonical
          else F.md5(F.encode(F.col(text_col), "UTF-8")))
+    # select in the TARGET's column order: insertInto matches by
+    # position, so a compatible-but-reordered frame would corrupt rows
+    # silently (ADVICE r5)
+    target_cols = spark.table(f"{table}_fp").columns
     (new_docs.select(h.alias("content_hash")).dropDuplicates()
-     .write.insertInto(f"{table}_fp"))
+     .select(*target_cols).write.insertInto(f"{table}_fp"))
 
 
 def dedup_exact_indexed(
@@ -525,8 +629,9 @@ def dedup_exact_indexed(
     in a persisted :func:`write_fingerprint_index` — the per-ingest read
     path: one anti-join on content_hash against the bucketed index
     (corpus side exchange-free), only the batch is hashed and
-    shuffled."""
+    shuffled. Raises if ``canonical`` differs from the writer's."""
     spark = batch.sparkSession
+    _require_index_meta(spark, f"{table}_fp", {"canonical": canonical})
     h = (fingerprint(text_col) if canonical
          else F.md5(F.encode(F.col(text_col), "UTF-8")))
     hashed = batch.withColumn("_fp", h)
@@ -600,6 +705,9 @@ def write_prefix_index(
     write_bucketed(sets.select(F.col(id_col).alias("corpus_id"), "_set"),
                    f"{table}_sets", ["corpus_id"], n_buckets,
                    path=_p("sets"))
+    _set_index_meta(corpus.sparkSession, f"{table}_prefix",
+                    {"k": k, "hash_shingles": hash_shingles,
+                     "threshold": threshold, "n_buckets": n_buckets})
 
 
 def incremental_prefix_pairs_indexed(
@@ -616,11 +724,24 @@ def incremental_prefix_pairs_indexed(
     shingled/prefixed/shuffled; the corpus postings come off disk
     pre-partitioned on the shingle join key. EXACT: returns every
     (batch_id, corpus_id, jaccard) with jaccard >= threshold (which must
-    be >= the index's stored threshold), property-tested equal to the
-    inline exact operator."""
+    be >= the index's stored threshold — longer stored prefixes are a
+    candidate superset for any higher query threshold; ENFORCED against
+    the stamped metadata), property-tested equal to the inline exact
+    operator. ``k``/``hash_shingles`` must equal the writer's (also
+    enforced)."""
     from pyspark.sql import Window
 
     spark = batch.sparkSession
+    stored = _require_index_meta(
+        spark, f"{table}_prefix",
+        {"k": k, "hash_shingles": hash_shingles})
+    if threshold < float(stored["threshold"]):
+        raise ValueError(
+            f"query threshold {threshold} is below the index's stored "
+            f"threshold {stored['threshold']} — the persisted prefixes "
+            f"are too SHORT for a lower threshold (silent recall loss); "
+            f"rebuild the index at the lower threshold."
+        )
     sh_b = shingle_table(batch, text_col, id_col, k,
                          hashed=hash_shingles).localCheckpoint(eager=False)
     freq = spark.table(f"{table}_df")
@@ -780,6 +901,10 @@ def write_minhash_index(
     write_bucketed(
         bandtbl, f"{table}_bands", ["band_id", "band_hash"], n_buckets,
         path=None if path is None else os.path.join(path, "bands"))
+    meta = {"num_hashes": num_hashes, "bands": bands, "k": k,
+            "n_buckets": n_buckets}
+    _set_index_meta(corpus.sparkSession, f"{table}_bands", meta)
+    _set_index_meta(corpus.sparkSession, f"{table}_sig", meta)
 
 
 def append_to_minhash_index(
@@ -797,15 +922,27 @@ def append_to_minhash_index(
     appended on the compaction cadence). ``insertInto`` preserves the
     tables' bucketing: appended rows hash into the same bucket files'
     directories, so the exchange-free read-path property is unchanged.
-    Only the new docs are shingled/signed — never the standing corpus."""
+    Only the new docs are shingled/signed — never the standing corpus.
+    Raises if ``num_hashes``/``bands``/``k`` differ from the writer's
+    (mixed-parameter signatures would silently corrupt the index);
+    re-appended docs duplicate rows — :func:`compact_minhash_index`
+    re-distincts on the refresh cadence."""
     spark = new_docs.sparkSession
+    expect = {"num_hashes": num_hashes, "bands": bands, "k": k}
+    _require_index_meta(spark, f"{table}_bands", expect)
+    _require_index_meta(spark, f"{table}_sig", expect)
     rows = num_hashes // bands
     sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes,
                               k).localCheckpoint()
+    # select in the TARGET's column order: insertInto matches by
+    # position, so a compatible-but-reordered frame would corrupt rows
+    # silently (ADVICE r5)
     (sigs.select(F.col(id_col).alias("corpus_id"), "signature")
+     .select(*spark.table(f"{table}_sig").columns)
      .write.insertInto(f"{table}_sig"))
     (banded_buckets(sigs, id_col, bands, rows)
      .select(F.col(id_col).alias("corpus_id"), "band_id", "band_hash")
+     .select(*spark.table(f"{table}_bands").columns)
      .write.insertInto(f"{table}_bands"))
 
 
@@ -824,8 +961,12 @@ def incremental_minhash_pairs_indexed(
     batch is shingled, signed and shuffled; the corpus bands table comes
     off disk pre-partitioned on the join key (zero corpus-side
     exchange). Same (batch_id, corpus_id, est_jaccard) contract,
-    property-tested equal to the inline operator."""
+    property-tested equal to the inline operator.
+    ``num_hashes``/``bands``/``k`` are validated against the writer's
+    stamped metadata (a mismatch would silently lose recall)."""
     spark = batch.sparkSession
+    _require_index_meta(spark, f"{table}_bands",
+                        {"num_hashes": num_hashes, "bands": bands, "k": k})
     rows = num_hashes // bands
     sig_b = minhash_signatures(batch, text_col, id_col, num_hashes,
                                k).localCheckpoint()
@@ -1160,11 +1301,24 @@ def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    max_degree: int | None = None,
+    score_col: str = "cosine",
     **cc_kwargs,
 ) -> DataFrame:
     """Drop every non-representative member of each near-dup cluster (the
     representative is the min-id node). Documents with no near-dup edge
-    pass through untouched."""
+    pass through untouched.
+
+    ``max_degree`` applies :func:`...similarity.cap_pair_degree` to the
+    pair graph first (keeping each node's ``max_degree`` strongest edges
+    by ``score_col``): at a fixed embedding-cosine threshold the edge set
+    is Θ(n²) (VERDICT r5 #2), and both the components iteration and this
+    anti-join are linear in it — the cap is what keeps cluster dedup
+    viable beyond toy corpora."""
+    if max_degree is not None:
+        from data_cube_spark.operators.similarity import cap_pair_degree
+
+        pairs = cap_pair_degree(pairs, max_degree, score_col=score_col)
     comp = connected_components(pairs, **cc_kwargs)
     drop = comp.where(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)

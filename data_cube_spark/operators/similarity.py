@@ -291,6 +291,7 @@ def lsh_near_pairs(
     seed: int = 42,
     corpus_rows: int | None = None,
     max_bucket_rows: int = 1024,
+    max_candidate_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: candidates are pairs sharing a
     random-hyperplane bucket in ANY of ``n_tables`` independent tables
@@ -317,7 +318,28 @@ def lsh_near_pairs(
     - large corpus: dedup candidates first (each duplicate would pay the
       vector-attach shuffle again, ~3x volume at default parameters), then
       attach vectors with two equi-joins and verify JVM-side.
+
+    ``max_candidate_rows`` turns :func:`lsh_plan` from advisory into a
+    GUARD (the refuse-don't-OOM convention of ``assert_driver_sized``):
+    when ``corpus_rows`` is known and the plan's estimated candidate-join
+    output exceeds the budget, raise BEFORE submitting the job, with the
+    sizing numbers and the two remedies (more planes / fewer tables) in
+    the message.
     """
+    if max_candidate_rows is not None and corpus_rows is not None:
+        plan = lsh_plan(corpus_rows, n_planes=n_planes, n_tables=n_tables,
+                        max_bucket_rows=max_bucket_rows)
+        if plan["est_candidate_rows"] > max_candidate_rows:
+            raise ValueError(
+                f"lsh_near_pairs candidate budget exceeded: "
+                f"~{plan['est_candidate_rows']:,} estimated candidate rows "
+                f"(> {max_candidate_rows:,}) at planes={plan['planes']}, "
+                f"tables={n_tables}, corpus={corpus_rows:,} "
+                f"(occupancy ~{plan['expected_occupancy']:.0f}/bucket). "
+                f"Raise n_planes (quadratic candidate relief, recall "
+                f"p^planes) or lower n_tables (linear), or raise "
+                f"max_candidate_rows."
+            )
     n_planes = effective_planes(n_planes, corpus_rows, max_bucket_rows)
     v = with_norm(df, vec_col).select(F.col(id_col), "_vec", "_norm")
     buckets = _lsh_buckets_udf(n_planes, n_tables, dim, seed)
@@ -480,6 +502,7 @@ def near_pairs(
     vec_col: str = "embedding",
     corpus_rows: int | None = None,
     dim: int = 64,
+    max_degree: int | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Size-dispatched embedding near-pair source — the production entry
@@ -493,20 +516,35 @@ def near_pairs(
     - larger → :func:`lsh_near_pairs` (bucketed equi-join candidates,
       occupancy-guarded planes, approximate).
 
-    No tier ever plans a crossJoin/CartesianProduct."""
+    No tier ever plans a crossJoin/CartesianProduct.
+
+    ``max_degree`` bounds the OUTPUT density via :func:`cap_pair_degree`:
+    the 30x probe (VERDICT r5 #2) measured ~0.2% of ALL pairs clearing
+    threshold 0.35 at d=64 — the pair set itself is Θ(n²) no matter how
+    the candidates are generated, so any consumer that is linear in the
+    edge set (components, cluster dedup) needs the cap above toy sizes.
+    The cap is deterministic (score desc, neighbor id asc), so capped
+    results stay oracle-recomputable."""
     from data_cube_spark.model import BROADCAST_MAX_ROWS
 
     if corpus_rows is not None and corpus_rows <= DRIVER_PAIRS_MAX_ROWS:
-        return driver_near_pairs(df, threshold, id_col=id_col, vec_col=vec_col)
-    small = (
-        corpus_rows is not None
-        and corpus_rows <= BROADCAST_MAX_ROWS
-        and corpus_rows * dim * 8 <= 256 * 1024 * 1024
-    )
-    if small:
-        return blocked_near_pairs(df, threshold, id_col=id_col, vec_col=vec_col)
-    return lsh_near_pairs(df, threshold, id_col=id_col, vec_col=vec_col,
-                          dim=dim, corpus_rows=corpus_rows, **lsh_kwargs)
+        out = driver_near_pairs(df, threshold, id_col=id_col, vec_col=vec_col)
+    else:
+        small = (
+            corpus_rows is not None
+            and corpus_rows <= BROADCAST_MAX_ROWS
+            and corpus_rows * dim * 8 <= 256 * 1024 * 1024
+        )
+        if small:
+            out = blocked_near_pairs(df, threshold, id_col=id_col,
+                                     vec_col=vec_col)
+        else:
+            out = lsh_near_pairs(df, threshold, id_col=id_col,
+                                 vec_col=vec_col, dim=dim,
+                                 corpus_rows=corpus_rows, **lsh_kwargs)
+    if max_degree is not None:
+        out = cap_pair_degree(out, max_degree)
+    return out
 
 
 def cap_pair_degree(pairs: DataFrame, max_degree: int,
@@ -547,11 +585,19 @@ def cap_pair_degree(pairs: DataFrame, max_degree: int,
     keep = (
         half.withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") <= max_degree)
-        .select(F.least("_node", "_other").alias("id_a"),
-                F.greatest("_node", "_other").alias("id_b"))
+        .select(F.least("_node", "_other").alias("_ka"),
+                F.greatest("_node", "_other").alias("_kb"))
         .dropDuplicates()
     )
-    return pairs.join(keep, ["id_a", "id_b"], "left_semi")
+    # semi-join on (least, greatest)-normalized keys so an unordered
+    # input edge (id_a > id_b) that survives the cap is kept too — the
+    # kept set is normalized, the input need not be (ADVICE r5)
+    return (
+        pairs.withColumn("_ka", F.least("id_a", "id_b"))
+        .withColumn("_kb", F.greatest("id_a", "id_b"))
+        .join(keep, ["_ka", "_kb"], "left_semi")
+        .drop("_ka", "_kb")
+    )
 
 
 def _broadcast_cosine_udf(spark, v: DataFrame, id_col: str):

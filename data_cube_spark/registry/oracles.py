@@ -245,6 +245,47 @@ def _incremental_keep_sql(threshold: float, max_df: int) -> str:
     """
 
 
+def _capped_edges_cte(threshold: float) -> str:
+    """CTE chain ending in the DEGREE-CAPPED embedding near-pair edge set
+    — the oracle twin of ``near_pairs(..., max_degree=...)`` +
+    ``cap_pair_degree``: all-pairs exact cosine edges at ``threshold``,
+    symmetrized, each node's top ``SEMANTIC_DEDUP_MAX_DEGREE`` by
+    (cosine desc, neighbor asc), surviving edges re-normalized to
+    id_a < id_b. Emitted WITHOUT a leading WITH so callers can prepend
+    ``WITH RECURSIVE``."""
+    from data_cube_spark.registry.similarity_mm import (
+        SEMANTIC_DEDUP_MAX_DEGREE,
+    )
+
+    return f"""v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v),
+      edges0 AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS s
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)
+                >= {threshold}),
+      half AS (
+        SELECT id_a AS node, id_b AS other, s FROM edges0
+        UNION ALL SELECT id_b, id_a, s FROM edges0),
+      keep AS (
+        SELECT node, other FROM (
+          SELECT node, other,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY s DESC, other ASC) AS r
+          FROM half)
+        WHERE r <= {SEMANTIC_DEDUP_MAX_DEGREE}),
+      edges AS (
+        SELECT DISTINCT LEAST(node, other) AS id_a,
+                        GREATEST(node, other) AS id_b
+        FROM keep),"""
+
+
 def _pipeline_pretraining_sql() -> str:
     # composition of the verified fragment oracles: dedup (min-id per
     # md5), decontamination (3-gram overlap vs the %97 eval set), langid
@@ -909,7 +950,8 @@ ORACLE: dict[str, str] = {
         FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
       r AS (
         SELECT doc_id, lang, n_chars,
-               row_number() OVER (PARTITION BY lang ORDER BY wkey DESC) AS rn
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY wkey DESC, doc_id ASC) AS rn
         FROM scored)
       SELECT doc_id, lang, n_chars FROM r WHERE rn <= 30
     """,
@@ -1214,18 +1256,8 @@ ORACLE: dict[str, str] = {
       FROM e JOIN c ON c.user_id = e.user_id AND c.ts >= e.t0 AND c.ts <= e.t1
       GROUP BY 1
     """,
-    "embedding_components": """
-      WITH RECURSIVE v AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-        FROM embeddings),
-      n AS (
-        SELECT vec_id, vec,
-               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
-        FROM v),
-      edges AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM n a JOIN n b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.35),
+    "embedding_components": f"""
+      WITH RECURSIVE {_capped_edges_cte(0.35)}
       sym AS (
         SELECT id_a AS src, id_b AS dst FROM edges
         UNION SELECT id_b, id_a FROM edges),
@@ -1237,18 +1269,8 @@ ORACLE: dict[str, str] = {
       SELECT id AS vec_id, CAST(MIN(label) AS BIGINT) AS component
       FROM lbl GROUP BY 1
     """,
-    "semantic_dedup_keep": """
-      WITH RECURSIVE v AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-        FROM embeddings),
-      n AS (
-        SELECT vec_id, vec,
-               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
-        FROM v),
-      edges AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM n a JOIN n b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.35),
+    "semantic_dedup_keep": f"""
+      WITH RECURSIVE {_capped_edges_cte(0.35)}
       sym AS (
         SELECT id_a AS src, id_b AS dst FROM edges
         UNION SELECT id_b, id_a FROM edges),
@@ -1928,4 +1950,18 @@ ORACLE: dict[str, str] = {
        AND (s.valid_to IS NULL OR o.o_orderdate < s.valid_to)
       GROUP BY 1
     """,
+    # r6 persisted-index trio: exact anti-join / exact Jaccard are
+    # directly SQL-expressible; the LSH one reuses the truth-pair-flag
+    # invariant form of incremental_minhash_recall
+    "dedup_exact_indexed_ingest": f"""
+      WITH fp AS (
+        SELECT doc_id, md5({_NORM_SQL}) AS content_hash FROM documents)
+      SELECT doc_id, content_hash
+      FROM fp
+      WHERE doc_id % 2 = 1
+        AND content_hash NOT IN (
+          SELECT content_hash FROM fp WHERE doc_id % 2 = 0)
+    """,
+    "incremental_prefix_pairs_indexed": _incremental_exact_sql(0.5),
+    "incremental_minhash_pairs_indexed": _incremental_truth_sql(0.5),
 }

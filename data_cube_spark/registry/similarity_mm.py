@@ -165,18 +165,32 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(media, every_n=30)
 
 
+#: default per-node degree cap for the semantic-dedup pair graph. At a
+#: fixed cosine threshold the near-pair set is Θ(n²) (random-pair cosine
+#: std ≈ 1/sqrt(d): ~0.2% of ALL pairs clear 0.35 at d=64 — measured at
+#: every corpus size by the r5 30x probe), so the components iteration and
+#: the keep anti-join would grow quadratically without a density bound.
+#: Capping keeps each node's 8 strongest edges — which is what clustering
+#: actually consumes — and is deterministic (score desc, id asc), so the
+#: oracle recomputes the exact same capped edge set.
+SEMANTIC_DEDUP_MAX_DEGREE = 8
+
+
 def q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the embedding near-dup graph (cosine >=
-    0.35): candidate pairs from the size-dispatched near_pairs source
-    (blocked matmul below the broadcast gate — join-free, shuffle-free;
-    bucketed LSH equi-join above it, recall 1.0 on this corpus asserted in
-    tests — never a cross product either way), then iterative distributed
-    min-label propagation, hash-matched against a recursive-CTE SQL oracle
-    computing the exact all-pairs graph."""
+    """Connected components over the DEGREE-CAPPED embedding near-dup
+    graph (cosine >= 0.35, each node's 8 strongest edges kept —
+    :data:`SEMANTIC_DEDUP_MAX_DEGREE`; VERDICT r5 #2): candidate pairs
+    from the size-dispatched near_pairs source (blocked matmul below the
+    broadcast gate — join-free, shuffle-free; bucketed LSH equi-join
+    above it, recall 1.0 on this corpus asserted in tests — never a cross
+    product either way), capped by one rank-window shuffle, then
+    iterative distributed min-label propagation, hash-matched against a
+    recursive-CTE SQL oracle computing the same capped graph."""
     t = load_tables(spark, sf_dir)
     pairs = similarity.near_pairs(t["embeddings"], threshold=0.35,
                                   n_planes=4, n_tables=48,
-                                  corpus_rows=parquet_rows(sf_dir, "embeddings"))
+                                  corpus_rows=parquet_rows(sf_dir, "embeddings"),
+                                  max_degree=SEMANTIC_DEDUP_MAX_DEGREE)
     comp = dedup.connected_components(pairs)
     return comp.select(F.col("id").alias("vec_id"),
                        F.col("component").cast("bigint").alias("component"))
@@ -185,14 +199,17 @@ def q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level semantic dedup end-to-end: size-dispatched near-dup
     pairs (blocked matmul under the gate / bucketed LSH above, never a
-    cross product) -> connected components -> drop non-representatives
-    (left-anti). The surviving corpus, oracle-checked via an exact
-    all-pairs recursive CTE + NOT IN."""
+    cross product), degree-capped at the pair source (8 strongest edges
+    per node — the Θ(n²)-edge-set fix, VERDICT r5 #2) -> connected
+    components -> drop non-representatives (left-anti). The surviving
+    corpus, oracle-checked via a recursive CTE over the same capped edge
+    set + NOT IN."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     pairs = similarity.near_pairs(emb, threshold=0.35,
                                   n_planes=4, n_tables=48,
-                                  corpus_rows=parquet_rows(sf_dir, "embeddings"))
+                                  corpus_rows=parquet_rows(sf_dir, "embeddings"),
+                                  max_degree=SEMANTIC_DEDUP_MAX_DEGREE)
     kept = dedup.dedup_clusters(emb.select("vec_id", "label"), pairs,
                                 id_col="vec_id")
     return kept.select("vec_id", F.col("label").cast("int").alias("label"))

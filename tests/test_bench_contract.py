@@ -33,3 +33,34 @@ def test_extra_bench_production_operators_run(spark, name):
     assert {"id_a", "id_b"} <= set(df.columns) or \
            {"batch_id", "corpus_id"} <= set(df.columns)
     assert df.count() >= 0
+
+
+def test_extra_bench_indexed_read_paths_run(spark):
+    """The r6 persisted-index bench entries: index build happens in the
+    (untimed) ingest phase via _build_disk_indexes; the timed callables
+    are the per-ingest read paths and must run against those tables."""
+    import shutil
+    import tempfile
+
+    import bench
+
+    sf = SF_DIR
+    try:
+        bench._build_disk_indexes(spark, sf)
+        tag = bench._DISK_INDEX[sf]
+        mh = bench.EXTRA_BENCH["indexed_minhash_read"](spark, sf)
+        assert {"batch_id", "corpus_id", "est_jaccard"} <= set(mh.columns)
+        assert mh.count() > 0
+        ex = bench.EXTRA_BENCH["indexed_exact_read"](spark, sf)
+        assert "doc_id" in ex.columns and ex.count() > 0
+        pf = bench.EXTRA_BENCH["indexed_prefix_read"](spark, sf)
+        assert {"batch_id", "corpus_id", "jaccard"} <= set(pf.columns)
+        assert pf.count() > 0
+    finally:
+        tag = bench._DISK_INDEX.pop(sf, None)
+        if tag:
+            for s in ("mh_bands", "mh_sig", "fp_fp",
+                      "pfx_prefix", "pfx_df", "pfx_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {tag}_{s}")
+            shutil.rmtree(os.path.join(tempfile.gettempdir(), tag),
+                          ignore_errors=True)

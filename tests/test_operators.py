@@ -349,6 +349,77 @@ def test_cap_pair_degree_invariants(spark, tables):
     with pytest.raises(ValueError):
         similarity.cap_pair_degree(pairs, 0)
 
+    # max_degree threads through the near_pairs dispatcher (VERDICT r5 #2:
+    # the cap is applied AT the pair source, not left to callers)
+    wired = similarity.near_pairs(
+        emb, threshold=0.35, corpus_rows=parquet_rows(sf, "embeddings"),
+        max_degree=1)
+    assert {(r["id_a"], r["id_b"]) for r in wired.collect()} == got
+
+
+def test_cap_pair_degree_unordered_input(spark):
+    """ADVICE r5: an input edge stored as (id_a > id_b) must survive the
+    cap exactly like its ordered twin — the keep set is (least, greatest)
+    normalized, so the membership join must normalize the input too."""
+    from data_cube_spark.operators import similarity
+
+    rows = [(3, 1, 0.9), (1, 2, 0.8), (4, 1, 0.7)]
+    df = spark.createDataFrame(rows, "id_a long, id_b long, cosine double")
+    got = {(r["id_a"], r["id_b"])
+           for r in similarity.cap_pair_degree(df, 2).collect()}
+    # node 1's top-2 by (score desc, other asc): (1,3) and (1,2); the
+    # (4,1) edge survives via node 4's own ranking. The unordered (3,1)
+    # row must come back in its ORIGINAL orientation.
+    assert got == {(3, 1), (1, 2), (4, 1)}
+    one = {(r["id_a"], r["id_b"])
+           for r in similarity.cap_pair_degree(df, 1).collect()}
+    # k=1: node1 keeps (1,3); nodes 2 and 4 each keep their only edge
+    assert one == {(3, 1), (1, 2), (4, 1)}
+
+
+def test_semantic_dedup_capped_edge_density_sf01(spark):
+    """VERDICT r5 #2 'done' criterion: on the sf0.1 corpus (above the
+    driver tier — the blocked-matmul path) the DEFAULT registry pair
+    source with the degree cap emits at most 2*k*n edges (each of n nodes
+    contributes at most k kept edges from its own ranking, counted from
+    both endpoints), versus the Θ(n²) uncapped set (~3.8M at 60k rows)."""
+    from data_cube_spark.operators import similarity
+    from data_cube_spark.registry.similarity_mm import (
+        SEMANTIC_DEDUP_MAX_DEGREE,
+    )
+    from data_cube_spark.sources.star import load_tables, parquet_rows
+
+    sf = "/root/testdata/sf0.1"
+    emb = load_tables(spark, sf)["embeddings"]
+    n = parquet_rows(sf, "embeddings")
+    capped = similarity.near_pairs(
+        emb, threshold=0.35, corpus_rows=n,
+        max_degree=SEMANTIC_DEDUP_MAX_DEGREE)
+    m = capped.count()
+    assert m <= 2 * SEMANTIC_DEDUP_MAX_DEGREE * n, (m, n)
+    assert m > 0
+
+
+def test_lsh_near_pairs_candidate_budget_guard(spark, tables):
+    """VERDICT r5 #7: lsh_plan as a GUARD — a candidate budget the sizing
+    arithmetic says the parameters will blow must refuse BEFORE the job
+    (same refuse-don't-OOM convention as assert_driver_sized)."""
+    from data_cube_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    plan = similarity.lsh_plan(1_000_000, n_planes=4, n_tables=48)
+    assert plan["est_candidate_rows"] > 1_000_000
+    with pytest.raises(ValueError, match="candidate budget exceeded"):
+        similarity.lsh_near_pairs(
+            emb, threshold=0.4, n_planes=4, n_tables=48,
+            corpus_rows=1_000_000, max_candidate_rows=1_000_000)
+    # generous budget: the guard stays silent and the operator still runs
+    out = similarity.lsh_near_pairs(
+        emb, threshold=0.4, n_planes=4, n_tables=8,
+        corpus_rows=tables["embeddings"].count(),
+        max_candidate_rows=50_000_000)
+    assert out.count() >= 0
+
 
 def test_dedup_exact_keeps_min_id(spark):
     rows = [(5, "same text"), (2, "same text"), (9, "other text")]
