@@ -503,6 +503,7 @@ def near_pairs(
     corpus_rows: int | None = None,
     dim: int = 64,
     max_degree: int | None = None,
+    max_pairs: int | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Size-dispatched embedding near-pair source — the production entry
@@ -524,9 +525,27 @@ def near_pairs(
     the candidates are generated, so any consumer that is linear in the
     edge set (components, cluster dedup) needs the cap above toy sizes.
     The cap is deterministic (score desc, neighbor id asc), so capped
-    results stay oracle-recomputable."""
+    results stay oracle-recomputable.
+
+    ``max_pairs`` is the refuse-don't-melt guard on the pair STREAM
+    itself (which the cap scans linearly but cannot shrink): when
+    ``corpus_rows`` is known, :func:`near_pairs_plan`'s random-pair
+    estimate is checked BEFORE any job is submitted, and the raise
+    reports the threshold that would fit the budget."""
     from data_cube_spark.model import BROADCAST_MAX_ROWS
 
+    if max_pairs is not None and corpus_rows is not None:
+        plan = near_pairs_plan(corpus_rows, dim=dim, threshold=threshold,
+                               edge_budget=max_pairs)
+        if plan["est_random_pairs"] > max_pairs:
+            raise ValueError(
+                f"near_pairs stream budget exceeded: "
+                f"~{plan['est_random_pairs']:,} estimated random-cosine "
+                f"pairs at threshold {threshold}/dim {dim} over "
+                f"{corpus_rows:,} rows (> {max_pairs:,}). Raise the "
+                f"threshold to ~{plan['threshold_for_budget']:.3f} to "
+                f"fit the budget, or raise max_pairs."
+            )
     if corpus_rows is not None and corpus_rows <= DRIVER_PAIRS_MAX_ROWS:
         out = driver_near_pairs(df, threshold, id_col=id_col, vec_col=vec_col)
     else:
@@ -544,6 +563,64 @@ def near_pairs(
                                  corpus_rows=corpus_rows, **lsh_kwargs)
     if max_degree is not None:
         out = cap_pair_degree(out, max_degree)
+    return out
+
+
+def near_pairs_plan(
+    corpus_rows: int,
+    dim: int = 64,
+    threshold: float = 0.35,
+    max_degree: int | None = None,
+    edge_budget: int | None = None,
+) -> dict:
+    """Pre-submit sizing for the semantic-dedup pair graph — the
+    :func:`lsh_plan` idea applied to the OUTPUT density problem (the r5
+    30x probe's finding): for near-isotropic d-dimensional embeddings,
+    random-pair cosine is ~N(0, 1/d), so a fixed threshold t admits
+    ``p = 1 - Phi(t*sqrt(d))`` of ALL pairs — a CONSTANT fraction,
+    meaning the edge set grows Θ(n²) no matter how candidates are
+    generated. (At t=0.35, d=64 the model gives p≈0.26%; measured on the
+    driver corpus: ~0.2% at every size.)
+
+    Returns:
+
+    - ``random_pair_density`` (p above) and ``est_random_pairs``
+      (p·n(n-1)/2) — the background-noise edge volume BEFORE any
+      structural near-dups;
+    - ``capped_edge_bound`` (2·k·n when ``max_degree`` is set) — what
+      :func:`cap_pair_degree` guarantees downstream consumers see;
+    - ``threshold_for_budget`` — the threshold at which the random-pair
+      volume would fit ``edge_budget`` (inverse-Phi by bisection), i.e.
+      how the threshold must RISE with corpus size if you refuse to cap.
+
+    The intended 100 TB workflow: pick max_degree for the consumers
+    (components, anti-join) and check threshold_for_budget to see
+    whether the pair STREAM feeding the cap also needs a higher
+    threshold — the stream is linear-scanned by the cap but still
+    Θ(n²)-sized at a fixed t."""
+    import math
+
+    def phi(x: float) -> float:
+        return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+
+    p = 1.0 - phi(threshold * math.sqrt(dim))
+    all_pairs = corpus_rows * (corpus_rows - 1) / 2
+    out = {
+        "random_pair_density": p,
+        "est_random_pairs": int(p * all_pairs),
+        "capped_edge_bound": (2 * max_degree * corpus_rows
+                              if max_degree else None),
+    }
+    if edge_budget is not None and all_pairs > 0:
+        target = min(max(edge_budget / all_pairs, 1e-300), 1.0)
+        lo, hi = 0.0, 1.0
+        for _ in range(80):  # bisection on the monotone tail
+            mid = (lo + hi) / 2
+            if 1.0 - phi(mid * math.sqrt(dim)) > target:
+                lo = mid
+            else:
+                hi = mid
+        out["threshold_for_budget"] = hi
     return out
 
 

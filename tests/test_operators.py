@@ -400,6 +400,59 @@ def test_semantic_dedup_capped_edge_density_sf01(spark):
     assert m > 0
 
 
+def test_near_pairs_plan_density_model(spark, tables):
+    """near_pairs_plan's Gaussian tail model must track the MEASURED pair
+    density on the real corpus (the 30x probe's 0.2%-at-0.35/d=64
+    finding) within 2x — the model is the pre-submit sizing tool, so a
+    wildly wrong density estimate would mis-size real jobs."""
+    from data_cube_spark.operators import similarity
+    from data_cube_spark.sources.star import parquet_rows
+
+    sf = "/root/testdata/sf0.001"
+    n = parquet_rows(sf, "embeddings")
+    plan = similarity.near_pairs_plan(n, dim=64, threshold=0.35)
+    measured = similarity.near_pairs(
+        tables["embeddings"], threshold=0.35, corpus_rows=n).count()
+    density = measured / (n * (n - 1) / 2)
+    assert plan["random_pair_density"] > 0
+    # real corpora have structural near-dups ON TOP of the random tail,
+    # so the model may under-predict slightly; 2x band either way
+    assert density / 2 <= plan["random_pair_density"] <= density * 2, (
+        plan["random_pair_density"], density)
+
+    # threshold_for_budget: inverse of the tail — must rise as the
+    # budget shrinks, and reproduce the input threshold for its own
+    # estimated volume
+    tight = similarity.near_pairs_plan(n, dim=64, threshold=0.35,
+                                       edge_budget=100)
+    loose = similarity.near_pairs_plan(n, dim=64, threshold=0.35,
+                                       edge_budget=100_000)
+    assert tight["threshold_for_budget"] > loose["threshold_for_budget"]
+    roundtrip = similarity.near_pairs_plan(
+        n, dim=64, threshold=0.35,
+        edge_budget=max(plan["est_random_pairs"], 1))
+    assert abs(roundtrip["threshold_for_budget"] - 0.35) < 0.02
+
+    # capped bound is what cap_pair_degree guarantees
+    capped = similarity.near_pairs_plan(n, max_degree=8)
+    assert capped["capped_edge_bound"] == 16 * n
+
+
+def test_near_pairs_stream_budget_guard(tables):
+    """max_pairs refuses BEFORE submitting when the random-tail estimate
+    blows the budget, and the message names the threshold that fits."""
+    from data_cube_spark.operators import similarity
+
+    with pytest.raises(ValueError, match="stream budget exceeded"):
+        similarity.near_pairs(tables["embeddings"], threshold=0.35,
+                              corpus_rows=10_000_000, max_pairs=1_000_000)
+    # generous budget at the actual corpus size: runs normally
+    n = tables["embeddings"].count()
+    out = similarity.near_pairs(tables["embeddings"], threshold=0.35,
+                                corpus_rows=n, max_pairs=10_000_000)
+    assert out.count() > 0
+
+
 def test_lsh_near_pairs_candidate_budget_guard(spark, tables):
     """VERDICT r5 #7: lsh_plan as a GUARD — a candidate budget the sizing
     arithmetic says the parameters will blow must refuse BEFORE the job
