@@ -371,6 +371,7 @@ def streaming_corpus_ingest(
     threshold: float = 0.7,
     max_files_per_trigger: int | None = None,
     index_table: str | None = None,
+    append_survivors: bool = False,
 ):
     """Continuous corpus ingest with near-dup suppression: every
     micro-batch of incoming documents is MinHash-banded against the
@@ -404,10 +405,24 @@ def streaming_corpus_ingest(
     directory makes the replay idempotent (the vanilla-parquet version
     of what a Delta/Iceberg transactional MERGE gives you). Readers scan
     the target root; the extra ``ingest_epoch`` partition column is
-    harmless metadata."""
+    harmless metadata.
+
+    ``append_survivors=True`` (requires ``index_table``) makes the index
+    SELF-MAINTAINING: each micro-batch's survivors are folded into the
+    persisted index via ``append_to_minhash_index``, so LATER batches in
+    the same run dedup against them too — the within-run duplicate
+    window shrinks from the refresh cadence to a single micro-batch
+    (only same-batch near-dups remain until compaction). Replay-safe:
+    candidate pairs whose ``corpus_id`` is in the CURRENT batch's id set
+    are excluded, so a replayed batch — whose own survivors are already
+    in the index — recomputes the IDENTICAL survivor set and overwrites
+    its epoch directory idempotently; the re-run append only duplicates
+    index rows, which is harmless for the anti-join semantics and
+    cleaned by ``compact_minhash_index`` on the refresh cadence."""
     import os
 
     from data_cube_spark.operators.dedup import (
+        append_to_minhash_index,
         incremental_minhash_pairs,
         incremental_minhash_pairs_indexed,
     )
@@ -415,6 +430,8 @@ def streaming_corpus_ingest(
     if (corpus_signatures is None) == (index_table is None):
         raise ValueError(
             "pass exactly one of corpus_signatures / index_table")
+    if append_survivors and index_table is None:
+        raise ValueError("append_survivors requires index_table")
 
     def ingest(batch_df, epoch_id: int) -> None:
         if not batch_df.columns:
@@ -423,14 +440,28 @@ def streaming_corpus_ingest(
             pairs = incremental_minhash_pairs_indexed(
                 batch_df, index_table, text_col=text_col,
                 id_col=id_col, threshold=threshold)
+            if append_survivors:
+                # exclude matches against THIS batch's own (replayed)
+                # index rows — the replay-idempotence filter above
+                own = batch_df.select(
+                    F.col(id_col).alias("corpus_id")).dropDuplicates()
+                pairs = pairs.join(own, "corpus_id", "left_anti")
         else:
             pairs = incremental_minhash_pairs(
                 batch_df, corpus_signatures, text_col=text_col,
                 id_col=id_col, threshold=threshold)
         dup = pairs.select(F.col("batch_id").alias(id_col)).dropDuplicates()
-        (batch_df.join(dup, id_col, "left_anti")
-         .write.mode("overwrite")
+        survivors = batch_df.join(dup, id_col, "left_anti")
+        if append_survivors:
+            # one materialization feeds both the epoch write and the
+            # index append (avoids recomputing the banded join)
+            survivors = survivors.localCheckpoint()
+        (survivors.write.mode("overwrite")
          .parquet(os.path.join(target_dir, f"ingest_epoch={int(epoch_id)}")))
+        if append_survivors:
+            append_to_minhash_index(
+                survivors.select(id_col, text_col), index_table,
+                text_col=text_col, id_col=id_col)
 
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger is not None:

@@ -756,6 +756,127 @@ def test_streaming_corpus_ingest_with_persisted_index(spark, tables, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_stream_idx_sig")
 
 
+def test_streaming_corpus_ingest_append_survivors_cross_batch(
+        spark, tables, tmp_path):
+    """append_survivors=True makes the persisted index SELF-MAINTAINING:
+    a later micro-batch's clone of an EARLIER batch's survivor is
+    suppressed (without the flag it sails through — cross-batch dups are
+    otherwise only caught at the index refresh cadence), and the index
+    tables grow by the survivors."""
+    from data_cube_spark.operators import dedup
+    from data_cube_spark.streaming.cube_stream import streaming_corpus_ingest
+
+    import time as _time
+
+    docs = tables["documents"].limit(40)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+
+    # ground truth (batch operators): b1's survivors against the corpus
+    sigs = dedup.minhash_signatures(corpus).localCheckpoint()
+    dropped = {r["batch_id"]
+               for r in dedup.incremental_minhash_pairs(
+                   b1, sigs, threshold=0.7).collect()}
+    surv = [r for r in b1.collect() if r["doc_id"] not in dropped]
+    assert surv, "need at least one surviving b1 doc"
+
+    # two micro-batches: b1, then a text-identical clone of a b1
+    # SURVIVOR under a new doc_id (mtime-spaced so the file source
+    # processes them in this order; maxFilesPerTrigger=1)
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    clone = spark.createDataFrame(
+        [(9_000_001, surv[0]["text"])], "doc_id long, text string")
+    clone.coalesce(1).write.mode("append").parquet(src)
+
+    def run(tag, append):
+        dedup.write_minhash_index(corpus, tag, n_buckets=4,
+                                  path=str(tmp_path / f"idx_{tag}"))
+        q = streaming_corpus_ingest(
+            spark, src, b1.schema, str(tmp_path / f"ck_{tag}"),
+            str(tmp_path / f"out_{tag}"), index_table=tag,
+            threshold=0.7, max_files_per_trigger=1,
+            append_survivors=append).start()
+        assert q.awaitTermination(120)
+        return {r["doc_id"] for r in
+                spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()}
+
+    try:
+        got = run("t_app_on", True)
+        assert 9_000_001 not in got, "cross-batch clone must be suppressed"
+        # the index grew by the survivors (b1 survivors appended; the
+        # clone was suppressed so never appended)
+        n_sig = spark.table("t_app_on_sig").count()
+        assert n_sig == corpus.count() + len(got)
+
+        got_off = run("t_app_off", False)
+        assert 9_000_001 in got_off, (
+            "without append_survivors the cross-batch clone survives")
+        assert got_off - {9_000_001} == got
+
+        with pytest.raises(ValueError, match="append_survivors requires"):
+            streaming_corpus_ingest(
+                spark, src, b1.schema, "x", "y",
+                corpus_signatures=dedup.minhash_signatures(corpus),
+                append_survivors=True)
+    finally:
+        for tag in ("t_app_on", "t_app_off"):
+            spark.sql(f"DROP TABLE IF EXISTS {tag}_bands")
+            spark.sql(f"DROP TABLE IF EXISTS {tag}_sig")
+
+
+def test_streaming_corpus_ingest_append_survivors_restart(
+        spark, tables, tmp_path):
+    """Kill-and-resume for the self-maintaining index: hard stop after
+    the first committed micro-batch (whose survivors are already in the
+    index), resume — the replayed/remaining batches must produce no
+    duplicate survivors and the same survivor set as an uninterrupted
+    run (the corpus_id-in-batch exclusion makes the replay compute the
+    identical survivor set even though its own rows are indexed)."""
+    from data_cube_spark.operators import dedup
+    from data_cube_spark.streaming.cube_stream import streaming_corpus_ingest
+
+    docs = tables["documents"].limit(60)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        incoming.where(F.col("doc_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+    try:
+        for tag, interrupt in (("t_rst_a", True), ("t_rst_b", False)):
+            dedup.write_minhash_index(corpus, tag, n_buckets=4,
+                                      path=str(tmp_path / f"idx_{tag}"))
+
+            def start():
+                return streaming_corpus_ingest(
+                    spark, src, incoming.schema,
+                    str(tmp_path / f"ck_{tag}"),
+                    str(tmp_path / f"out_{tag}"), index_table=tag,
+                    threshold=0.7, max_files_per_trigger=1,
+                    append_survivors=True).start()
+
+            if interrupt:
+                _run_until_n_batches(start(), 1)
+            q = start()
+            q.awaitTermination(120)
+        a = [r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "out_t_rst_a")).collect()]
+        b = [r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "out_t_rst_b")).collect()]
+        assert len(a) == len(set(a)), "duplicate survivors after replay"
+        assert sorted(a) == sorted(b), "interrupted run diverged"
+        # compaction cleans any replay-duplicated index rows in place
+        dedup.compact_minhash_index(spark, "t_rst_a")
+        sig = spark.table("t_rst_a_sig")
+        assert sig.count() == sig.dropDuplicates().count()
+    finally:
+        for tag in ("t_rst_a", "t_rst_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {tag}_bands")
+            spark.sql(f"DROP TABLE IF EXISTS {tag}_sig")
+
+
 def test_streaming_corpus_ingest_indexed_restart_exactly_once(
         spark, tables, tmp_path):
     """Kill-and-resume for the PERSISTED-INDEX ingest path: hard stop
