@@ -152,7 +152,10 @@ def _build_disk_indexes(spark, sf_dir) -> None:
     from data_cube_spark.operators import dedup
     from data_cube_spark.sources.star import load_tables
 
-    corpus = load_tables(spark, sf_dir)["documents"].where("doc_id % 2 = 0")
+    from data_cube_spark.operators import similarity
+
+    tbl = load_tables(spark, sf_dir)
+    corpus = tbl["documents"].where("doc_id % 2 = 0")
     base = tempfile.mkdtemp(prefix="sg_bench_idx_")
     tag = os.path.basename(base).lower()
     dedup.write_minhash_index(corpus, f"{tag}_mh", n_buckets=32,
@@ -161,6 +164,9 @@ def _build_disk_indexes(spark, sf_dir) -> None:
                                   path=os.path.join(base, "fp"))
     dedup.write_prefix_index(corpus, f"{tag}_pfx", n_buckets=32,
                              threshold=0.5, path=os.path.join(base, "pfx"))
+    similarity.write_embedding_index(
+        tbl["embeddings"].where("vec_id % 2 = 0"), f"{tag}_emb",
+        n_buckets=32, path=os.path.join(base, "emb"))
     _DISK_INDEX[sf_dir] = tag
 
 
@@ -198,6 +204,18 @@ def _indexed_prefix_read(spark, sf_dir):
         batch, f"{_DISK_INDEX[sf_dir]}_pfx", threshold=0.5)
 
 
+def _indexed_embedding_read(spark, sf_dir):
+    """Per-ingest semantic near-dup check against the persisted
+    hyperplane-bucket index: only the batch is bucketed and shuffled;
+    corpus buckets and vectors come off disk pre-partitioned."""
+    from data_cube_spark.operators import similarity
+    from data_cube_spark.sources.star import load_tables
+
+    batch = load_tables(spark, sf_dir)["embeddings"].where("vec_id % 2 = 1")
+    return similarity.incremental_embedding_pairs_indexed(
+        batch, f"{_DISK_INDEX[sf_dir]}_emb", threshold=0.4)
+
+
 #: benched alongside the registry queries; keys land in the same
 #: "queries" dict of the output JSON
 EXTRA_BENCH = {
@@ -206,6 +224,7 @@ EXTRA_BENCH = {
     "indexed_minhash_read": _indexed_minhash_read,
     "indexed_exact_read": _indexed_exact_read,
     "indexed_prefix_read": _indexed_prefix_read,
+    "indexed_embedding_read": _indexed_embedding_read,
 }
 
 

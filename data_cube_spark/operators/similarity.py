@@ -647,6 +647,13 @@ def cap_pair_degree(pairs: DataFrame, max_degree: int,
     orphans a node that has any edge)."""
     if max_degree < 1:
         raise ValueError("max_degree must be >= 1")
+    # materialize the pair source ONCE: this function references it three
+    # times (both symmetrize branches + the final membership join), and
+    # an unmaterialized upstream — e.g. the blocked-matmul mapInPandas
+    # tier — would re-run per reference (measured 3x the matmul cost at
+    # sf0.1). Lazy checkpoint: a LocalRelation from the driver tier costs
+    # nothing extra.
+    pairs = pairs.localCheckpoint(eager=False)
     # undirected degree: rank over each node's FULL edge list (a node
     # appears as id_a in some edges and id_b in others), so symmetrize
     # first — 2|E| rows through one rank window, still linear
@@ -674,6 +681,157 @@ def cap_pair_degree(pairs: DataFrame, max_degree: int,
         .withColumn("_kb", F.greatest("id_a", "id_b"))
         .join(keep, ["_ka", "_kb"], "left_semi")
         .drop("_ka", "_kb")
+    )
+
+
+# -- persisted embedding LSH index (incremental semantic dedup) -------------
+
+def write_embedding_index(
+    corpus: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    path: str | None = None,
+) -> None:
+    """Persist the standing corpus's EMBEDDING near-dup index — the
+    semantic member of the incremental-dedup index family (exact
+    fingerprints / prefix postings / MinHash bands / THIS). Two bucketed
+    catalog tables:
+
+    - ``<table>_buckets``: (corpus_id, _t, _b) — one row per (hash
+      table, hyperplane bucket), bucketed + bucket-sorted on the
+      ``(_t, _b)`` candidate equi-join key, so every per-ingest batch
+      join reads the corpus side pre-partitioned and ONLY the batch
+      shuffles;
+    - ``<table>_vec``: (corpus_id, _vec, _norm) — normalized vectors
+      bucketed on corpus_id for the cosine-verify join.
+
+    The hyperplanes are DETERMINISTIC functions of (dim, n_planes,
+    n_tables, seed); those parameters are stamped as table properties
+    and the read path refuses a mismatch — a batch bucketed with
+    different planes would silently lose every candidate."""
+    from data_cube_spark.operators.dedup import _set_index_meta
+    from data_cube_spark.sources.ingest import write_bucketed
+
+    import os
+
+    v = with_norm(corpus, vec_col).select(F.col(id_col), "_vec", "_norm")
+    v = v.localCheckpoint()  # feeds both the bucket explode and _vec
+    buckets = _lsh_buckets_udf(n_planes, n_tables, dim, seed)
+    banded = v.select(
+        F.col(id_col).alias("corpus_id"),
+        F.posexplode(buckets(F.col("_vec"))).alias("_t", "_b"))
+    write_bucketed(banded, f"{table}_buckets", ["_t", "_b"], n_buckets,
+                   path=None if path is None else os.path.join(path, "b"))
+    write_bucketed(
+        v.select(F.col(id_col).alias("corpus_id"), "_vec", "_norm"),
+        f"{table}_vec", ["corpus_id"], n_buckets,
+        path=None if path is None else os.path.join(path, "v"))
+    meta = {"n_planes": n_planes, "n_tables": n_tables, "dim": dim,
+            "seed": seed, "n_buckets": n_buckets}
+    _set_index_meta(corpus.sparkSession, f"{table}_buckets", meta)
+    _set_index_meta(corpus.sparkSession, f"{table}_vec", meta)
+
+
+def append_to_embedding_index(
+    new_vecs: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+) -> None:
+    """Fold accepted vectors into a persisted
+    :func:`write_embedding_index` (``insertInto`` preserves bucketing;
+    re-appends duplicate rows harmlessly — compact on the refresh
+    cadence). Raises if the plane parameters differ from the writer's."""
+    from data_cube_spark.operators.dedup import _require_index_meta
+
+    spark = new_vecs.sparkSession
+    expect = {"n_planes": n_planes, "n_tables": n_tables, "dim": dim,
+              "seed": seed}
+    _require_index_meta(spark, f"{table}_buckets", expect)
+    _require_index_meta(spark, f"{table}_vec", expect)
+    v = with_norm(new_vecs, vec_col).select(
+        F.col(id_col), "_vec", "_norm").localCheckpoint()
+    buckets = _lsh_buckets_udf(n_planes, n_tables, dim, seed)
+    (v.select(F.col(id_col).alias("corpus_id"),
+              F.posexplode(buckets(F.col("_vec"))).alias("_t", "_b"))
+     .select(*spark.table(f"{table}_buckets").columns)
+     .write.insertInto(f"{table}_buckets"))
+    (v.select(F.col(id_col).alias("corpus_id"), "_vec", "_norm")
+     .select(*spark.table(f"{table}_vec").columns)
+     .write.insertInto(f"{table}_vec"))
+
+
+def compact_embedding_index(spark, table: str) -> int:
+    """Re-distinct both embedding-index tables in place (bucketing,
+    location and metadata preserved). Returns duplicate rows removed."""
+    from data_cube_spark.operators.dedup import _compact_index_table
+
+    removed = _compact_index_table(spark, f"{table}_buckets",
+                                   ["_t", "_b"])
+    removed += _compact_index_table(spark, f"{table}_vec", ["corpus_id"])
+    return removed
+
+
+def incremental_embedding_pairs_indexed(
+    batch: DataFrame,
+    table: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Batch-vs-corpus embedding near-dup pairs against a PERSISTED
+    :func:`write_embedding_index` — the semantic twin of
+    ``incremental_minhash_pairs_indexed``: per ingest batch only the
+    batch is bucketed and shuffled; the corpus bucket table comes off
+    disk pre-partitioned on the ``(_t, _b)`` join key and the verify
+    join reads vectors bucketed on corpus_id. Candidates carry IDs only;
+    exact cosine verification happens after the candidate dedup.
+    Returns (batch_id, corpus_id, cosine >= threshold). Plane
+    parameters are validated against the index metadata."""
+    from data_cube_spark.operators.dedup import _require_index_meta
+
+    spark = batch.sparkSession
+    _require_index_meta(spark, f"{table}_buckets",
+                        {"n_planes": n_planes, "n_tables": n_tables,
+                         "dim": dim, "seed": seed})
+    v_b = with_norm(batch, vec_col).select(
+        F.col(id_col), "_vec", "_norm").localCheckpoint()
+    buckets = _lsh_buckets_udf(n_planes, n_tables, dim, seed)
+    bb = v_b.select(
+        F.col(id_col).alias("batch_id"),
+        F.posexplode(buckets(F.col("_vec"))).alias("_t", "_b"))
+    cands = (
+        bb.join(spark.table(f"{table}_buckets"), ["_t", "_b"])
+        .select("batch_id", "corpus_id")
+        .dropDuplicates()
+    )
+    vb = v_b.select(F.col(id_col).alias("batch_id"),
+                    F.col("_vec").alias("_va"), F.col("_norm").alias("_na"))
+    vc = spark.table(f"{table}_vec").select(
+        "corpus_id", F.col("_vec").alias("_vb"),
+        F.col("_norm").alias("_nb"))
+    return (
+        cands.join(vb, "batch_id").join(vc, "corpus_id")
+        .select(
+            "batch_id", "corpus_id",
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+            .cast("double").alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
     )
 
 

@@ -1964,4 +1964,19 @@ ORACLE: dict[str, str] = {
     """,
     "incremental_prefix_pairs_indexed": _incremental_exact_sql(0.5),
     "incremental_minhash_pairs_indexed": _incremental_truth_sql(0.5),
+    "incremental_embedding_pairs_indexed": """
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v)
+      SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
+             CAST(list_dot_product(b.vec, c.vec) / (b.nrm * c.nrm)
+                  AS DOUBLE) AS cosine,
+             TRUE AS lsh_found
+      FROM n b JOIN n c ON b.vec_id % 2 = 1 AND c.vec_id % 2 = 0
+      WHERE list_dot_product(b.vec, c.vec) / (b.nrm * c.nrm) >= 0.45
+    """,
 }

@@ -103,6 +103,69 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_invariant(exact, approx, mean_floor=0.5)
 
 
+def q_incremental_embedding_pairs_indexed(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBEDDING member of the persisted incremental-dedup index
+    family (write seed = vec_id % 4 == 0, append % 4 == 2, batch = odd
+    vec_ids), emitted as the driver-checkable recall invariant: the
+    corpus hyperplane-bucket table is bucketed on the (_t, _b) candidate
+    join key and the normalized-vector table on corpus_id, so per ingest
+    batch only the batch is bucketed/shuffled
+    (operators/similarity.py::incremental_embedding_pairs_indexed; plan
+    pinned in tests/test_plans.py). Output rows are the exact batch x
+    corpus cosine truth at >= 0.45, each carrying ``lsh_found`` from the
+    indexed path at its 0.4 operating threshold (n_planes=4,
+    n_tables=48 — the recall-1.0 margin-band configuration of
+    q_embedding_near_pairs_lsh; per-pair miss probability <= 9e-5);
+    the oracle asserts TRUE per pair."""
+    import os
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    base = tempfile.mkdtemp(prefix="sg_embidx_")
+    tbl = os.path.basename(base).lower()
+    try:
+        seed = emb.where(F.col("vec_id") % 4 == 0)
+        extra = emb.where(F.col("vec_id") % 4 == 2)
+        batch = emb.where(F.col("vec_id") % 2 == 1)
+        similarity.write_embedding_index(
+            seed, tbl, n_buckets=8, n_tables=48,
+            path=os.path.join(base, "emb"))
+        similarity.append_to_embedding_index(extra, tbl, n_tables=48)
+        # exact truth: all-pairs at 0.45, restricted to odd x even and
+        # normalized to (batch, corpus) — cosine is symmetric, and both
+        # orientations compute bit-identical doubles (elementwise
+        # products summed in array order)
+        allp = similarity.cosine_near_pairs(emb, threshold=0.45,
+                                            max_rows=None)
+        truth = (
+            allp.where((F.col("id_a") + F.col("id_b")) % 2 == 1)
+            .select(
+                F.when(F.col("id_a") % 2 == 1, F.col("id_a"))
+                .otherwise(F.col("id_b")).alias("batch_id"),
+                F.when(F.col("id_a") % 2 == 1, F.col("id_b"))
+                .otherwise(F.col("id_a")).alias("corpus_id"),
+                "cosine",
+            )
+        )
+        cands = similarity.incremental_embedding_pairs_indexed(
+            batch, tbl, threshold=0.4, n_tables=48
+        ).select("batch_id", "corpus_id", F.lit(True).alias("_f"))
+        out = (
+            truth.join(cands, ["batch_id", "corpus_id"], "left")
+            .select("batch_id", "corpus_id",
+                    F.col("cosine").cast("double").alias("cosine"),
+                    F.coalesce("_f", F.lit(False)).alias("lsh_found"))
+        )
+        return out.localCheckpoint()  # materialize before the DROP below
+    finally:
+        for s in ("buckets", "vec"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}_{s}")
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid vectors (IVF building block), long-form."""
     t = load_tables(spark, sf_dir)

@@ -56,11 +56,15 @@ def test_extra_bench_indexed_read_paths_run(spark):
         pf = bench.EXTRA_BENCH["indexed_prefix_read"](spark, sf)
         assert {"batch_id", "corpus_id", "jaccard"} <= set(pf.columns)
         assert pf.count() > 0
+        eb = bench.EXTRA_BENCH["indexed_embedding_read"](spark, sf)
+        assert {"batch_id", "corpus_id", "cosine"} <= set(eb.columns)
+        assert eb.count() > 0
     finally:
         tag = bench._DISK_INDEX.pop(sf, None)
         if tag:
             for s in ("mh_bands", "mh_sig", "fp_fp",
-                      "pfx_prefix", "pfx_df", "pfx_sets"):
+                      "pfx_prefix", "pfx_df", "pfx_sets",
+                      "emb_buckets", "emb_vec"):
                 spark.sql(f"DROP TABLE IF EXISTS {tag}_{s}")
             shutil.rmtree(os.path.join(tempfile.gettempdir(), tag),
                           ignore_errors=True)

@@ -721,3 +721,97 @@ def test_index_compaction_re_distincts(spark, tables, tmp_path):
     finally:
         for t in ("t_cmp_fp_fp", "t_cmp_mh_bands", "t_cmp_mh_sig"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_embedding_index_exchange_free_and_exact(spark, tables, tmp_path):
+    """The EMBEDDING member of the persisted incremental-dedup index
+    family: the per-batch candidate join reads the corpus bucket table
+    pre-partitioned on (_t, _b) (single batch-side exchange), every
+    returned pair is an exact-cosine true pair (verified against a numpy
+    ground truth), recall at the +0.05 margin band is 1.0 at the 48-table
+    setting, appends fold in equivalently, parameter mismatches refuse,
+    and compaction preserves results."""
+    import numpy as np
+
+    from data_cube_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+
+    def truth(threshold):
+        def mat(df):
+            rows = sorted((r["vec_id"], r["embedding"]) for r in df.collect())
+            ids = np.array([r[0] for r in rows])
+            m = np.array([r[1] for r in rows], dtype="float64")
+            return ids, m / np.linalg.norm(m, axis=1, keepdims=True)
+        bi, bm = mat(batch)
+        ci, cm = mat(corpus)
+        s = bm @ cm.T
+        r, c = np.nonzero(s >= threshold)
+        return {(int(bi[i]), int(ci[j])) for i, j in zip(r, c)}
+
+    try:
+        similarity.write_embedding_index(
+            corpus, "t_emb_idx", n_buckets=4, n_tables=48,
+            path=str(tmp_path / "emb"))
+        got = {(r["batch_id"], r["corpus_id"])
+               for r in similarity.incremental_embedding_pairs_indexed(
+                   batch, "t_emb_idx", threshold=0.4, n_tables=48).collect()}
+        assert got <= truth(0.4)          # no false positives (exact verify)
+        assert got >= truth(0.45)         # recall 1.0 above the margin band
+        assert len(truth(0.45)) > 0       # non-vacuous
+
+        # plan: candidate join in isolation — corpus scan bucketed, only
+        # the batch side exchanges
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            from data_cube_spark.operators.similarity import (
+                _lsh_buckets_udf,
+                with_norm,
+            )
+            v_b = with_norm(batch, "embedding")
+            bk = _lsh_buckets_udf(4, 48, 64, 42)
+            bb = v_b.select(
+                F.col("vec_id").alias("batch_id"),
+                F.posexplode(bk(F.col("_vec"))).alias("_t", "_b"))
+            j = bb.join(spark.table("t_emb_idx_buckets"), ["_t", "_b"])
+            plan = explain_str(j, "simple")
+            assert "Bucketed: true" in plan, plan
+            assert count_exchanges(j) == 1, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        # append path == writing the whole corpus at once
+        similarity.write_embedding_index(
+            emb.where(F.col("vec_id") % 4 == 0), "t_emb_app", n_buckets=4,
+            n_tables=48, path=str(tmp_path / "emb_app"))
+        similarity.append_to_embedding_index(
+            emb.where(F.col("vec_id") % 4 == 2), "t_emb_app", n_tables=48)
+        got_app = {(r["batch_id"], r["corpus_id"])
+                   for r in similarity.incremental_embedding_pairs_indexed(
+                       batch, "t_emb_app", threshold=0.4,
+                       n_tables=48).collect()}
+        assert got_app == got
+
+        # duplicate append -> compaction re-distincts, results unchanged
+        similarity.append_to_embedding_index(
+            emb.where(F.col("vec_id") % 4 == 2), "t_emb_app", n_tables=48)
+        assert similarity.compact_embedding_index(spark, "t_emb_app") > 0
+        vec = spark.table("t_emb_app_vec")
+        assert vec.count() == vec.dropDuplicates(["corpus_id"]).count()
+        got_cmp = {(r["batch_id"], r["corpus_id"])
+                   for r in similarity.incremental_embedding_pairs_indexed(
+                       batch, "t_emb_app", threshold=0.4,
+                       n_tables=48).collect()}
+        assert got_cmp == got
+
+        # parameter mismatch refuses (different planes -> different buckets)
+        with pytest.raises(ValueError, match="parameter mismatch"):
+            similarity.incremental_embedding_pairs_indexed(
+                batch, "t_emb_idx", threshold=0.4, n_planes=8, n_tables=48)
+    finally:
+        for t in ("t_emb_idx_buckets", "t_emb_idx_vec",
+                  "t_emb_app_buckets", "t_emb_app_vec"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -330,6 +330,13 @@ CURATED: dict[str, str] = {
         "on content_hash; the index scan is bucketed on the join key so "
         "only the (hashed) batch side exchanges."
     ),
+    "incremental_embedding_pairs_indexed": (
+        "Persisted EMBEDDING-index read path (the semantic member of "
+        "the index family): corpus hyperplane buckets scanned bucketed "
+        "on (_t, _b), normalized vectors bucketed on corpus_id — both "
+        "joins corpus-side exchange-free; candidates carry ids only, "
+        "cosine verify after candidate dedup."
+    ),
 }
 
 
@@ -413,6 +420,15 @@ def _build_indexed_reads(which):
                                      threshold=0.5, path=base)
             return dedup.incremental_prefix_pairs_indexed(
                 batch, tag, threshold=0.5)
+        if which == "emb":
+            from data_cube_spark.operators import similarity
+
+            emb = load_tables(spark, sf_dir)["embeddings"]
+            similarity.write_embedding_index(
+                emb.where(F.col("vec_id") % 2 == 0), tag, n_buckets=8,
+                path=base)
+            return similarity.incremental_embedding_pairs_indexed(
+                emb.where(F.col("vec_id") % 2 == 1), tag, threshold=0.4)
         dedup.write_fingerprint_index(corpus, tag, n_buckets=8, path=base)
         return dedup.dedup_exact_indexed(batch, tag)
 
@@ -425,6 +441,7 @@ SPECIAL_BUILD = {
     "incremental_minhash_pairs_indexed": _build_indexed_reads("mh"),
     "incremental_prefix_pairs_indexed": _build_indexed_reads("pfx"),
     "dedup_exact_indexed_ingest": _build_indexed_reads("fp"),
+    "incremental_embedding_pairs_indexed": _build_indexed_reads("emb"),
 }
 
 
