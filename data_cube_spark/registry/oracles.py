@@ -1979,4 +1979,12 @@ ORACLE: dict[str, str] = {
       FROM n b JOIN n c ON b.vec_id % 2 = 1 AND c.vec_id % 2 = 0
       WHERE list_dot_product(b.vec, c.vec) / (b.nrm * c.nrm) >= 0.45
     """,
+    "embeddings_stream_ingest": """
+      SELECT vec_id,
+             CAST(sqrt(list_sum(list_transform(
+                 embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               AS DOUBLE) AS nrm,
+             TRUE AS stream_eq_batch, TRUE AS target_vec_ok
+      FROM embeddings WHERE vec_id % 2 = 1
+    """,
 }

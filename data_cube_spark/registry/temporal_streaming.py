@@ -76,6 +76,86 @@ def q_documents_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_embeddings_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous SEMANTIC ingest, emitted as the same driver-checkable
+    stream==batch invariant as ``documents_stream_ingest``: odd-vec_id
+    embeddings stream in two micro-batches through foreachBatch, each
+    hyperplane-bucketed against the PERSISTED even-vec_id embedding
+    index (corpus side pre-partitioned on disk — only the batch
+    shuffles); exact-cosine near-dups of the corpus at 0.7 are
+    suppressed and survivors append. One row per streamed vector with
+    its norm (SQL-recomputable), ``stream_eq_batch`` = the streamed
+    keep/suppress decision equals the batch twin's
+    (``incremental_embedding_pairs_indexed`` against the same fixed
+    index — deterministic planes, so equality is exact), and
+    ``target_vec_ok`` = kept vectors landed byte-identical (TRUE for
+    suppressed). All flags TRUE by construction; the oracle asserts them
+    (streaming/cube_stream.py::streaming_embedding_ingest)."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_cube_spark.operators import similarity
+    from data_cube_spark.streaming.cube_stream import (
+        streaming_embedding_ingest,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="sg_sembing_")
+    tbl = os.path.basename(work).lower()
+    try:
+        similarity.write_embedding_index(
+            corpus, tbl, n_buckets=8, path=os.path.join(work, "idx"))
+        src = os.path.join(work, "src")
+        half = batch.approxQuantile("vec_id", [0.5], 0.01)[0]
+        batch.where(F.col("vec_id") <= half).coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        batch.where(F.col("vec_id") > half).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q = streaming_embedding_ingest(
+            spark, src, batch.schema, os.path.join(work, "ckpt"),
+            os.path.join(work, "target"), index_table=tbl,
+            threshold=0.7, max_files_per_trigger=1).start()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("embeddings_stream_ingest: stream did not "
+                               "finish within 300 s")
+        streamed = spark.read.parquet(os.path.join(work, "target")).select(
+            "vec_id", F.col("embedding").alias("_tgt_emb"))
+        # batch twin: same fixed-index suppression in one batch — the
+        # planes are deterministic functions of the stamped parameters,
+        # so the micro-batched decisions must match exactly
+        twin_drop = (
+            similarity.incremental_embedding_pairs_indexed(
+                batch, tbl, threshold=0.7)
+            .select(F.col("batch_id").alias("vec_id")).dropDuplicates()
+            .select("vec_id", F.lit(True).alias("_twin_dropped"))
+        )
+        out = (
+            batch
+            .join(streamed, "vec_id", "left")
+            .join(twin_drop, "vec_id", "left")
+            .select(
+                "vec_id",
+                similarity.norm(similarity._as_double(F.col("embedding")))
+                .cast("double").alias("nrm"),
+                (F.col("_tgt_emb").isNotNull()
+                 == F.col("_twin_dropped").isNull()).alias("stream_eq_batch"),
+                F.coalesce(F.col("_tgt_emb") == F.col("embedding"),
+                           F.lit(True)).alias("target_vec_ok"),
+            )
+        )
+        # materialize off the temp dir/tables so they can be dropped
+        return out.localCheckpoint()
+    finally:
+        for s in ("buckets", "vec"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}_{s}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once restoration: the events table is staged
     TWICE into a file-stream source (at-least-once redelivery), streaming

@@ -475,6 +475,92 @@ def streaming_corpus_ingest(
     )
 
 
+def streaming_embedding_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    target_dir: str,
+    index_table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    max_files_per_trigger: int | None = None,
+    append_survivors: bool = False,
+):
+    """Continuous SEMANTIC ingest — the embedding twin of
+    :func:`streaming_corpus_ingest`: every micro-batch of incoming
+    vectors is hyperplane-bucketed against the PERSISTED embedding index
+    (:func:`...similarity.write_embedding_index`), candidates are
+    exact-cosine verified, and only vectors with no standing near-dup at
+    ``threshold`` append to the target. Per micro-batch only the batch
+    is bucketed and shuffled — the corpus bucket/vector tables come off
+    disk pre-partitioned on their join keys.
+
+    Same exactly-once contract as the text path: survivors land in an
+    epoch-keyed partition directory written with OVERWRITE, so an
+    at-least-once foreachBatch replay is idempotent.
+
+    ``append_survivors=True`` makes the index self-maintaining via
+    ``append_to_embedding_index`` — later batches in the same run dedup
+    against earlier survivors. Replay-safe by the same argument as the
+    text path: candidate pairs whose ``corpus_id`` is in the CURRENT
+    batch's id set are excluded, so a replayed batch recomputes the
+    identical survivor set; the re-run index append only duplicates rows
+    (harmless for the anti-join, cleaned by ``compact_embedding_index``
+    on the refresh cadence). Index plane parameters are validated per
+    batch — a mismatch fails the stream rather than silently losing
+    every candidate."""
+    import os
+
+    from data_cube_spark.operators.similarity import (
+        append_to_embedding_index,
+        incremental_embedding_pairs_indexed,
+    )
+
+    params = dict(n_planes=n_planes, n_tables=n_tables, dim=dim, seed=seed)
+
+    def ingest(batch_df, epoch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        pairs = incremental_embedding_pairs_indexed(
+            batch_df, index_table, threshold=threshold,
+            id_col=id_col, vec_col=vec_col, **params)
+        if append_survivors:
+            # exclude matches against THIS batch's own (replayed) index
+            # rows — the replay-idempotence filter
+            own = batch_df.select(
+                F.col(id_col).alias("corpus_id")).dropDuplicates()
+            pairs = pairs.join(own, "corpus_id", "left_anti")
+        dup = pairs.select(F.col("batch_id").alias(id_col)).dropDuplicates()
+        survivors = batch_df.join(dup, id_col, "left_anti")
+        if append_survivors:
+            # one materialization feeds both the epoch write and the
+            # index append (avoids recomputing the candidate join)
+            survivors = survivors.localCheckpoint()
+        (survivors.write.mode("overwrite")
+         .parquet(os.path.join(target_dir, f"ingest_epoch={int(epoch_id)}")))
+        if append_survivors:
+            append_to_embedding_index(
+                survivors.select(id_col, vec_col), index_table,
+                id_col=id_col, vec_col=vec_col, **params)
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(source_dir)
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def streaming_dedup(
     spark: SparkSession,
     source_dir: str,

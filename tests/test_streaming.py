@@ -915,3 +915,129 @@ def test_streaming_corpus_ingest_indexed_restart_exactly_once(
     finally:
         spark.sql("DROP TABLE IF EXISTS t_restart_idx_bands")
         spark.sql("DROP TABLE IF EXISTS t_restart_idx_sig")
+
+
+def test_streaming_embedding_ingest_self_maintaining(spark, tables, tmp_path):
+    """The SEMANTIC streaming ingest (embedding twin of
+    streaming_corpus_ingest): micro-batches of vectors suppress against
+    the persisted embedding index; the survivor set equals the batch
+    twin's; with append_survivors a later batch's exact clone of an
+    EARLIER batch's survivor is suppressed (without the flag it sails
+    through, since the clone's corpus cosines are the survivor's — all
+    below threshold by definition of survivor); the index grows by the
+    survivors."""
+    import time as _time
+
+    from data_cube_spark.operators import similarity
+    from data_cube_spark.streaming.cube_stream import (
+        streaming_embedding_ingest,
+    )
+
+    emb = tables["embeddings"]
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    b1 = emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+
+    # two micro-batches: b1, then an exact clone of a b1 SURVIVOR under a
+    # new vec_id (mtime-spaced; maxFilesPerTrigger=1 keeps the order)
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    # ground truth via the (numpy-verified) batch operator on a throwaway
+    # index: b1's survivors against the standing corpus
+    similarity.write_embedding_index(corpus, "t_emb_truth", n_buckets=4,
+                                     path=str(tmp_path / "idx_truth"))
+    try:
+        dropped = {r["batch_id"]
+                   for r in similarity.incremental_embedding_pairs_indexed(
+                       b1, "t_emb_truth", threshold=0.85).collect()}
+    finally:
+        for s in ("buckets", "vec"):
+            spark.sql(f"DROP TABLE IF EXISTS t_emb_truth_{s}")
+    surv = [r for r in b1.collect() if r["vec_id"] not in dropped]
+    assert surv, "need at least one surviving b1 vector"
+
+    _time.sleep(1.1)
+    clone = spark.createDataFrame(
+        [(9_000_001, surv[0]["embedding"])], b1.schema)
+    clone.coalesce(1).write.mode("append").parquet(src)
+
+    def run(tag, append):
+        similarity.write_embedding_index(corpus, tag, n_buckets=4,
+                                         path=str(tmp_path / f"idx_{tag}"))
+        q = streaming_embedding_ingest(
+            spark, src, b1.schema, str(tmp_path / f"ck_{tag}"),
+            str(tmp_path / f"out_{tag}"), index_table=tag,
+            threshold=0.85, max_files_per_trigger=1,
+            append_survivors=append).start()
+        assert q.awaitTermination(120)
+        return {r["vec_id"] for r in
+                spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()}
+
+    try:
+        got = run("t_semb_on", True)
+        assert 9_000_001 not in got, "cross-batch clone must be suppressed"
+        assert got == {r["vec_id"] for r in surv}
+        # the index grew by exactly the survivors (the clone never appended)
+        n_vec = spark.table("t_semb_on_vec").count()
+        assert n_vec == corpus.count() + len(got)
+
+        got_off = run("t_semb_off", False)
+        assert 9_000_001 in got_off, (
+            "without append_survivors the cross-batch clone survives")
+        assert got_off - {9_000_001} == got
+    finally:
+        for tag in ("t_semb_on", "t_semb_off"):
+            for s in ("buckets", "vec"):
+                spark.sql(f"DROP TABLE IF EXISTS {tag}_{s}")
+
+
+def test_streaming_embedding_ingest_restart_exactly_once(
+        spark, tables, tmp_path):
+    """Kill-and-resume for the self-maintaining SEMANTIC ingest: hard
+    stop after the first committed micro-batch (whose survivors are
+    already in the index), resume — same survivor set as an
+    uninterrupted run, no duplicates, and compaction cleans the
+    replay-duplicated index rows in place."""
+    from data_cube_spark.operators import similarity
+    from data_cube_spark.streaming.cube_stream import (
+        streaming_embedding_ingest,
+    )
+
+    emb = tables["embeddings"]
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    incoming = emb.where(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        incoming.where(F.col("vec_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+    try:
+        for tag, interrupt in (("t_erst_a", True), ("t_erst_b", False)):
+            similarity.write_embedding_index(
+                corpus, tag, n_buckets=4, path=str(tmp_path / f"idx_{tag}"))
+
+            def start():
+                return streaming_embedding_ingest(
+                    spark, src, incoming.schema,
+                    str(tmp_path / f"ck_{tag}"),
+                    str(tmp_path / f"out_{tag}"), index_table=tag,
+                    threshold=0.85, max_files_per_trigger=1,
+                    append_survivors=True).start()
+
+            if interrupt:
+                _run_until_n_batches(start(), 1)
+            q = start()
+            q.awaitTermination(120)
+        a = [r["vec_id"] for r in
+             spark.read.parquet(str(tmp_path / "out_t_erst_a")).collect()]
+        b = [r["vec_id"] for r in
+             spark.read.parquet(str(tmp_path / "out_t_erst_b")).collect()]
+        assert len(a) == len(set(a)), "duplicate survivors after replay"
+        assert sorted(a) == sorted(b), "interrupted run diverged"
+        assert similarity.compact_embedding_index(spark, "t_erst_a") >= 0
+        vec = spark.table("t_erst_a_vec")
+        assert vec.count() == vec.dropDuplicates(["corpus_id"]).count()
+    finally:
+        for tag in ("t_erst_a", "t_erst_b"):
+            for s in ("buckets", "vec"):
+                spark.sql(f"DROP TABLE IF EXISTS {tag}_{s}")
