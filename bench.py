@@ -167,6 +167,9 @@ def _build_disk_indexes(spark, sf_dir) -> None:
     similarity.write_embedding_index(
         tbl["embeddings"].where("vec_id % 2 = 0"), f"{tag}_emb",
         n_buckets=32, path=os.path.join(base, "emb"))
+    similarity.write_ivf_index(
+        tbl["embeddings"].where("vec_id % 2 = 0"), f"{tag}_ivf",
+        n_cells=16, n_buckets=16, path=os.path.join(base, "ivf"))
     _DISK_INDEX[sf_dir] = tag
 
 
@@ -216,6 +219,19 @@ def _indexed_embedding_read(spark, sf_dir):
         batch, f"{_DISK_INDEX[sf_dir]}_emb", threshold=0.4)
 
 
+def _indexed_ivf_read(spark, sf_dir):
+    """ANN query batch against the persisted IVF index: centroids
+    broadcast, each query probes its 4 nearest of 16 cells, the cells
+    table read bucketed on cell_id — only the query batch shuffles."""
+    from data_cube_spark.operators import similarity
+    from data_cube_spark.sources.star import load_tables
+
+    queries = load_tables(spark, sf_dir)["embeddings"].where(
+        "vec_id % 2 = 1")
+    return similarity.ann_ivf_topk_indexed(
+        queries, f"{_DISK_INDEX[sf_dir]}_ivf", k=5, n_probe=4)
+
+
 #: benched alongside the registry queries; keys land in the same
 #: "queries" dict of the output JSON
 EXTRA_BENCH = {
@@ -225,6 +241,7 @@ EXTRA_BENCH = {
     "indexed_exact_read": _indexed_exact_read,
     "indexed_prefix_read": _indexed_prefix_read,
     "indexed_embedding_read": _indexed_embedding_read,
+    "indexed_ivf_read": _indexed_ivf_read,
 }
 
 

@@ -697,6 +697,7 @@ def write_embedding_index(
     dim: int = 64,
     seed: int = 42,
     path: str | None = None,
+    max_bucket_rows: int = 256,
 ) -> None:
     """Persist the standing corpus's EMBEDDING near-dup index — the
     semantic member of the incremental-dedup index family (exact
@@ -711,10 +712,20 @@ def write_embedding_index(
     - ``<table>_vec``: (corpus_id, _vec, _norm) — normalized vectors
       bucketed on corpus_id for the cosine-verify join.
 
-    The hyperplanes are DETERMINISTIC functions of (dim, n_planes,
-    n_tables, seed); those parameters are stamped as table properties
-    and the read path refuses a mismatch — a batch bucketed with
-    different planes would silently lose every candidate."""
+    ``n_planes`` is a MINIMUM: the occupancy guard
+    (:func:`effective_planes`) raises it with log2 of the corpus size so
+    per-bucket occupancy stays <= ``max_bucket_rows`` — with planes
+    fixed, per-ingest candidate volume grows with corpus x batch (the
+    quadratic scale-killer; measured 21x on a 10x corpus before the
+    guard). More planes lower per-table recall; size ``n_tables`` for a
+    recall floor with :func:`lsh_plan` (cost linear in tables).
+
+    The hyperplanes are DETERMINISTIC functions of (dim, effective
+    planes, n_tables, seed); the EFFECTIVE geometry is stamped as table
+    properties, the read/append paths derive it from there, and
+    explicitly-passed parameters are validated against it — a batch
+    bucketed with different planes would silently lose every
+    candidate."""
     from data_cube_spark.operators.dedup import _set_index_meta
     from data_cube_spark.sources.ingest import write_bucketed
 
@@ -722,6 +733,7 @@ def write_embedding_index(
 
     v = with_norm(corpus, vec_col).select(F.col(id_col), "_vec", "_norm")
     v = v.localCheckpoint()  # feeds both the bucket explode and _vec
+    n_planes = effective_planes(n_planes, v.count(), max_bucket_rows)
     buckets = _lsh_buckets_udf(n_planes, n_tables, dim, seed)
     banded = v.select(
         F.col(id_col).alias("corpus_id"),
@@ -738,30 +750,44 @@ def write_embedding_index(
     _set_index_meta(corpus.sparkSession, f"{table}_vec", meta)
 
 
+def _plane_geometry(spark, table: str, caller: dict) -> dict:
+    """Resolve the hyperplane geometry (n_planes, n_tables, dim, seed)
+    from the stored index metadata — the writer may have raised planes
+    via the occupancy guard, so readers derive rather than guess.
+    Explicitly-passed (non-None) values are validated against the store
+    and a mismatch raises."""
+    from data_cube_spark.operators.dedup import _require_index_meta
+
+    expect = {k: v for k, v in caller.items() if v is not None}
+    stored = _require_index_meta(spark, table, expect)
+    return {k: int(stored[k])
+            for k in ("n_planes", "n_tables", "dim", "seed")}
+
+
 def append_to_embedding_index(
     new_vecs: DataFrame,
     table: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
-    n_tables: int = 16,
-    dim: int = 64,
-    seed: int = 42,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    dim: int | None = None,
+    seed: int | None = None,
 ) -> None:
     """Fold accepted vectors into a persisted
     :func:`write_embedding_index` (``insertInto`` preserves bucketing;
     re-appends duplicate rows harmlessly — compact on the refresh
-    cadence). Raises if the plane parameters differ from the writer's."""
-    from data_cube_spark.operators.dedup import _require_index_meta
-
+    cadence). The plane geometry comes from the index metadata;
+    explicitly-passed parameters are validated against it."""
     spark = new_vecs.sparkSession
     expect = {"n_planes": n_planes, "n_tables": n_tables, "dim": dim,
               "seed": seed}
-    _require_index_meta(spark, f"{table}_buckets", expect)
-    _require_index_meta(spark, f"{table}_vec", expect)
+    geo = _plane_geometry(spark, f"{table}_buckets", expect)
+    _plane_geometry(spark, f"{table}_vec", expect)
     v = with_norm(new_vecs, vec_col).select(
         F.col(id_col), "_vec", "_norm").localCheckpoint()
-    buckets = _lsh_buckets_udf(n_planes, n_tables, dim, seed)
+    buckets = _lsh_buckets_udf(geo["n_planes"], geo["n_tables"],
+                               geo["dim"], geo["seed"])
     (v.select(F.col(id_col).alias("corpus_id"),
               F.posexplode(buckets(F.col("_vec"))).alias("_t", "_b"))
      .select(*spark.table(f"{table}_buckets").columns)
@@ -788,10 +814,10 @@ def incremental_embedding_pairs_indexed(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
-    n_tables: int = 16,
-    dim: int = 64,
-    seed: int = 42,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    dim: int | None = None,
+    seed: int | None = None,
 ) -> DataFrame:
     """Batch-vs-corpus embedding near-dup pairs against a PERSISTED
     :func:`write_embedding_index` — the semantic twin of
@@ -800,17 +826,18 @@ def incremental_embedding_pairs_indexed(
     disk pre-partitioned on the ``(_t, _b)`` join key and the verify
     join reads vectors bucketed on corpus_id. Candidates carry IDs only;
     exact cosine verification happens after the candidate dedup.
-    Returns (batch_id, corpus_id, cosine >= threshold). Plane
-    parameters are validated against the index metadata."""
-    from data_cube_spark.operators.dedup import _require_index_meta
-
+    Returns (batch_id, corpus_id, cosine >= threshold). The plane
+    geometry comes from the index metadata (the writer's occupancy guard
+    may have raised planes); explicitly-passed parameters are validated
+    against it."""
     spark = batch.sparkSession
-    _require_index_meta(spark, f"{table}_buckets",
-                        {"n_planes": n_planes, "n_tables": n_tables,
-                         "dim": dim, "seed": seed})
+    geo = _plane_geometry(spark, f"{table}_buckets",
+                          {"n_planes": n_planes, "n_tables": n_tables,
+                           "dim": dim, "seed": seed})
     v_b = with_norm(batch, vec_col).select(
         F.col(id_col), "_vec", "_norm").localCheckpoint()
-    buckets = _lsh_buckets_udf(n_planes, n_tables, dim, seed)
+    buckets = _lsh_buckets_udf(geo["n_planes"], geo["n_tables"],
+                               geo["dim"], geo["seed"])
     bb = v_b.select(
         F.col(id_col).alias("batch_id"),
         F.posexplode(buckets(F.col("_vec"))).alias("_t", "_b"))
@@ -991,5 +1018,149 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", F.col("cosine").cast("double").alias("cosine"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# -- persisted IVF index (repeated ANN serving at corpus scale) --------------
+
+def write_ivf_index(
+    corpus: DataFrame,
+    table: str,
+    n_cells: int = 16,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+    path: str | None = None,
+) -> None:
+    """Persist the IVF coarse quantization for REPEATED ANN serving —
+    :func:`ivf_topk` re-trains centroids and re-assigns the corpus on
+    every call, which is the right shape for a one-off query but not for
+    an ANN service answering query batches against a standing corpus.
+    Two catalog tables:
+
+    - ``<table>_centroids``: (cell_id, centroid) — broadcast-sized;
+    - ``<table>_cells``: (cell_id, corpus_id, _vec, _norm) — the
+      normalized corpus bucketed + bucket-sorted on ``cell_id``, so
+      every probe join reads the corpus pre-partitioned and ONLY the
+      (exploded) query batch shuffles. At 10^9 vectors the per-batch
+      cost is ~n_probe/n_cells of one corpus scan with zero corpus-side
+      exchange.
+
+    Build parameters are stamped as table properties; read/append/
+    compact validate presence (``n_probe``/``k`` are free — they are
+    query-time knobs, not index geometry)."""
+    from data_cube_spark.operators.dedup import _set_index_meta
+    from data_cube_spark.sources.ingest import write_bucketed
+
+    import os
+
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col,
+                          iters).localCheckpoint()
+    assigned = ivf_assign(corpus, cents, id_col, vec_col).join(
+        corpus.select(id_col, vec_col), id_col)
+    cells = with_norm(assigned, vec_col).select(
+        "cell_id", F.col(id_col).alias("corpus_id"), "_vec", "_norm")
+    write_bucketed(cells, f"{table}_cells", ["cell_id"], n_buckets,
+                   path=None if path is None else os.path.join(path, "c"))
+    w = cents.coalesce(1).write.mode("overwrite")
+    if path is not None:
+        w = w.option("path", os.path.join(path, "cent"))
+    w.saveAsTable(f"{table}_centroids")
+    spark = corpus.sparkSession
+    meta = {"n_cells": n_cells, "iters": iters, "n_buckets": n_buckets}
+    _set_index_meta(spark, f"{table}_cells", meta)
+    _set_index_meta(spark, f"{table}_centroids", meta)
+
+
+def append_to_ivf_index(
+    new_vecs: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold new vectors into a persisted :func:`write_ivf_index`: each is
+    assigned to its nearest STORED centroid and inserted into the cells
+    table (``insertInto`` preserves bucketing; columns selected by the
+    target schema first). Centroids stay fixed between refreshes —
+    standard IVF practice; re-train via ``write_ivf_index`` on the
+    refresh cadence (cell balance drifts as the corpus grows, which
+    costs recall, never correctness — the scoring is exact cosine)."""
+    from data_cube_spark.operators.dedup import _require_index_meta
+
+    spark = new_vecs.sparkSession
+    _require_index_meta(spark, f"{table}_cells", {})
+    cents = spark.table(f"{table}_centroids")
+    assigned = ivf_assign(new_vecs, cents, id_col, vec_col).join(
+        new_vecs.select(id_col, vec_col), id_col)
+    cells = with_norm(assigned, vec_col).select(
+        "cell_id", F.col(id_col).alias("corpus_id"), "_vec", "_norm")
+    (cells.select(*spark.table(f"{table}_cells").columns)
+     .write.insertInto(f"{table}_cells"))
+
+
+def compact_ivf_index(spark, table: str) -> int:
+    """Re-distinct the cells table in place (a vector appended twice
+    contributes identical rows; bucketing, location and metadata
+    preserved). Returns duplicate rows removed."""
+    from data_cube_spark.operators.dedup import _compact_index_table
+
+    return _compact_index_table(spark, f"{table}_cells", ["cell_id"])
+
+
+def ann_ivf_topk_indexed(
+    queries: DataFrame,
+    table: str,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k against a PERSISTED :func:`write_ivf_index` —
+    identical math to :func:`ivf_topk` (same deterministic centroids at
+    equal parameters), but the corpus side is never re-trained or
+    re-shuffled: centroids broadcast off the tiny table, each query
+    probes its ``n_probe`` nearest cells, and the candidate equi-join on
+    ``cell_id`` reads the cells table bucketed — only the query batch
+    shuffles. Returns (query_id, match_id, cosine, rank)."""
+    from data_cube_spark.operators.dedup import _require_index_meta
+
+    spark = queries.sparkSession
+    _require_index_meta(spark, f"{table}_cells", {})
+    cw = spark.table(f"{table}_centroids").select(
+        "cell_id", _as_double(F.col("centroid")).alias("_centvec"))
+    q = with_norm(queries, vec_col)
+    probes = q.crossJoin(F.broadcast(cw)).select(
+        F.col(id_col).alias("query_id"), F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"), "cell_id",
+        dot(F.col("_vec"), F.col("_centvec")).alias("_cscore"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_cscore").desc(), F.col("cell_id").asc())
+    probed = (
+        probes.withColumn("_pr", F.row_number().over(wq))
+        .where(F.col("_pr") <= n_probe)
+        .select("query_id", "_qvec", "_qnorm", "cell_id")
+    )
+    c = spark.table(f"{table}_cells").select(
+        "cell_id", F.col("corpus_id").alias("match_id"),
+        F.col("_vec").alias("_cvec"), F.col("_norm").alias("_cnorm"))
+    scored = probed.join(c, "cell_id")
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("match_id"))
+    scored = scored.select(
+        "query_id", "match_id",
+        (dot(F.col("_qvec"), F.col("_cvec"))
+         / (F.col("_qnorm") * F.col("_cnorm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id",
+                F.col("cosine").cast("double").alias("cosine"),
                 F.col("rank").cast("int").alias("rank"))
     )

@@ -1987,4 +1987,9 @@ ORACLE: dict[str, str] = {
              TRUE AS stream_eq_batch, TRUE AS target_vec_ok
       FROM embeddings WHERE vec_id % 2 = 1
     """,
+    "ann_ivf_topk_indexed": """
+      SELECT vec_id AS query_id, CAST(5 AS INT) AS n_exact,
+             CAST(5 AS INT) AS n_matches, TRUE AS batch_recall_ok
+      FROM embeddings WHERE vec_id < 10
+    """,
 }

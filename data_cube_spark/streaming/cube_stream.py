@@ -485,10 +485,10 @@ def streaming_embedding_ingest(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.85,
-    n_planes: int = 4,
-    n_tables: int = 16,
-    dim: int = 64,
-    seed: int = 42,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    dim: int | None = None,
+    seed: int | None = None,
     max_files_per_trigger: int | None = None,
     append_survivors: bool = False,
 ):
@@ -512,9 +512,10 @@ def streaming_embedding_ingest(
     batch's id set are excluded, so a replayed batch recomputes the
     identical survivor set; the re-run index append only duplicates rows
     (harmless for the anti-join, cleaned by ``compact_embedding_index``
-    on the refresh cadence). Index plane parameters are validated per
-    batch — a mismatch fails the stream rather than silently losing
-    every candidate."""
+    on the refresh cadence). The plane geometry comes from the index
+    metadata per batch; explicitly-passed parameters are validated there
+    — a mismatch fails the stream rather than silently losing every
+    candidate."""
     import os
 
     from data_cube_spark.operators.similarity import (

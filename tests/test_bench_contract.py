@@ -59,12 +59,16 @@ def test_extra_bench_indexed_read_paths_run(spark):
         eb = bench.EXTRA_BENCH["indexed_embedding_read"](spark, sf)
         assert {"batch_id", "corpus_id", "cosine"} <= set(eb.columns)
         assert eb.count() > 0
+        iv = bench.EXTRA_BENCH["indexed_ivf_read"](spark, sf)
+        assert {"query_id", "match_id", "cosine", "rank"} <= set(iv.columns)
+        assert iv.count() > 0
     finally:
         tag = bench._DISK_INDEX.pop(sf, None)
         if tag:
             for s in ("mh_bands", "mh_sig", "fp_fp",
                       "pfx_prefix", "pfx_df", "pfx_sets",
-                      "emb_buckets", "emb_vec"):
+                      "emb_buckets", "emb_vec",
+                      "ivf_cells", "ivf_centroids"):
                 spark.sql(f"DROP TABLE IF EXISTS {tag}_{s}")
             shutil.rmtree(os.path.join(tempfile.gettempdir(), tag),
                           ignore_errors=True)

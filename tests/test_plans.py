@@ -811,7 +811,108 @@ def test_embedding_index_exchange_free_and_exact(spark, tables, tmp_path):
         with pytest.raises(ValueError, match="parameter mismatch"):
             similarity.incremental_embedding_pairs_indexed(
                 batch, "t_emb_idx", threshold=0.4, n_planes=8, n_tables=48)
+
+        # occupancy guard: a corpus bigger than max_bucket_rows raises the
+        # stored plane count (log2 of the overflow), the read path derives
+        # the geometry from metadata (no caller parameters), and results
+        # stay exact-verified (a subset of the true pairs)
+        from data_cube_spark.operators.dedup import _index_meta
+        similarity.write_embedding_index(
+            corpus, "t_emb_grd", n_buckets=4, n_tables=48,
+            max_bucket_rows=8, path=str(tmp_path / "emb_grd"))
+        n_corpus = corpus.count()
+        import math
+        want_planes = max(4, math.ceil(math.log2(n_corpus / 8)))
+        assert int(_index_meta(spark, "t_emb_grd_buckets")["n_planes"]) \
+            == want_planes
+        got_grd = {(r["batch_id"], r["corpus_id"])
+                   for r in similarity.incremental_embedding_pairs_indexed(
+                       batch, "t_emb_grd", threshold=0.4).collect()}
+        assert got_grd <= truth(0.4) and len(got_grd) > 0
     finally:
         for t in ("t_emb_idx_buckets", "t_emb_idx_vec",
-                  "t_emb_app_buckets", "t_emb_app_vec"):
+                  "t_emb_app_buckets", "t_emb_app_vec",
+                  "t_emb_grd_buckets", "t_emb_grd_vec"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivf_index_serving_matches_inline_and_exchange_free(
+        spark, tables, tmp_path):
+    """The persisted IVF index (ANN-serving member of the index family):
+    ann_ivf_topk_indexed against write_ivf_index equals the inline
+    ivf_topk at the same parameters (deterministic hash-seeded
+    centroids), the cells scan is bucketed on cell_id with only the
+    query side exchanging, appends assign to the STORED centroids,
+    compaction preserves results, and a metadata-less table refuses."""
+    from data_cube_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    queries = emb.where(F.col("vec_id") % 2 == 1).limit(20)
+
+    def key(rows):
+        return {(r["query_id"], r["match_id"], r["rank"]) for r in rows}
+
+    try:
+        similarity.write_ivf_index(corpus, "t_ivf_idx", n_cells=8,
+                                   n_buckets=4, path=str(tmp_path / "ivf"))
+        got_df = similarity.ann_ivf_topk_indexed(
+            queries, "t_ivf_idx", k=5, n_probe=4)
+        got = key(got_df.collect())
+        want = key(similarity.ivf_topk(
+            queries, corpus, k=5, n_cells=8, n_probe=4).collect())
+        assert got == want and len(got) == 20 * 5
+
+        # plan: cells scan bucketed, probe side is the only join exchange
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = explain_str(
+                similarity.ann_ivf_topk_indexed(
+                    queries, "t_ivf_idx", k=5, n_probe=4), "simple")
+            assert "Bucketed: true" in plan, plan
+            # probe window + probe-side cell_id shuffle + final top-k
+            # window; the cells side and the broadcast centroids add none
+            assert count_exchanges(similarity.ann_ivf_topk_indexed(
+                queries, "t_ivf_idx", k=5, n_probe=4)) == 3
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        # append: new vectors land in their nearest STORED centroid's cell
+        seed = emb.where(F.col("vec_id") % 4 == 0)
+        extra = emb.where(F.col("vec_id") % 4 == 2)
+        similarity.write_ivf_index(seed, "t_ivf_app", n_cells=8,
+                                   n_buckets=4, path=str(tmp_path / "app"))
+        similarity.append_to_ivf_index(extra, "t_ivf_app")
+        stored_cents = spark.table("t_ivf_app_centroids")
+        want_assign = {(r["vec_id"], r["cell_id"]) for r in
+                       similarity.ivf_assign(extra, stored_cents).collect()}
+        got_assign = {(r["corpus_id"], r["cell_id"]) for r in
+                      spark.table("t_ivf_app_cells")
+                      .join(extra.select(F.col("vec_id").alias("corpus_id")),
+                            "corpus_id", "left_semi").collect()}
+        assert got_assign == want_assign
+        assert (spark.table("t_ivf_app_cells").count()
+                == seed.count() + extra.count())
+        r1 = key(similarity.ann_ivf_topk_indexed(
+            queries, "t_ivf_app", k=5, n_probe=4).collect())
+
+        # duplicate append -> compaction re-distincts, results unchanged
+        similarity.append_to_ivf_index(extra, "t_ivf_app")
+        assert similarity.compact_ivf_index(spark, "t_ivf_app") > 0
+        cells = spark.table("t_ivf_app_cells")
+        assert cells.count() == cells.dropDuplicates(["corpus_id"]).count()
+        assert key(similarity.ann_ivf_topk_indexed(
+            queries, "t_ivf_app", k=5, n_probe=4).collect()) == r1
+
+        # a table not written by write_ivf_index refuses
+        spark.range(1).select(
+            F.lit(0).alias("cell_id"), F.col("id").alias("corpus_id")
+        ).write.mode("overwrite").saveAsTable("t_plain_cells")
+        with pytest.raises(ValueError, match="no spark_graft.index"):
+            similarity.ann_ivf_topk_indexed(queries, "t_plain", k=5)
+    finally:
+        for t in ("t_ivf_idx_cells", "t_ivf_idx_centroids",
+                  "t_ivf_app_cells", "t_ivf_app_centroids",
+                  "t_plain_cells"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -337,6 +337,12 @@ CURATED: dict[str, str] = {
         "joins corpus-side exchange-free; candidates carry ids only, "
         "cosine verify after candidate dedup."
     ),
+    "ann_ivf_topk_indexed": (
+        "Persisted IVF index (ANN serving): centroids broadcast off the "
+        "tiny table, probe join reads the cells table bucketed on "
+        "cell_id — only the query batch shuffles; corpus never "
+        "re-trained or re-shuffled per query batch."
+    ),
 }
 
 
@@ -429,6 +435,15 @@ def _build_indexed_reads(which):
                 path=base)
             return similarity.incremental_embedding_pairs_indexed(
                 emb.where(F.col("vec_id") % 2 == 1), tag, threshold=0.4)
+        if which == "ivf":
+            from data_cube_spark.operators import similarity
+
+            emb = load_tables(spark, sf_dir)["embeddings"]
+            similarity.write_ivf_index(
+                emb.where(F.col("vec_id") % 2 == 0), tag, n_cells=8,
+                n_buckets=4, path=base)
+            return similarity.ann_ivf_topk_indexed(
+                emb.where(F.col("vec_id") % 2 == 1), tag, k=5, n_probe=4)
         dedup.write_fingerprint_index(corpus, tag, n_buckets=8, path=base)
         return dedup.dedup_exact_indexed(batch, tag)
 
@@ -442,6 +457,7 @@ SPECIAL_BUILD = {
     "incremental_prefix_pairs_indexed": _build_indexed_reads("pfx"),
     "dedup_exact_indexed_ingest": _build_indexed_reads("fp"),
     "incremental_embedding_pairs_indexed": _build_indexed_reads("emb"),
+    "ann_ivf_topk_indexed": _build_indexed_reads("ivf"),
 }
 
 
