@@ -280,6 +280,30 @@ def lsh_plan(corpus_rows: int, n_planes: int = 4, n_tables: int = 10,
     }
 
 
+def _lsh_candidate_guard(fn: str, corpus_rows: int | None, n_planes: int,
+                         n_tables: int, max_bucket_rows: int,
+                         max_candidate_rows: int | None) -> None:
+    """Refuse-don't-OOM pre-submit check shared by the LSH pair tiers:
+    when the :func:`lsh_plan` candidate estimate exceeds the caller's
+    budget, raise with the sizing numbers and remedies BEFORE any job is
+    submitted."""
+    if max_candidate_rows is None or corpus_rows is None:
+        return
+    plan = lsh_plan(corpus_rows, n_planes=n_planes, n_tables=n_tables,
+                    max_bucket_rows=max_bucket_rows)
+    if plan["est_candidate_rows"] > max_candidate_rows:
+        raise ValueError(
+            f"{fn} candidate budget exceeded: "
+            f"~{plan['est_candidate_rows']:,} estimated candidate rows "
+            f"(> {max_candidate_rows:,}) at planes={plan['planes']}, "
+            f"tables={n_tables}, corpus={corpus_rows:,} "
+            f"(occupancy ~{plan['expected_occupancy']:.0f}/bucket). "
+            f"Raise n_planes (quadratic candidate relief, recall "
+            f"p^planes) or lower n_tables (linear), or raise "
+            f"max_candidate_rows."
+        )
+
+
 def lsh_near_pairs(
     df: DataFrame,
     threshold: float,
@@ -326,20 +350,8 @@ def lsh_near_pairs(
     sizing numbers and the two remedies (more planes / fewer tables) in
     the message.
     """
-    if max_candidate_rows is not None and corpus_rows is not None:
-        plan = lsh_plan(corpus_rows, n_planes=n_planes, n_tables=n_tables,
-                        max_bucket_rows=max_bucket_rows)
-        if plan["est_candidate_rows"] > max_candidate_rows:
-            raise ValueError(
-                f"lsh_near_pairs candidate budget exceeded: "
-                f"~{plan['est_candidate_rows']:,} estimated candidate rows "
-                f"(> {max_candidate_rows:,}) at planes={plan['planes']}, "
-                f"tables={n_tables}, corpus={corpus_rows:,} "
-                f"(occupancy ~{plan['expected_occupancy']:.0f}/bucket). "
-                f"Raise n_planes (quadratic candidate relief, recall "
-                f"p^planes) or lower n_tables (linear), or raise "
-                f"max_candidate_rows."
-            )
+    _lsh_candidate_guard("lsh_near_pairs", corpus_rows, n_planes, n_tables,
+                         max_bucket_rows, max_candidate_rows)
     n_planes = effective_planes(n_planes, corpus_rows, max_bucket_rows)
     v = with_norm(df, vec_col).select(F.col(id_col), "_vec", "_norm")
     buckets = _lsh_buckets_udf(n_planes, n_tables, dim, seed)
@@ -379,6 +391,148 @@ def lsh_near_pairs(
             .where(F.col("cosine") >= threshold)
         )
     cand = cand.dropDuplicates()
+    va = v.select(F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"),
+                  F.col("_norm").alias("_na"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"),
+                  F.col("_norm").alias("_nb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+            .cast("double").alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def bucketed_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 10,
+    dim: int = 64,
+    seed: int = 42,
+    corpus_rows: int | None = None,
+    max_bucket_rows: int = 1024,
+    max_candidate_rows: int | None = None,
+    pre_cap: int | None = None,
+) -> DataFrame:
+    """LSH near-pairs with BUCKET-LOCAL verification — the large-corpus
+    production tier (same hyperplane geometry and recall model as
+    :func:`lsh_near_pairs`, different physical strategy).
+
+    Why it exists: the id-join tier ships each CANDIDATE pair's vectors
+    through two equi-joins, so its shuffle payload is
+    ``2 * |candidates| * ~0.5 KB`` — and |candidates| is
+    ``~n * tables * occupancy / 2``. Here each vector crosses the wire
+    ONCE per banded row (``n * tables`` rows) into its ``(table,
+    bucket)`` group, and the within-bucket cosine slab is computed by a
+    row-blocked numpy matmul inside ``applyInPandas`` — an
+    occupancy-factor (~100-500x at the defaults) reduction in the
+    dominant shuffle. The occupancy guard (:func:`effective_planes`)
+    bounds the per-group compute at ``max_bucket_rows**2`` flops in
+    expectation; the kernel row-blocks its slab to ~64 MB so even a
+    skewed bucket is memory-bounded (it costs time, not OOM).
+
+    ``pre_cap`` is the linear-output switch for the Θ(n²) edge problem
+    (:func:`near_pairs_plan`): within each bucket every node emits at
+    most its ``pre_cap`` strongest neighbors (score desc, id asc —
+    deterministic), so at most ``2 * pre_cap * tables * n`` id pairs
+    ever leave the kernels, and every downstream stage (dedup, exact
+    verify, :func:`cap_pair_degree`) is linear in n instead of in the
+    Θ(n²) above-threshold pair count. Soundness: an edge inside either
+    endpoint's GLOBAL top-``pre_cap`` is inside that endpoint's local
+    top-``pre_cap`` in every bucket containing both, so capping the
+    pre-capped stream yields a SUPERSET of capping the full stream
+    (pinned in tests) — never a lost strong edge, only extra
+    still-above-threshold ones.
+
+    The kernel emits 16-byte id pairs only (numeric ids required, same
+    contract as the driver/blocked tiers); survivors are de-duplicated
+    across tables and re-verified with the same JVM-side exact cosine
+    as every other tier (the kernel thresholds with a 1e-9 slack, so
+    float disagreement can only add a candidate the exact filter then
+    drops — emitted cosines are bit-identical to :func:`lsh_near_pairs`).
+
+    Greenfield vs the reference (SURVEY §2.10): data.cube has no
+    similarity surface; the tiering mirrors how ANN/near-dup is run on
+    real clusters (bucket-local verify is the standard LSH layout)."""
+    import numpy as np
+    import pandas as pd
+
+    _lsh_candidate_guard("bucketed_near_pairs", corpus_rows, n_planes,
+                         n_tables, max_bucket_rows, max_candidate_rows)
+    n_planes = effective_planes(n_planes, corpus_rows, max_bucket_rows)
+    if pre_cap is not None and pre_cap < 1:
+        raise ValueError("pre_cap must be >= 1")
+    v = with_norm(df, vec_col).select(F.col(id_col), "_vec", "_norm")
+    buckets = _lsh_buckets_udf(n_planes, n_tables, dim, seed)
+    banded = v.select(
+        F.col(id_col), "_vec", "_norm",
+        F.posexplode(buckets(F.col("_vec"))).alias("_t", "_b"),
+    )
+    thr = float(threshold) - 1e-9
+    cap = pre_cap
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
+        if n < 2:
+            return empty
+        ids = pdf[id_col].to_numpy().astype("int64")
+        order = np.argsort(ids)  # ascending ids -> stable sort ties on id
+        ids = ids[order]
+        M = np.stack(pdf["_vec"].to_numpy()[order]).astype("float64")
+        M /= np.maximum(
+            pdf["_norm"].to_numpy()[order].astype("float64"), 1e-300
+        )[:, None]
+        block = max(64, (64 << 20) // (n * 8))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            S = M[i0:i1] @ M.T  # (block, n) similarity slab
+            rows = np.arange(i0, i1)
+            S[np.arange(i1 - i0), rows] = -np.inf  # mask self
+            if cap is None or ((S >= thr).sum(axis=1) <= cap).all():
+                # no row in this block exceeds the cap (or no cap): the
+                # local top-cap equals the full above-threshold set, so
+                # emit each pair once off the upper triangle and skip
+                # the sort entirely — the cap costs nothing unless it
+                # actually prunes
+                bi, bj = np.nonzero(
+                    (S >= thr) & (np.arange(n)[None, :] > rows[:, None]))
+                out_a.append(ids[rows[bi]])
+                out_b.append(ids[bj])
+            else:
+                # per-node local top-cap over the FULL row (both pair
+                # orientations covered: row i emits j, row j emits i);
+                # stable argsort on -score = (score desc, id asc) since
+                # columns are in ascending-id order
+                k = min(cap, n - 1)
+                top = np.argsort(-S, axis=1, kind="stable")[:, :k]
+                sc = np.take_along_axis(S, top, axis=1)
+                bi, bk = np.nonzero(sc >= thr)
+                i_ids = ids[rows[bi]]
+                j_ids = ids[top[bi, bk]]
+                out_a.append(np.minimum(i_ids, j_ids))
+                out_b.append(np.maximum(i_ids, j_ids))
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+        })
+
+    cand = (
+        banded.groupBy("_t", "_b")
+        .applyInPandas(kernel, "id_a long, id_b long")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     va = v.select(F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"),
                   F.col("_norm").alias("_na"))
     vb = v.select(F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"),
@@ -514,8 +668,10 @@ def near_pairs(
       (exact, one driver matmul, LocalRelation result);
     - corpus within the broadcast gate → :func:`blocked_near_pairs`
       (exact, join-free, shuffle-free matmul blocks);
-    - larger → :func:`lsh_near_pairs` (bucketed equi-join candidates,
-      occupancy-guarded planes, approximate).
+    - larger → :func:`bucketed_near_pairs` (bucket-local numpy verify,
+      occupancy-guarded planes, approximate; ``max_degree`` doubles as
+      the in-kernel pre-cap so the emitted pair stream is already
+      linear in the corpus).
 
     No tier ever plans a crossJoin/CartesianProduct.
 
@@ -558,9 +714,15 @@ def near_pairs(
             out = blocked_near_pairs(df, threshold, id_col=id_col,
                                      vec_col=vec_col)
         else:
-            out = lsh_near_pairs(df, threshold, id_col=id_col,
-                                 vec_col=vec_col, dim=dim,
-                                 corpus_rows=corpus_rows, **lsh_kwargs)
+            # bucket-local verification: vectors cross the wire once per
+            # banded row (not once per candidate), and max_degree doubles
+            # as the kernel pre-cap so the pair stream leaving the
+            # buckets is already O(max_degree * tables * n) — the global
+            # cap below then sees a linear, not Θ(n²), input
+            out = bucketed_near_pairs(df, threshold, id_col=id_col,
+                                      vec_col=vec_col, dim=dim,
+                                      corpus_rows=corpus_rows,
+                                      pre_cap=max_degree, **lsh_kwargs)
     if max_degree is not None:
         out = cap_pair_degree(out, max_degree)
     return out

@@ -474,6 +474,79 @@ def test_lsh_near_pairs_candidate_budget_guard(spark, tables):
     assert out.count() >= 0
 
 
+def test_bucketed_near_pairs_matches_lsh_tier(spark, tables):
+    """Bucket-local verification is a physical-strategy change only: at
+    identical hyperplane geometry, bucketed_near_pairs finds the exact
+    same pair set as lsh_near_pairs, with the same JVM-exact cosines
+    (the numpy kernel thresholds with slack and the exact filter
+    decides; last-ulp disagreement can only add a candidate the exact
+    filter drops)."""
+    from data_cube_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    kw = dict(threshold=0.35, n_planes=4, n_tables=48, corpus_rows=n)
+    old = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in similarity.lsh_near_pairs(emb, **kw).collect()}
+    new = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in similarity.bucketed_near_pairs(emb, **kw).collect()}
+    assert set(old) == set(new) and len(new) > 0
+    assert all(abs(old[p] - new[p]) < 1e-9 for p in new)
+    with pytest.raises(ValueError, match="pre_cap"):
+        similarity.bucketed_near_pairs(emb, threshold=0.35, pre_cap=0)
+    with pytest.raises(ValueError, match="candidate budget exceeded"):
+        similarity.bucketed_near_pairs(
+            emb, threshold=0.35, n_planes=4, n_tables=48,
+            corpus_rows=1_000_000, max_candidate_rows=1_000_000)
+
+
+def test_bucketed_near_pairs_pre_cap_linear_stream(spark):
+    """The in-kernel pre-cap (the linear-output switch for the Θ(n²)
+    edge problem): the emitted stream is bounded by 2*pre_cap*tables*n,
+    it actually prunes at a dense threshold, and capping the pre-capped
+    stream yields a SUPERSET of capping the full stream — no globally
+    top-k edge is ever lost to the local cap (soundness: local rank <=
+    global rank in every bucket containing both endpoints)."""
+    from data_cube_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    k = 3
+    kw = dict(threshold=0.2, n_planes=3, n_tables=24, corpus_rows=n)
+    full = similarity.bucketed_near_pairs(emb, **kw).localCheckpoint()
+    pre = similarity.bucketed_near_pairs(emb, pre_cap=k, **kw).localCheckpoint()
+    n_full, n_pre = full.count(), pre.count()
+    assert 0 < n_pre < n_full  # the cap bites at this density
+    assert n_pre <= 2 * k * 24 * n
+    pairs = lambda df: {(r["id_a"], r["id_b"]) for r in df.collect()}
+    assert pairs(pre) <= pairs(full)  # kernel never invents a pair
+    capped_full = pairs(similarity.cap_pair_degree(full, k))
+    capped_pre = pairs(similarity.cap_pair_degree(pre, k))
+    assert capped_full <= capped_pre
+    # deterministic: content-defined bucket windows, not partition-defined
+    again = pairs(similarity.bucketed_near_pairs(
+        emb.repartition(7), pre_cap=k, **kw))
+    assert again == pairs(pre)
+
+
+def test_near_pairs_routes_large_tier_to_bucketed(spark, tables, monkeypatch):
+    """Above the broadcast gate the dispatcher uses bucket-local
+    verification and threads max_degree through as the kernel pre-cap
+    (so the pair stream is linear BEFORE the global cap ever runs)."""
+    from data_cube_spark.operators import similarity
+
+    seen = {}
+
+    def fake(df, threshold, **kwargs):
+        seen.update(kwargs)
+        return similarity.driver_near_pairs(df, threshold)
+
+    monkeypatch.setattr(similarity, "bucketed_near_pairs", fake)
+    similarity.near_pairs(tables["embeddings"], threshold=0.35,
+                          corpus_rows=600_000, max_degree=7).collect()
+    assert seen["pre_cap"] == 7 and seen["corpus_rows"] == 600_000
+
+
 def test_dedup_exact_keeps_min_id(spark):
     rows = [(5, "same text"), (2, "same text"), (9, "other text")]
     df = spark.createDataFrame(rows, "doc_id long, text string")

@@ -723,6 +723,35 @@ def test_index_compaction_re_distincts(spark, tables, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_bucketed_near_pairs_plan_linear_stages(spark, tables):
+    """Bucket-local verification (the large-tier production path of
+    near_pairs): no cartesian anywhere, and a FIXED exchange count —
+    one (t, b) group shuffle whose payload is n*tables banded rows
+    (vectors cross the wire once each, never once per candidate), then
+    id-pair-only stages (dedup + two exact-verify attach joins), each
+    linear in the emitted stream. With pre_cap the emitted stream is
+    itself <= 2*cap*tables*n, so every stage after the kernel is linear
+    in the corpus."""
+    from data_cube_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for cap in (None, 4):
+            df = similarity.bucketed_near_pairs(
+                emb, threshold=0.35, n_tables=24, pre_cap=cap,
+                corpus_rows=emb.count())
+            plan = explain_str(df, "simple")
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+            # group shuffle + dedup + (cand+va) + (re-key+vb) = 6; the
+            # pre-cap changes kernel emission volume, not plan shape
+            assert count_exchanges(df) == 6, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_embedding_index_exchange_free_and_exact(spark, tables, tmp_path):
     """The EMBEDDING member of the persisted incremental-dedup index
     family: the per-batch candidate join reads the corpus bucket table
