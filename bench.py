@@ -314,14 +314,19 @@ def main() -> None:
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    summary = {
         "metric": "headline_queries_total_sec",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": times,
         "ingest_sec": ingest_sec,
         "sf": float(sf) if sf else None,
-    }))
+    }
+    print(json.dumps({**summary, "queries": times}))
+    # the per-query JSON above can run long enough for tail-truncating
+    # log captures to cut it mid-object (VERDICT r6 #4: BENCH_r06.json
+    # parsed: null) — repeat the compact summary as the LAST line so the
+    # tail always holds one complete, parseable JSON object
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -485,12 +485,20 @@ def main() -> int:
             print(f"skip {name}: not in registry", flush=True)
             continue
         spark.catalog.clearCache()
-        if name in SPECIAL_BUILD:
-            df = SPECIAL_BUILD[name](spark, sf_dir)
-        else:
-            df = QUERIES[name](spark, sf_dir)
-        plan = explain_str(df, "simple")
-        n_ex = count_exchanges(df)
+        # SPECIAL_BUILD entries disable auto-broadcast to pin the
+        # sort-merge/bucketed join shapes; restore the session value
+        # AFTER the (lazy) plan capture so later CURATED queries record
+        # their production plans (ADVICE r6)
+        saved_abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            if name in SPECIAL_BUILD:
+                df = SPECIAL_BUILD[name](spark, sf_dir)
+            else:
+                df = QUERIES[name](spark, sf_dir)
+            plan = explain_str(df, "simple")
+            n_ex = count_exchanges(df)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_abt)
         lines = plan.splitlines()
         body = "\n".join(lines[:40]) + ("\n..." if len(lines) > 40 else "")
         out += [
