@@ -413,12 +413,20 @@ def streaming_corpus_ingest(
     the same run dedup against them too — the within-run duplicate
     window shrinks from the refresh cadence to a single micro-batch
     (only same-batch near-dups remain until compaction). Replay-safe:
-    candidate pairs whose ``corpus_id`` is in the CURRENT batch's id set
-    are excluded, so a replayed batch — whose own survivors are already
-    in the index — recomputes the IDENTICAL survivor set and overwrites
-    its epoch directory idempotently; the re-run append only duplicates
-    index rows, which is harmless for the anti-join semantics and
-    cleaned by ``compact_minhash_index`` on the refresh cadence."""
+    candidate pairs whose ``corpus_id`` is among THIS EPOCH's previously
+    written survivors (read back from the epoch's own target directory —
+    the durable record of what a crashed earlier attempt already folded
+    into the index) are excluded, so a replayed batch recomputes the
+    IDENTICAL survivor set and overwrites its epoch directory
+    idempotently. Scoping the exclusion to the epoch's own rows — not
+    the whole batch id set — means a re-delivered document whose STABLE
+    id already exists in the standing corpus index (e.g. a re-crawl) is
+    still suppressed against the original corpus row (ADVICE r6); the
+    re-run index append only duplicates rows, which is harmless for the
+    anti-join semantics and cleaned by ``compact_minhash_index`` on the
+    refresh cadence. (Corollary: a brand-new checkpoint must point at a
+    brand-new target dir — stale same-numbered epoch directories from an
+    abandoned run would be misread as this run's own appends.)"""
     import os
 
     from data_cube_spark.operators.dedup import (
@@ -441,11 +449,21 @@ def streaming_corpus_ingest(
                 batch_df, index_table, text_col=text_col,
                 id_col=id_col, threshold=threshold)
             if append_survivors:
-                # exclude matches against THIS batch's own (replayed)
-                # index rows — the replay-idempotence filter above
-                own = batch_df.select(
-                    F.col(id_col).alias("corpus_id")).dropDuplicates()
-                pairs = pairs.join(own, "corpus_id", "left_anti")
+                # replay-idempotence filter (scope per ADVICE r6): exclude
+                # matches against exactly the rows a crashed earlier
+                # attempt of THIS epoch already appended — its survivors,
+                # read back from the epoch's own target directory. A
+                # batch id that also exists in the PRE-EXISTING corpus
+                # (stable-id re-crawl) is not excluded, so its genuine
+                # suppression still fires. Eager checkpoint: the id set
+                # must be materialized before this epoch's directory is
+                # overwritten below.
+                prev = _read_target(spark, os.path.join(
+                    target_dir, f"ingest_epoch={int(epoch_id)}"))
+                if prev is not None:
+                    own = (prev.select(F.col(id_col).alias("corpus_id"))
+                           .dropDuplicates().localCheckpoint())
+                    pairs = pairs.join(own, "corpus_id", "left_anti")
         else:
             pairs = incremental_minhash_pairs(
                 batch_df, corpus_signatures, text_col=text_col,
@@ -508,11 +526,14 @@ def streaming_embedding_ingest(
     ``append_survivors=True`` makes the index self-maintaining via
     ``append_to_embedding_index`` — later batches in the same run dedup
     against earlier survivors. Replay-safe by the same argument as the
-    text path: candidate pairs whose ``corpus_id`` is in the CURRENT
-    batch's id set are excluded, so a replayed batch recomputes the
-    identical survivor set; the re-run index append only duplicates rows
-    (harmless for the anti-join, cleaned by ``compact_embedding_index``
-    on the refresh cadence). The plane geometry comes from the index
+    text path: candidate pairs whose ``corpus_id`` is among THIS epoch's
+    previously written survivors (read back from the epoch's target
+    directory) are excluded, so a replayed batch recomputes the
+    identical survivor set — while a stable-id re-delivery is still
+    suppressed against its pre-existing corpus row (ADVICE r6); the
+    re-run index append only duplicates rows (harmless for the
+    anti-join, cleaned by ``compact_embedding_index`` on the refresh
+    cadence). The plane geometry comes from the index
     metadata per batch; explicitly-passed parameters are validated there
     — a mismatch fails the stream rather than silently losing every
     candidate."""
@@ -532,11 +553,18 @@ def streaming_embedding_ingest(
             batch_df, index_table, threshold=threshold,
             id_col=id_col, vec_col=vec_col, **params)
         if append_survivors:
-            # exclude matches against THIS batch's own (replayed) index
-            # rows — the replay-idempotence filter
-            own = batch_df.select(
-                F.col(id_col).alias("corpus_id")).dropDuplicates()
-            pairs = pairs.join(own, "corpus_id", "left_anti")
+            # replay-idempotence filter scoped to THIS epoch's previously
+            # written survivors (read back from its target directory) —
+            # not the whole batch id set, so a stable-id re-delivery is
+            # still suppressed against the pre-existing corpus row
+            # (ADVICE r6; rationale in streaming_corpus_ingest). Eager
+            # checkpoint before the epoch directory is overwritten.
+            prev = _read_target(spark, os.path.join(
+                target_dir, f"ingest_epoch={int(epoch_id)}"))
+            if prev is not None:
+                own = (prev.select(F.col(id_col).alias("corpus_id"))
+                       .dropDuplicates().localCheckpoint())
+                pairs = pairs.join(own, "corpus_id", "left_anti")
         dup = pairs.select(F.col("batch_id").alias(id_col)).dropDuplicates()
         survivors = batch_df.join(dup, id_col, "left_anti")
         if append_survivors:

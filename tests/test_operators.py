@@ -529,6 +529,172 @@ def test_bucketed_near_pairs_pre_cap_linear_stream(spark):
     assert again == pairs(pre)
 
 
+def test_tables_for_recall_arithmetic():
+    """The recall-floor inverse: tables_for_recall is the smallest table
+    count whose lsh_pair_recall meets the floor, and it matches
+    lsh_plan's est_recall formula."""
+    from data_cube_spark.operators import similarity
+
+    for planes, cos, floor in ((4, 0.4, 0.9), (6, 0.4, 0.9),
+                               (6, 0.8, 0.99), (8, 0.35, 0.8)):
+        t = similarity.tables_for_recall(planes, cos, floor)
+        assert similarity.lsh_pair_recall(planes, t, cos) >= floor
+        assert (t == 1
+                or similarity.lsh_pair_recall(planes, t - 1, cos) < floor)
+    plan = similarity.lsh_plan(500, n_planes=4, n_tables=48,
+                               target_cosine=0.8)
+    assert plan["est_recall"] == similarity.lsh_pair_recall(4, 48, 0.8)
+    with pytest.raises(ValueError, match="recall_floor"):
+        similarity.tables_for_recall(4, 0.4, 1.0)
+
+
+def test_embedding_index_recall_floor(spark, tmp_path):
+    """VERDICT r6 #2: the occupancy guard raises planes with corpus
+    growth, which silently cost ~28% measured recall at fixed tables.
+    With the floor (default): write-time auto_tables re-sizes tables so
+    predicted recall at the stamped operating threshold stays >= the
+    floor, the MEASURED batch recall clears the floor too, and a
+    floor-stamped index whose geometry cannot meet it REFUSES at read
+    time with the repair arithmetic (unless the caller explicitly
+    accepts a lower min_recall)."""
+    from data_cube_spark.operators import similarity
+    from data_cube_spark.operators.dedup import _index_meta
+    from data_cube_spark.sources.star import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.1")["embeddings"]
+    seed = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    truth = (similarity.cosine_near_pairs(emb, threshold=0.4,
+                                          max_rows=None)
+             .where((F.col("id_a") + F.col("id_b")) % 2 == 1).count())
+    tbl = "t_recall_floor"
+    try:
+        # max_bucket_rows=16 forces the guard (planes 4 -> 6) at this
+        # corpus size — the geometry that measured 0.676 recall at the
+        # default 16 tables before the floor existed
+        similarity.write_embedding_index(
+            seed, tbl, n_buckets=8, max_bucket_rows=16,
+            path=str(tmp_path / "e"))
+        meta = _index_meta(spark, f"{tbl}_buckets")
+        assert int(meta["n_planes"]) == 6
+        assert int(meta["n_tables"]) == similarity.tables_for_recall(
+            6, 0.4, 0.9) == 36
+        assert float(meta["predicted_recall"]) >= 0.9
+        found = similarity.incremental_embedding_pairs_indexed(
+            batch, tbl, threshold=0.4).count()
+        assert found / truth >= 0.9, (found, truth)
+    finally:
+        for s in ("buckets", "vec"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}_{s}")
+    try:
+        # floor stamped but tables pinned too low: read must refuse,
+        # explicit min_recall accepts the loss loudly
+        similarity.write_embedding_index(
+            seed, tbl, n_buckets=8, max_bucket_rows=16, n_tables=4,
+            auto_tables=False, path=str(tmp_path / "e2"))
+        with pytest.raises(ValueError, match="below the floor"):
+            similarity.incremental_embedding_pairs_indexed(
+                batch, tbl, threshold=0.4)
+        assert similarity.incremental_embedding_pairs_indexed(
+            batch, tbl, threshold=0.4, min_recall=0.1).count() > 0
+    finally:
+        for s in ("buckets", "vec"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}_{s}")
+
+
+def test_blocked_near_pairs_pre_cap_exact_identity(spark):
+    """VERDICT r6 #1: the blocked tier's per-row pre-cap is EXACT — each
+    row scores the full corpus, so its local top-k IS its global top-k,
+    the emitted stream equals the edge set cap_pair_degree keeps, and
+    capping the pre-capped stream is identical to capping the full
+    Θ(n²·density) stream. Exercised with exact-duplicate vectors so the
+    boundary-tie path (score desc, id asc) is covered, at a threshold
+    where the cap genuinely prunes."""
+    from data_cube_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dup = emb.where(F.col("vec_id") < 30).withColumn(
+        "vec_id", F.col("vec_id") + 100_000)  # cosine-1.0 ties
+    corpus = emb.unionByName(dup)
+    n = corpus.count()
+    for thr, k in ((0.15, 4), (0.35, 8)):
+        full = similarity.blocked_near_pairs(
+            corpus, thr).localCheckpoint()
+        pre = similarity.blocked_near_pairs(
+            corpus, thr, pre_cap=k).localCheckpoint()
+        assert pre.count() <= k * n
+        pairs = lambda df: {(r["id_a"], r["id_b"]) for r in df.collect()}
+        capped_full = pairs(similarity.cap_pair_degree(full, k))
+        assert pairs(pre) == capped_full  # the stream IS the capped set
+        assert pairs(similarity.cap_pair_degree(pre, k)) == capped_full
+    assert similarity.blocked_near_pairs(emb, 0.15, pre_cap=4).count() \
+        < similarity.blocked_near_pairs(emb, 0.15).count()
+    with pytest.raises(ValueError, match="pre_cap"):
+        similarity.blocked_near_pairs(emb, 0.35, pre_cap=0)
+
+
+def test_blocked_tier_stream_bound_sf01(spark):
+    """VERDICT r6 #1 'done' criterion: on the sf0.1 corpus the
+    candidate stream emitted by the exact blocked tier under the default
+    registry degree cap stays within the model bound (<= k*n rows,
+    versus the Θ(n²·density) uncapped stream near_pairs_plan
+    predicts)."""
+    from data_cube_spark.operators import similarity
+    from data_cube_spark.registry.similarity_mm import (
+        SEMANTIC_DEDUP_MAX_DEGREE,
+    )
+    from data_cube_spark.sources.star import load_tables, parquet_rows
+
+    sf = "/root/testdata/sf0.1"
+    emb = load_tables(spark, sf)["embeddings"]
+    n = parquet_rows(sf, "embeddings")
+    stream = similarity.blocked_near_pairs(
+        emb, 0.35, pre_cap=SEMANTIC_DEDUP_MAX_DEGREE).count()
+    assert 0 < stream <= SEMANTIC_DEDUP_MAX_DEGREE * n
+
+
+def test_pair_kernels_require_integral_ids(spark, tables):
+    """ADVICE r6: the pair kernels ship int64 id pairs — a string id
+    column must refuse at entry (numeric-looking strings like '0123'
+    would silently collapse under astype and mis-attribute pairs)."""
+    from data_cube_spark.operators import similarity
+
+    emb = tables["embeddings"].withColumn(
+        "vec_id", F.format_string("%04d", F.col("vec_id")))
+    for fn, kw in (
+        (similarity.driver_near_pairs, {}),
+        (similarity.blocked_near_pairs, {}),
+        (similarity.bucketed_near_pairs, {}),
+        (similarity.near_pairs, {"corpus_rows": 100}),
+    ):
+        with pytest.raises(ValueError, match="integral"):
+            fn(emb, 0.35, **kw)
+
+
+def test_near_pairs_stream_guard_respects_pre_cap(tables):
+    """ADVICE r6: with max_degree set, the dispatched tier emits a
+    pre-capped stream (blocked: <= k*n; bucketed: <= 2*k*tables*n), so
+    the max_pairs guard must budget THAT stream, not the uncapped Θ(n²)
+    estimate — which would spuriously refuse jobs whose real volume
+    fits."""
+    from data_cube_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    # blocked tier (20k rows): raw estimate ~5e5 > 2e5 budget, but the
+    # per-row cap bounds the stream at 8*20k = 160k — must run
+    out = similarity.near_pairs(emb, threshold=0.35, corpus_rows=20_000,
+                                max_degree=8, max_pairs=200_000)
+    assert out.count() >= 0
+    # bucketed tier (600k rows): capped bound 2*8*10*600k = 96M
+    with pytest.raises(ValueError, match="stream budget exceeded"):
+        similarity.near_pairs(emb, threshold=0.35, corpus_rows=600_000,
+                              max_degree=8, max_pairs=1_000_000)
+    # without a cap the raw Θ(n²) estimate still refuses (unchanged)
+    with pytest.raises(ValueError, match="stream budget exceeded"):
+        similarity.near_pairs(emb, threshold=0.35, corpus_rows=20_000,
+                              max_pairs=200_000)
+
+
 def test_near_pairs_routes_large_tier_to_bucketed(spark, tables, monkeypatch):
     """Above the broadcast gate the dispatcher uses bucket-local
     verification and threads max_degree through as the kernel pre-cap

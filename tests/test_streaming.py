@@ -826,6 +826,46 @@ def test_streaming_corpus_ingest_append_survivors_cross_batch(
             spark.sql(f"DROP TABLE IF EXISTS {tag}_sig")
 
 
+def test_streaming_ingest_stable_id_redelivery_suppressed(
+        spark, tables, tmp_path):
+    """ADVICE r6 (medium): with append_survivors, a re-delivered document
+    whose STABLE id already exists in the standing corpus index (e.g. a
+    re-crawl) must still be suppressed against the original corpus row —
+    the replay-idempotence exclusion is scoped to the epoch's own
+    previously written survivors, not the whole batch id set (which
+    cannot tell a replayed self-append from a pre-existing corpus
+    row)."""
+    from data_cube_spark.operators import dedup
+    from data_cube_spark.streaming.cube_stream import streaming_corpus_ingest
+
+    docs = tables["documents"].limit(40)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    # the incoming batch re-delivers corpus docs under their ORIGINAL ids
+    redelivery = corpus.limit(5).select("doc_id", "text")
+    src = str(tmp_path / "src")
+    redelivery.coalesce(1).write.mode("append").parquet(src)
+    tag = "t_stable_id"
+    try:
+        dedup.write_minhash_index(corpus, tag, n_buckets=4,
+                                  path=str(tmp_path / "idx_stable"))
+        q = streaming_corpus_ingest(
+            spark, src, redelivery.schema, str(tmp_path / "ck"),
+            str(tmp_path / "out"), index_table=tag, threshold=0.7,
+            append_survivors=True).start()
+        assert q.awaitTermination(120)
+        import glob
+        files = glob.glob(str(tmp_path / "out" / "**" / "*.parquet"),
+                          recursive=True)
+        got = ({r["doc_id"]
+                for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+               if files else set())
+        assert got == set(), (
+            f"stable-id re-deliveries must be suppressed, got {got}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tag}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {tag}_sig")
+
+
 def test_streaming_corpus_ingest_append_survivors_restart(
         spark, tables, tmp_path):
     """Kill-and-resume for the self-maintaining index: hard stop after
