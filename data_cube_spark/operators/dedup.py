@@ -705,9 +705,12 @@ def write_prefix_index(
     write_bucketed(sets.select(F.col(id_col).alias("corpus_id"), "_set"),
                    f"{table}_sets", ["corpus_id"], n_buckets,
                    path=_p("sets"))
-    _set_index_meta(corpus.sparkSession, f"{table}_prefix",
-                    {"k": k, "hash_shingles": hash_shingles,
-                     "threshold": threshold, "n_buckets": n_buckets})
+    meta = {"k": k, "hash_shingles": hash_shingles,
+            "threshold": threshold, "n_buckets": n_buckets}
+    # every member table carries the stamp (the membership test the
+    # maintenance surface and the read paths share)
+    for member in ("prefix", "df", "sets"):
+        _set_index_meta(corpus.sparkSession, f"{table}_{member}", meta)
 
 
 def incremental_prefix_pairs_indexed(

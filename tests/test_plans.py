@@ -723,6 +723,81 @@ def test_index_compaction_re_distincts(spark, tables, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_index_maintenance_surface(spark, tables, tmp_path):
+    """VERDICT r6 #7: one fleet-management layer over the stamped
+    spark_graft.index.* properties — list_indexes enumerates all five
+    kinds with their cadence contract, compact_all dispatches each
+    index's own in-place compaction (prefix = rebuild-only, skipped),
+    and read results are unchanged afterwards."""
+    from data_cube_spark.operators import dedup, similarity
+    from data_cube_spark.operators.index_maintenance import (
+        compact_all,
+        list_indexes,
+    )
+
+    docs = tables["documents"].limit(40)
+    emb = tables["embeddings"].limit(60)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    vecs = emb.where(F.col("vec_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    tags = ("t_mnt_fp", "t_mnt_mh", "t_mnt_pfx", "t_mnt_emb", "t_mnt_ivf")
+    drops = ["t_mnt_fp_fp", "t_mnt_mh_sig", "t_mnt_mh_bands",
+             "t_mnt_pfx_prefix", "t_mnt_pfx_df", "t_mnt_pfx_sets",
+             "t_mnt_emb_buckets", "t_mnt_emb_vec",
+             "t_mnt_ivf_cells", "t_mnt_ivf_centroids", "t_mnt_decoy_fp"]
+    try:
+        dedup.write_fingerprint_index(corpus, "t_mnt_fp", n_buckets=4,
+                                      path=str(tmp_path / "fp"))
+        dedup.write_minhash_index(corpus, "t_mnt_mh", n_buckets=4,
+                                  path=str(tmp_path / "mh"))
+        dedup.write_prefix_index(corpus, "t_mnt_pfx", n_buckets=4,
+                                 threshold=0.5, path=str(tmp_path / "pfx"))
+        similarity.write_embedding_index(vecs, "t_mnt_emb", n_buckets=4,
+                                         path=str(tmp_path / "emb"))
+        similarity.write_ivf_index(vecs, "t_mnt_ivf", n_cells=4,
+                                   n_buckets=2, path=str(tmp_path / "ivf"))
+        # a metadata-less table sharing a suffix is NOT an index
+        spark.range(1).selectExpr(
+            "CAST(id AS STRING) AS content_hash").write.saveAsTable(
+            "t_mnt_decoy_fp")
+
+        idx = {i["name"]: i for i in list_indexes(spark, prefix="t_mnt_")}
+        assert set(idx) == set(tags)
+        assert all(i["complete"] for i in idx.values()), idx
+        assert idx["t_mnt_fp"]["kind"] == "fingerprint"
+        assert idx["t_mnt_mh"]["kind"] == "minhash"
+        assert idx["t_mnt_pfx"]["kind"] == "prefix"
+        assert idx["t_mnt_emb"]["kind"] == "embedding"
+        assert idx["t_mnt_ivf"]["kind"] == "ivf"
+        # cadence contract: prefix is rebuild-only
+        assert not idx["t_mnt_pfx"]["compactable"]
+        assert not idx["t_mnt_pfx"]["appendable"]
+        assert all(idx[t]["compactable"] for t in tags if t != "t_mnt_pfx")
+        # stamped params surface through the listing
+        assert idx["t_mnt_mh"]["params"]["n_buckets"] == "4"
+        assert float(idx["t_mnt_emb"]["params"]["predicted_recall"]) >= 0.9
+
+        # pile duplicates on two kinds, then one sweep compacts both
+        dedup.append_to_fingerprint_index(batch, "t_mnt_fp")
+        dedup.append_to_fingerprint_index(batch, "t_mnt_fp")
+        dedup.append_to_minhash_index(batch, "t_mnt_mh")
+        dedup.append_to_minhash_index(batch, "t_mnt_mh")
+        want = {r["doc_id"] for r in
+                dedup.dedup_exact_indexed(batch, "t_mnt_fp").collect()}
+        removed = compact_all(spark, prefix="t_mnt_")
+        assert set(removed) == set(tags) - {"t_mnt_pfx"}
+        assert removed["t_mnt_fp"] > 0 and removed["t_mnt_mh"] > 0
+        assert removed["t_mnt_emb"] == 0 and removed["t_mnt_ivf"] == 0
+        got = {r["doc_id"] for r in
+               dedup.dedup_exact_indexed(batch, "t_mnt_fp").collect()}
+        assert got == want
+        fp = spark.table("t_mnt_fp_fp")
+        assert fp.count() == fp.dropDuplicates().count()
+    finally:
+        for t in drops:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_bucketed_near_pairs_plan_linear_stages(spark, tables):
     """Bucket-local verification (the large-tier production path of
     near_pairs): no cartesian anywhere, and a FIXED exchange count —
