@@ -1992,4 +1992,10 @@ ORACLE: dict[str, str] = {
              CAST(5 AS INT) AS n_matches, TRUE AS batch_recall_ok
       FROM embeddings WHERE vec_id < 10
     """,
+    "ann_serving_stream": """
+      SELECT vec_id AS query_id, CAST(5 AS INT) AS n_exact,
+             CAST(5 AS INT) AS n_matches, TRUE AS batch_recall_ok,
+             TRUE AS stream_eq_batch
+      FROM embeddings WHERE vec_id < 10
+    """,
 }

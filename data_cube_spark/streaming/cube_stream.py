@@ -590,6 +590,64 @@ def streaming_embedding_ingest(
     )
 
 
+def streaming_ann_serving(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    target_dir: str,
+    index_table: str,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """ANN-as-a-service: a stream of query vectors answered against the
+    PERSISTED IVF index (:func:`...similarity.write_ivf_index`) — the
+    serving loop the persisted-index architecture exists for. Each
+    micro-batch of queries runs :func:`...similarity.ann_ivf_topk_indexed`
+    unchanged: centroids broadcast off the tiny table, every query probes
+    its ``n_probe`` nearest cells, and the candidate equi-join reads the
+    cells table bucketed on ``cell_id`` — per trigger only the query
+    batch shuffles, the standing corpus never does.
+
+    Results land in an epoch-keyed directory (``serve_epoch=<id>``)
+    written with OVERWRITE — the same exactly-once-under-replay contract
+    as the ingest streams (foreachBatch is at-least-once; the stored
+    centroids are fixed, so a replayed batch recomputes bit-identical
+    top-k rows and the overwrite is idempotent). Maintenance goes
+    through the index's own cadence (append / compact / retrain via
+    ``write_ivf_index``) without touching the serving query.
+
+    Greenfield vs the reference (SURVEY §2.10): data.cube has no
+    streaming or similarity surface; this closes the loop on the
+    "ANN service" framing of the persisted IVF index (VERDICT r6 #8)."""
+    import os
+
+    from data_cube_spark.operators.similarity import ann_ivf_topk_indexed
+
+    def serve(batch_df, epoch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        res = ann_ivf_topk_indexed(
+            batch_df, index_table, k=k, n_probe=n_probe, id_col=id_col,
+            vec_col=vec_col, exclude_self=exclude_self)
+        (res.write.mode("overwrite")
+         .parquet(os.path.join(target_dir, f"serve_epoch={int(epoch_id)}")))
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.load(source_dir).writeStream.outputMode("append")
+        .foreachBatch(serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def streaming_dedup(
     spark: SparkSession,
     source_dir: str,
