@@ -904,15 +904,19 @@ def near_pairs_plan(
       structural near-dups;
     - ``capped_edge_bound`` (2·k·n when ``max_degree`` is set) — what
       :func:`cap_pair_degree` guarantees downstream consumers see;
+    - ``capped_stream_bound`` (k·n when ``max_degree`` is set) — the
+      EMISSION bound of the exact blocked tier's in-kernel pre-cap
+      (VERDICT r6 #1: since r7 the stream feeding the cap is bounded by
+      default, not just the output graph; the bucketed tier's bound is
+      table-dependent, 2·k·tables·n);
     - ``threshold_for_budget`` — the threshold at which the random-pair
       volume would fit ``edge_budget`` (inverse-Phi by bisection), i.e.
       how the threshold must RISE with corpus size if you refuse to cap.
 
     The intended 100 TB workflow: pick max_degree for the consumers
-    (components, anti-join) and check threshold_for_budget to see
-    whether the pair STREAM feeding the cap also needs a higher
-    threshold — the stream is linear-scanned by the cap but still
-    Θ(n²)-sized at a fixed t."""
+    (components, anti-join) — with it set, :func:`near_pairs` bounds the
+    emitted stream in-kernel on every non-driver tier, so
+    threshold_for_budget is only needed when you refuse to cap."""
     import math
 
     def phi(x: float) -> float:
@@ -925,6 +929,8 @@ def near_pairs_plan(
         "est_random_pairs": int(p * all_pairs),
         "capped_edge_bound": (2 * max_degree * corpus_rows
                               if max_degree else None),
+        "capped_stream_bound": (max_degree * corpus_rows
+                                if max_degree else None),
     }
     if edge_budget is not None and all_pairs > 0:
         target = min(max(edge_budget / all_pairs, 1e-300), 1.0)
@@ -955,7 +961,10 @@ def cap_pair_degree(pairs: DataFrame, max_degree: int,
     strongest edges — which is what connected-components clustering
     actually consumes. Cost: one (rank window + filter) shuffle keyed on
     the node, linear in the INPUT pair count; apply it as close to the
-    pair source as possible.
+    pair source as possible. (Since r7, :func:`near_pairs` with
+    ``max_degree`` pushes the cap INTO the kernels on every non-driver
+    tier — the stream this function scans is then already <= k·n /
+    2·k·tables·n rows, not the Θ(n²·density) above-threshold set.)
 
     An edge survives if it is within EITHER endpoint's top
     ``max_degree`` (keeps the graph symmetric-consistent and never
