@@ -1361,9 +1361,37 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
+def simhash_plan(corpus_rows: int, band_bits: int = 16) -> dict:
+    """Pre-submit sizing for :func:`simhash_near_pairs` — the
+    :func:`...similarity.lsh_plan` convention applied to simhash banding.
+    With ``band_bits`` FIXED, expected random-collision candidates per
+    band are ~n²/(2·2^band_bits): quadratic in the corpus, the same
+    fixed-geometry trap as LSH planes and IVF cells — but unlike those,
+    ``band_bits`` also fixes the SEMANTICS (the pigeonhole guarantee:
+    every pair within Hamming distance ``n_bands - 1`` shares a band),
+    so raising bits to curb candidates trades away guaranteed tolerance
+    rather than just recall. Returns ``n_bands``, ``buckets_per_band``,
+    ``expected_occupancy``, ``est_candidate_rows`` (a LOWER bound —
+    clustered corpora concentrate hot buckets above the uniform model)
+    and ``guaranteed_hamming``. The arithmetic backs the
+    ``max_candidate_rows`` refuse-guard."""
+    n_bands = 64 // band_bits
+    buckets = 2 ** band_bits
+    return {
+        "n_bands": n_bands,
+        "buckets_per_band": buckets,
+        "expected_occupancy": corpus_rows / buckets,
+        "est_candidate_rows": int(
+            n_bands * corpus_rows * corpus_rows / (2 * buckets)),
+        "guaranteed_hamming": n_bands - 1,
+    }
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        band_bits: int = 16,
-                       max_hamming: int | None = None) -> DataFrame:
+                       max_hamming: int | None = None,
+                       corpus_rows: int | None = None,
+                       max_candidate_rows: int | None = None) -> DataFrame:
     """Hamming-distance blocking: split the 64-bit simhash into 64/band_bits
     bands; docs sharing any band are candidates (catches Hamming distance
     < 64/band_bits guaranteed). Returns pairs + exact Hamming distance.
@@ -1371,7 +1399,27 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     ``max_hamming`` filters candidates to true near-dups — without it the
     band buckets of a clustered corpus over-generate (candidate count grows
     superlinearly with corpus size), which is exactly what you prune before
-    any downstream join at scale."""
+    any downstream join at scale.
+
+    ``max_candidate_rows`` turns :func:`simhash_plan` into the family's
+    refuse-don't-OOM guard: when ``corpus_rows`` is known and the uniform
+    random-collision estimate already exceeds the budget, raise BEFORE
+    submitting, naming the trade (more ``band_bits`` halves candidates
+    per doubling but lowers the guaranteed Hamming tolerance)."""
+    if max_candidate_rows is not None and corpus_rows is not None:
+        plan = simhash_plan(corpus_rows, band_bits)
+        if plan["est_candidate_rows"] > max_candidate_rows:
+            raise ValueError(
+                f"simhash_near_pairs candidate budget exceeded: "
+                f"~{plan['est_candidate_rows']:,} estimated candidate "
+                f"rows (> {max_candidate_rows:,}; uniform lower bound) "
+                f"at band_bits={band_bits} over {corpus_rows:,} rows "
+                f"(occupancy ~{plan['expected_occupancy']:.0f}/bucket). "
+                f"Raise band_bits (candidate relief 2x per bit, but the "
+                f"guaranteed Hamming tolerance drops from "
+                f"{plan['guaranteed_hamming']} to 64//band_bits - 1), "
+                f"partition the corpus, or raise max_candidate_rows."
+            )
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     sh = simhash64(df, text_col, id_col)

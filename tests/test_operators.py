@@ -529,6 +529,32 @@ def test_bucketed_near_pairs_pre_cap_linear_stream(spark):
     assert again == pairs(pre)
 
 
+def test_simhash_plan_and_candidate_guard(spark):
+    """simhash joins the family's pre-submit sizing convention: the plan
+    arithmetic (uniform collision model + pigeonhole guarantee) and the
+    max_candidate_rows refuse-don't-OOM guard — with the simhash-specific
+    caveat that band_bits also fixes SEMANTICS (guaranteed Hamming
+    tolerance), so the raise names that trade."""
+    plan = dedup.simhash_plan(1_000_000, band_bits=16)
+    assert plan["n_bands"] == 4 and plan["buckets_per_band"] == 65536
+    assert plan["guaranteed_hamming"] == 3
+    assert plan["est_candidate_rows"] == int(4 * 1e12 / (2 * 65536))
+    # more bits: fewer candidates, weaker guarantee
+    p32 = dedup.simhash_plan(1_000_000, band_bits=32)
+    assert p32["est_candidate_rows"] < plan["est_candidate_rows"]
+    assert p32["guaranteed_hamming"] == 1
+
+    rows = [(i, f"some document text number {i} alpha beta") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="candidate budget exceeded"):
+        dedup.simhash_near_pairs(df, band_bits=16,
+                                 corpus_rows=10_000_000,
+                                 max_candidate_rows=1_000_000)
+    out = dedup.simhash_near_pairs(df, band_bits=16, corpus_rows=12,
+                                   max_candidate_rows=1_000_000)
+    assert out.count() >= 0  # generous budget: runs normally
+
+
 def test_effective_cells_guard():
     """IVF occupancy guard (the r7 sf1 finding: fixed 16 cells made
     serving candidates linear in the corpus — 27x for 10x data): above
