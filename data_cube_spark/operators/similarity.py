@@ -270,7 +270,7 @@ def effective_planes(n_planes: int, corpus_rows: int | None,
 
 def lsh_plan(corpus_rows: int, n_planes: int = 4, n_tables: int = 10,
              max_bucket_rows: int = 1024,
-             target_cosine: float = 0.8) -> dict:
+             target_cosine: float = 0.8, probe_radius: int = 0) -> dict:
     """Pre-submit sizing report for :func:`lsh_near_pairs` — compute the
     candidate volume and recall BEFORE paying for the job (the
     `plan_report` idea applied to LSH parameters).
@@ -283,18 +283,26 @@ def lsh_plan(corpus_rows: int, n_planes: int = 4, n_tables: int = 10,
     opposite directions with ``planes``; at 100 TB you pick planes for
     the candidate budget first, then buy recall back with tables (cost
     linear) — this function makes that an arithmetic decision instead
-    of a guess."""
+    of a guess. ``probe_radius`` > 0 models query-side multi-probe:
+    candidates scale by probes-per-table while the per-table recall
+    rises to the <=radius-bit-flip collision probability — the same
+    floor then needs far fewer tables, i.e. a far smaller persisted
+    corpus-side artifact at a similar candidate volume."""
     import math
 
     planes = effective_planes(n_planes, corpus_rows, max_bucket_rows)
     buckets = 2 ** planes
     occ = corpus_rows / buckets
+    probes = probe_count(planes, probe_radius)
     return {
         "planes": planes,
         "buckets": buckets,
         "expected_occupancy": occ,
-        "est_candidate_rows": int(n_tables * buckets * occ * occ / 2),
-        "est_recall": lsh_pair_recall(planes, n_tables, target_cosine),
+        "probes_per_table": probes,
+        "est_candidate_rows": int(n_tables * probes * buckets
+                                  * occ * occ / 2),
+        "est_recall": lsh_pair_recall(planes, n_tables, target_cosine,
+                                      probe_radius),
     }
 
 
@@ -306,30 +314,87 @@ def _collision_p(target_cosine: float) -> float:
     return 1.0 - math.acos(max(-1.0, min(1.0, target_cosine))) / math.pi
 
 
+#: Multi-probe is capped at flipping 2 of the plane bits: probes per
+#: table grow as sum_{i<=r} C(planes, i) — combinatorial in the radius —
+#: while each extra radius step adds a strictly smaller recall increment
+#: (the flipped-bit disagreement probabilities multiply in). Past r=2
+#: you are better off buying recall with tables again.
+MAX_PROBE_RADIUS = 2
+
+
+def probe_count(n_planes: int, probe_radius: int) -> int:
+    """Buckets probed per table at the given radius:
+    sum_{i=0..r} C(planes, i) (exact bucket + every <=r-bit flip)."""
+    import math
+
+    return sum(math.comb(n_planes, i)
+               for i in range(min(probe_radius, n_planes) + 1))
+
+
+def _probe_masks(n_planes: int, probe_radius: int) -> list[int]:
+    """All XOR masks with popcount <= radius over ``n_planes`` sign
+    bits, 0 first — applying them to a query's bucket id enumerates the
+    multi-probe sequence (the corpus side stores exact buckets only)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, min(probe_radius, n_planes) + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def _per_table_collision(n_planes: int, target_cosine: float,
+                         probe_radius: int) -> float:
+    """P(pair collides in ONE table) under <=radius-bit query-side
+    probing: the pair is found iff the two codes differ in at most
+    ``radius`` of the ``n_planes`` sign bits (each independent with
+    agreement p = 1 - theta/pi), so
+    P = sum_{i=0..r} C(planes, i) p^(planes-i) (1-p)^i.
+    radius=0 reduces to the exact-bucket p^planes."""
+    import math
+
+    p = _collision_p(target_cosine)
+    r = min(probe_radius, n_planes)
+    return sum(math.comb(n_planes, i) * p ** (n_planes - i)
+               * (1.0 - p) ** i for i in range(r + 1))
+
+
 def lsh_pair_recall(n_planes: int, n_tables: int,
-                    target_cosine: float) -> float:
+                    target_cosine: float, probe_radius: int = 0) -> float:
     """Predicted probability that a pair at ``target_cosine`` collides in
     at least one of ``n_tables`` OR-amplified tables of ``n_planes``
-    planes: 1 - (1 - p^planes)^tables. Pairs MORE similar than the
-    target have higher recall, so this is a floor over the band
+    planes: 1 - (1 - P_table)^tables, where P_table is p^planes exactly,
+    or the <=radius-bit-flip collision probability under multi-probe
+    (Lv et al., VLDB'07: probing perturbed buckets on the QUERY side
+    substitutes for extra tables on the CORPUS side). Pairs MORE similar
+    than the target have higher recall, so this is a floor over the band
     [target_cosine, 1]."""
-    return 1.0 - (1.0 - _collision_p(target_cosine) ** n_planes) ** n_tables
+    per_table = _per_table_collision(n_planes, target_cosine, probe_radius)
+    return 1.0 - (1.0 - per_table) ** n_tables
 
 
 def tables_for_recall(n_planes: int, target_cosine: float,
-                      recall_floor: float) -> int:
+                      recall_floor: float, probe_radius: int = 0) -> int:
     """Inverse of :func:`lsh_pair_recall` in ``n_tables`` — the smallest
     table count whose predicted recall at ``target_cosine`` meets
-    ``recall_floor`` at the given planes. This is THE recall-repair knob
-    after the occupancy guard raises planes (per-table recall decays as
-    p^planes; tables buy it back at linear cost), so index writers can
-    hold a recall floor invariant under corpus growth instead of
-    silently losing pairs (VERDICT r6 #2)."""
+    ``recall_floor`` at the given planes and probe radius. This is THE
+    recall-repair knob after the occupancy guard raises planes
+    (per-table recall decays as p^planes; tables buy it back at linear
+    cost), so index writers can hold a recall floor invariant under
+    corpus growth instead of silently losing pairs (VERDICT r6 #2).
+    Multi-probe raises the per-table collision probability, so the same
+    floor needs ~5x fewer tables at radius 1 (6 planes, cosine 0.4:
+    36 -> 7) — fewer tables is a smaller PERSISTED index artifact, the
+    thing every ingest batch scans and every compaction rewrites."""
     import math
 
     if not (0.0 < recall_floor < 1.0):
         raise ValueError("recall_floor must be in (0, 1)")
-    per_table = _collision_p(target_cosine) ** n_planes
+    per_table = _per_table_collision(n_planes, target_cosine, probe_radius)
     if per_table <= 0.0:
         raise ValueError(
             f"recall floor {recall_floor} unreachable: per-table "
@@ -1025,6 +1090,7 @@ def write_embedding_index(
     target_cosine: float = 0.4,
     recall_floor: float | None = 0.9,
     auto_tables: bool = True,
+    probe_radius: int = 0,
 ) -> None:
     """Persist the standing corpus's EMBEDDING near-dup index — the
     semantic member of the incremental-dedup index family (exact
@@ -1059,6 +1125,18 @@ def write_embedding_index(
     ``auto_tables=False``) to opt out — reads then refuse unless the
     caller lowers their own floor, so the recall loss is never silent.
 
+    ``probe_radius`` > 0 (multi-probe, Lv et al. VLDB'07) makes READS
+    additionally probe every bucket within ``radius`` bit flips of the
+    query's bucket, raising the per-table collision probability — so
+    the same recall floor needs ~5x fewer tables at radius 1 (6 planes,
+    cosine 0.4: 36 -> 7). The CORPUS side still stores exact buckets
+    only; tables are what the persisted artifact scales with (index
+    size, per-ingest corpus scan, compaction rewrite), so probing moves
+    cost from the standing 100 TB artifact to query-side bucket probes.
+    Candidate volume is ~tables x probes x occupancy per query row —
+    roughly what the exact-bucket geometry pays at equal recall. The
+    radius is stamped and the read path defaults to it.
+
     The hyperplanes are DETERMINISTIC functions of (dim, effective
     planes, n_tables, seed); the EFFECTIVE geometry is stamped as table
     properties, the read/append paths derive it from there, and
@@ -1070,14 +1148,21 @@ def write_embedding_index(
 
     import os
 
+    if not (0 <= probe_radius <= MAX_PROBE_RADIUS):
+        raise ValueError(
+            f"probe_radius must be in [0, {MAX_PROBE_RADIUS}] (probes "
+            f"per table grow combinatorially; past radius "
+            f"{MAX_PROBE_RADIUS} buy recall with tables instead); got "
+            f"{probe_radius}")
     v = with_norm(corpus, vec_col).select(F.col(id_col), "_vec", "_norm")
     v = v.localCheckpoint()  # feeds both the bucket explode and _vec
     n_planes = effective_planes(n_planes, v.count(), max_bucket_rows)
     if recall_floor is not None and auto_tables:
         n_tables = max(n_tables,
                        tables_for_recall(n_planes, target_cosine,
-                                         recall_floor))
-    predicted = lsh_pair_recall(n_planes, n_tables, target_cosine)
+                                         recall_floor, probe_radius))
+    predicted = lsh_pair_recall(n_planes, n_tables, target_cosine,
+                                probe_radius)
     buckets = _lsh_buckets_udf(n_planes, n_tables, dim, seed)
     banded = v.select(
         F.col(id_col).alias("corpus_id"),
@@ -1090,6 +1175,7 @@ def write_embedding_index(
         path=None if path is None else os.path.join(path, "v"))
     meta = {"n_planes": n_planes, "n_tables": n_tables, "dim": dim,
             "seed": seed, "n_buckets": n_buckets,
+            "probe_radius": probe_radius,
             "target_cosine": target_cosine,
             "recall_floor": ("" if recall_floor is None
                              else f"{recall_floor:.6f}"),
@@ -1113,7 +1199,8 @@ def _plane_geometry(spark, table: str, caller: dict) -> dict:
 
 
 def _check_index_recall(spark, table: str,
-                        min_recall: float | None) -> None:
+                        min_recall: float | None,
+                        probe_radius: int | None = None) -> None:
     """Read-time recall-floor refusal (VERDICT r6 #2): recompute the
     stored geometry's predicted pair recall at its stamped
     ``target_cosine`` and refuse when it is below the effective floor —
@@ -1121,7 +1208,10 @@ def _check_index_recall(spark, table: str,
     write time. A growth-triggered rebuild that raised planes without
     re-sizing tables is an OPERATIONAL trap (the index silently loses a
     measured ~28% of true pairs at 6 planes / 16 tables); making the
-    loss a refusal with the exact repair arithmetic keeps it loud."""
+    loss a refusal with the exact repair arithmetic keeps it loud.
+    ``probe_radius`` is the EFFECTIVE read-time radius (caller override
+    or the stamped value) — probing fewer buckets than the geometry was
+    sized for lowers recall and is refused by the same arithmetic."""
     from data_cube_spark.operators.dedup import _index_meta
 
     stored = _index_meta(spark, table)
@@ -1138,15 +1228,18 @@ def _check_index_recall(spark, table: str,
             f"stamped target_cosine — the index predates recall "
             f"metadata; rebuild it with write_embedding_index.")
     planes, tables = int(stored["n_planes"]), int(stored["n_tables"])
-    predicted = lsh_pair_recall(planes, tables, float(tc))
+    radius = (int(stored.get("probe_radius", 0) or 0)
+              if probe_radius is None else probe_radius)
+    predicted = lsh_pair_recall(planes, tables, float(tc), radius)
     if predicted < floor:
-        need = tables_for_recall(planes, float(tc), floor)
+        need = tables_for_recall(planes, float(tc), floor, radius)
         raise ValueError(
             f"{table} predicted pair recall {predicted:.3f} at cosine "
-            f"{tc} ({planes} planes x {tables} tables) is below the "
-            f"floor {floor:.3f} — rebuild with n_tables>={need} (or "
-            f"auto_tables=True), or pass a lower min_recall to accept "
-            f"the loss explicitly.")
+            f"{tc} ({planes} planes x {tables} tables, probe radius "
+            f"{radius}) is below the floor {floor:.3f} — rebuild with "
+            f"n_tables>={need} (or auto_tables=True), raise "
+            f"probe_radius, or pass a lower min_recall to accept the "
+            f"loss explicitly.")
 
 
 def append_to_embedding_index(
@@ -1204,6 +1297,7 @@ def incremental_embedding_pairs_indexed(
     dim: int | None = None,
     seed: int | None = None,
     min_recall: float | None = None,
+    probe_radius: int | None = None,
 ) -> DataFrame:
     """Batch-vs-corpus embedding near-dup pairs against a PERSISTED
     :func:`write_embedding_index` — the semantic twin of
@@ -1217,12 +1311,25 @@ def incremental_embedding_pairs_indexed(
     may have raised planes); explicitly-passed parameters are validated
     against it, and the stored geometry's predicted recall is checked
     against the stamped floor — or the caller's ``min_recall`` —
-    REFUSING a silently-lossy index (VERDICT r6 #2)."""
+    REFUSING a silently-lossy index (VERDICT r6 #2).
+
+    When the index was written with ``probe_radius`` > 0 (or the caller
+    overrides it), the BATCH side probes every bucket within that many
+    bit flips of each exact bucket — a JVM-side XOR explode, no extra
+    UDF work — so a multi-probe geometry holds its recall floor with
+    several-fold fewer stored tables. The floor check runs at the
+    effective radius, so under-probing a probe-sized geometry refuses
+    rather than silently losing pairs."""
     spark = batch.sparkSession
     geo = _plane_geometry(spark, f"{table}_buckets",
                           {"n_planes": n_planes, "n_tables": n_tables,
                            "dim": dim, "seed": seed})
-    _check_index_recall(spark, f"{table}_buckets", min_recall)
+    from data_cube_spark.operators.dedup import _index_meta
+
+    stored = _index_meta(spark, f"{table}_buckets")
+    radius = (int(stored.get("probe_radius", 0) or 0)
+              if probe_radius is None else probe_radius)
+    _check_index_recall(spark, f"{table}_buckets", min_recall, radius)
     v_b = with_norm(batch, vec_col).select(
         F.col(id_col), "_vec", "_norm").localCheckpoint()
     buckets = _lsh_buckets_udf(geo["n_planes"], geo["n_tables"],
@@ -1230,6 +1337,14 @@ def incremental_embedding_pairs_indexed(
     bb = v_b.select(
         F.col(id_col).alias("batch_id"),
         F.posexplode(buckets(F.col("_vec"))).alias("_t", "_b"))
+    if radius > 0:
+        # multi-probe: the corpus stores exact buckets; the query side
+        # expands to every bucket id within `radius` sign-bit flips
+        masks = _probe_masks(geo["n_planes"], radius)
+        bb = bb.select(
+            "batch_id", "_t",
+            F.explode(F.array(*[F.col("_b").bitwiseXOR(F.lit(m))
+                                for m in masks])).alias("_b"))
     cands = (
         bb.join(spark.table(f"{table}_buckets"), ["_t", "_b"])
         .select("batch_id", "corpus_id")

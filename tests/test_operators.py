@@ -643,6 +643,94 @@ def test_embedding_index_recall_floor(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}_{s}")
 
 
+def test_multiprobe_recall_arithmetic():
+    """Multi-probe LSH (query-side bucket perturbation) raises the
+    per-table collision probability, so the same recall floor needs far
+    fewer tables — the persisted-artifact side of the trade. Pins: the
+    closed-form per-table probability is the <=radius-bit-flip binomial
+    tail (radius 0 reduces to p^planes, radius = planes covers every
+    code -> recall 1 with ONE table), recall is monotone in radius,
+    tables_for_recall shrinks with radius, and the probe-mask
+    enumeration matches C(planes, <=radius) with distinct masks of the
+    claimed popcounts."""
+    from data_cube_spark.operators import similarity
+
+    # radius 0 is the pre-probe arithmetic, bit for bit
+    assert (similarity.lsh_pair_recall(6, 36, 0.4, 0)
+            == similarity.lsh_pair_recall(6, 36, 0.4))
+    assert (similarity.tables_for_recall(6, 0.4, 0.9, 0)
+            == similarity.tables_for_recall(6, 0.4, 0.9) == 36)
+    # monotone in radius; radius = planes covers all 2^planes codes
+    prev = 0.0
+    for r in range(0, 3):
+        cur = similarity.lsh_pair_recall(6, 7, 0.4, r)
+        assert cur > prev
+        prev = cur
+    assert similarity.lsh_pair_recall(6, 1, 0.4, 6) == 1.0
+    # the headline trade: 0.9 floor at 6 planes / cosine 0.4 needs
+    # 36 tables exact, 7 at radius 1, 3 at radius 2 — and each
+    # geometry's predicted recall clears the floor
+    for r, t in ((1, 7), (2, 3)):
+        assert similarity.tables_for_recall(6, 0.4, 0.9, r) == t
+        assert similarity.lsh_pair_recall(6, t, 0.4, r) >= 0.9
+    # probe masks: exact count, distinct, popcount <= radius, 0 first
+    for planes, r in ((6, 1), (6, 2), (4, 2)):
+        masks = similarity._probe_masks(planes, r)
+        assert len(masks) == similarity.probe_count(planes, r)
+        assert len(set(masks)) == len(masks) and masks[0] == 0
+        assert all(bin(m).count("1") <= r and m < 2 ** planes
+                   for m in masks)
+
+
+def test_embedding_index_multiprobe(spark, tmp_path):
+    """A probe_radius=1 geometry holds the SAME 0.9 recall floor with
+    7 stored tables instead of 36 (the persisted artifact — what every
+    ingest batch scans and every compaction rewrites — is 5.1x
+    smaller), the radius is stamped and the read path defaults to it,
+    and UNDER-probing the geometry (caller forces radius 0, predicted
+    recall 0.37) refuses with the same floor arithmetic instead of
+    silently losing pairs. Measured recall is deterministic here: fixed
+    hyperplane seed, fixed corpus."""
+    from data_cube_spark.operators import similarity
+    from data_cube_spark.operators.dedup import _index_meta
+    from data_cube_spark.sources.star import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.1")["embeddings"]
+    seed = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    truth = (similarity.cosine_near_pairs(emb, threshold=0.4,
+                                          max_rows=None)
+             .where((F.col("id_a") + F.col("id_b")) % 2 == 1).count())
+    tbl = "t_multiprobe"
+    try:
+        # n_tables=1: auto_tables raises to the floor's requirement —
+        # the max() keeps an EXPLICIT higher caller count, so the
+        # shrink is opt-in via a low minimum
+        similarity.write_embedding_index(
+            seed, tbl, n_buckets=8, max_bucket_rows=16, n_tables=1,
+            probe_radius=1, path=str(tmp_path / "mp"))
+        meta = _index_meta(spark, f"{tbl}_buckets")
+        assert int(meta["n_planes"]) == 6
+        assert int(meta["n_tables"]) == 7
+        assert int(meta["probe_radius"]) == 1
+        assert float(meta["predicted_recall"]) >= 0.9
+        found = similarity.incremental_embedding_pairs_indexed(
+            batch, tbl, threshold=0.4).count()
+        assert found / truth >= 0.9, (found, truth)
+        # under-probing the probe-sized geometry: 7 tables at radius 0
+        # predicts 0.37 recall — refused, repair arithmetic named
+        with pytest.raises(ValueError, match="below the floor"):
+            similarity.incremental_embedding_pairs_indexed(
+                batch, tbl, threshold=0.4, probe_radius=0)
+        # radius out of range is refused at write time
+        with pytest.raises(ValueError, match="probe_radius"):
+            similarity.write_embedding_index(
+                seed, "t_mp_bad", probe_radius=3)
+    finally:
+        for s in ("buckets", "vec"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}_{s}")
+
+
 def test_blocked_near_pairs_pre_cap_exact_identity(spark):
     """VERDICT r6 #1: the blocked tier's per-row pre-cap is EXACT — each
     row scores the full corpus, so its local top-k IS its global top-k,
