@@ -343,6 +343,14 @@ CURATED: dict[str, str] = {
         "cell_id — only the query batch shuffles; corpus never "
         "re-trained or re-shuffled per query batch."
     ),
+    "indexed_embedding_read_multiprobe": (
+        "Multi-probe embedding-index read (probe_radius=1, ~5x fewer "
+        "stored tables at the same recall floor): the batch side's "
+        "bucket ids expand to every <=1-bit-flip probe with a JVM-side "
+        "XOR explode BEFORE the join — the corpus buckets table stays "
+        "exact-bucketed on (_t, _b) and exchange-free; plan shape is "
+        "identical to the exact-bucket read plus one Generate."
+    ),
 }
 
 
@@ -426,13 +434,13 @@ def _build_indexed_reads(which):
                                      threshold=0.5, path=base)
             return dedup.incremental_prefix_pairs_indexed(
                 batch, tag, threshold=0.5)
-        if which == "emb":
+        if which in ("emb", "embmp"):
             from data_cube_spark.operators import similarity
 
             emb = load_tables(spark, sf_dir)["embeddings"]
             similarity.write_embedding_index(
                 emb.where(F.col("vec_id") % 2 == 0), tag, n_buckets=8,
-                path=base)
+                probe_radius=1 if which == "embmp" else 0, path=base)
             return similarity.incremental_embedding_pairs_indexed(
                 emb.where(F.col("vec_id") % 2 == 1), tag, threshold=0.4)
         if which == "ivf":
@@ -458,6 +466,7 @@ SPECIAL_BUILD = {
     "dedup_exact_indexed_ingest": _build_indexed_reads("fp"),
     "incremental_embedding_pairs_indexed": _build_indexed_reads("emb"),
     "ann_ivf_topk_indexed": _build_indexed_reads("ivf"),
+    "indexed_embedding_read_multiprobe": _build_indexed_reads("embmp"),
 }
 
 
@@ -481,7 +490,7 @@ def main() -> int:
         "",
     ]
     for name, note in CURATED.items():
-        if name not in QUERIES:
+        if name not in QUERIES and name not in SPECIAL_BUILD:
             print(f"skip {name}: not in registry", flush=True)
             continue
         spark.catalog.clearCache()
