@@ -1350,13 +1350,37 @@ def incremental_embedding_pairs_indexed(
         .select("batch_id", "corpus_id")
         .dropDuplicates()
     )
+    # Verify strategy is size-dispatched, like lsh_near_pairs: the
+    # candidate stream is |batch| x tables x probes x occupancy rows, and
+    # at a weak operating threshold (cosine 0.4 -> per-table random
+    # collision ~1/buckets) it dwarfs the output, so per-candidate cost
+    # dominates the read. Below the broadcast gate both normalized
+    # matrices ship once and candidates are scored by a numpy gather +
+    # einsum over 16-byte id pairs (~ns/pair); above it, vectors attach
+    # via two equi-joins and the JVM array dot verifies (the
+    # exchange-free corpus-side story is unchanged — the _vec table is
+    # bucketed on corpus_id).
+    from data_cube_spark.model import BROADCAST_MAX_ROWS
+
+    vc = spark.table(f"{table}_vec")
+    n_batch, n_corpus = v_b.count(), vc.count()
+    rows = n_batch + n_corpus
+    if (n_batch > 0 and n_corpus > 0 and rows <= BROADCAST_MAX_ROWS
+            and rows * geo["dim"] * 8 <= 256 * 1024 * 1024):
+        verify = _two_sided_cosine_udf(
+            spark, v_b.withColumnRenamed(id_col, "batch_id"),
+            vc, "batch_id", "corpus_id")
+        return (
+            cands.withColumn("cosine",
+                             verify(F.col("batch_id"), F.col("corpus_id")))
+            .where(F.col("cosine") >= threshold)
+        )
     vb = v_b.select(F.col(id_col).alias("batch_id"),
                     F.col("_vec").alias("_va"), F.col("_norm").alias("_na"))
-    vc = spark.table(f"{table}_vec").select(
-        "corpus_id", F.col("_vec").alias("_vb"),
-        F.col("_norm").alias("_nb"))
+    vcj = vc.select("corpus_id", F.col("_vec").alias("_vb"),
+                    F.col("_norm").alias("_nb"))
     return (
-        cands.join(vb, "batch_id").join(vc, "corpus_id")
+        cands.join(vb, "batch_id").join(vcj, "corpus_id")
         .select(
             "batch_id", "corpus_id",
             (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
@@ -1390,6 +1414,39 @@ def _broadcast_cosine_udf(spark, v: DataFrame, id_col: str):
         pa = np.searchsorted(ids_, ia.to_numpy())
         pb = np.searchsorted(ids_, ib.to_numpy())
         return pd.Series(np.einsum("ij,ij->i", M_[pa], M_[pb]))
+
+    return cos
+
+
+def _two_sided_cosine_udf(spark, v_a: DataFrame, v_b: DataFrame,
+                          id_a: str, id_b: str):
+    """Two-matrix variant of :func:`_broadcast_cosine_udf` for
+    batch-vs-corpus verification: the LEFT id gathers from ``v_a``'s
+    matrix and the RIGHT id from ``v_b``'s — batch and corpus ids live
+    in different keyspaces and may collide numerically, so a shared
+    matrix would mis-attribute vectors. Same contract otherwise: both
+    frames are caller size-gated, only 16-byte id pairs cross to Python,
+    and scoring is a vectorized gather + einsum per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def mat(v: DataFrame, idc: str):
+        pdf = v.toPandas()
+        order = np.argsort(pdf[idc].to_numpy())
+        ids = pdf[idc].to_numpy()[order]
+        M = np.stack(pdf["_vec"].to_numpy()[order]).astype("float64")
+        M /= np.maximum(pdf["_norm"].to_numpy()[order], 1e-300)[:, None]
+        return ids, M
+
+    bc = spark.sparkContext.broadcast((mat(v_a, id_a), mat(v_b, id_b)))
+
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def cos(ia, ib):
+        (ids_a, M_a), (ids_b, M_b) = bc.value
+        pa = np.searchsorted(ids_a, ia.to_numpy())
+        pb = np.searchsorted(ids_b, ib.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", M_a[pa], M_b[pb]))
 
     return cos
 
