@@ -333,9 +333,13 @@ CURATED: dict[str, str] = {
     "incremental_embedding_pairs_indexed": (
         "Persisted EMBEDDING-index read path (the semantic member of "
         "the index family): corpus hyperplane buckets scanned bucketed "
-        "on (_t, _b), normalized vectors bucketed on corpus_id — both "
-        "joins corpus-side exchange-free; candidates carry ids only, "
-        "cosine verify after candidate dedup."
+        "on (_t, _b), candidate join corpus-side exchange-free; "
+        "candidates carry ids only. Verify is size-dispatched: below "
+        "the broadcast gate (this capture) the deduped id pairs are "
+        "scored by a broadcast-matrix einsum (ArrowEvalPython, 16-byte "
+        "pairs to Python); above it, vectors attach via equi-joins "
+        "(the _vec table bucketed on corpus_id) and the JVM array dot "
+        "verifies."
     ),
     "ann_ivf_topk_indexed": (
         "Persisted IVF index (ANN serving): centroids broadcast off the "
@@ -349,7 +353,8 @@ CURATED: dict[str, str] = {
         "bucket ids expand to every <=1-bit-flip probe with a JVM-side "
         "XOR explode BEFORE the join — the corpus buckets table stays "
         "exact-bucketed on (_t, _b) and exchange-free; plan shape is "
-        "identical to the exact-bucket read plus one Generate."
+        "identical to the exact-bucket read plus one Generate (and the "
+        "same size-dispatched verify)."
     ),
 }
 
