@@ -1583,6 +1583,79 @@ def ivf_topk(
     )
 
 
+def _ivf_serve_broadcast(q: DataFrame, cells: DataFrame, cw: DataFrame,
+                         id_col: str, k: int, n_probe: int,
+                         exclude_self: bool) -> DataFrame:
+    """Broadcast tier of :func:`ann_ivf_topk_indexed`: the persisted
+    index (centroids + cell assignments + normalized corpus matrix)
+    ships to every worker once, and each Arrow batch of queries runs the
+    full serve in numpy — centroid scores -> n_probe cells (score desc,
+    cell_id asc, matching the join tier's window order), probed-cell
+    mask over a row-blocked (batch x corpus) cosine slab, per-row top-k
+    by (cosine desc, match_id asc). Same semantics as the join tier,
+    none of its two shuffles (probe window, top-k window) or its
+    vector-carrying candidate join."""
+    import numpy as np
+    import pandas as pd
+
+    spark = q.sparkSession
+    cpdf = cells.select("cell_id", "corpus_id", "_vec", "_norm").toPandas()
+    order = np.argsort(cpdf["corpus_id"].to_numpy())
+    cids = cpdf["corpus_id"].to_numpy()[order].astype("int64")
+    ccell = cpdf["cell_id"].to_numpy()[order].astype("int64")
+    M = np.stack(cpdf["_vec"].to_numpy()[order]).astype("float64")
+    M /= np.maximum(cpdf["_norm"].to_numpy()[order], 1e-300)[:, None]
+    cent = cw.toPandas()
+    corder = np.argsort(cent["cell_id"].to_numpy())
+    cent_ids = cent["cell_id"].to_numpy()[corder].astype("int64")
+    C = np.stack(cent["_centvec"].to_numpy()[corder]).astype("float64")
+    bc = spark.sparkContext.broadcast((cids, ccell, M, cent_ids, C))
+    npb, kk, excl = int(n_probe), int(k), bool(exclude_self)
+
+    def serve(batches):
+        cids_, ccell_, M_, cent_ids_, C_ = bc.value
+        n = len(cids_)
+        block = max(1, (64 << 20) // (max(n, 1) * 8))
+        for b in batches:
+            if not len(b):
+                continue
+            qid = b[id_col].to_numpy().astype("int64")
+            Qr = np.stack(b["_vec"].to_numpy()).astype("float64")
+            Qn = Qr / np.maximum(
+                b["_norm"].to_numpy().astype("float64"), 1e-300)[:, None]
+            for i0 in range(0, len(qid), block):
+                i1 = min(i0 + block, len(qid))
+                # probe: RAW query dot centroid (the join tier's score),
+                # stable argsort on -score = score desc, cell_id asc
+                # (centroid columns are in ascending cell_id order)
+                P = Qr[i0:i1] @ C_.T
+                probe_cols = np.argsort(-P, axis=1, kind="stable")[:, :npb]
+                probed = cent_ids_[probe_cols]          # (rows, npb)
+                S = Qn[i0:i1] @ M_.T                    # (rows, n) cosines
+                mask = (ccell_[None, :, None]
+                        == probed[:, None, :]).any(axis=2)
+                if excl:
+                    mask &= cids_[None, :] != qid[i0:i1, None]
+                S[~mask] = -np.inf
+                # top-k by (cosine desc, match_id asc): stable argsort
+                # on -S with columns in ascending-id order
+                kk_eff = min(kk, n)
+                top = np.argsort(-S, axis=1, kind="stable")[:, :kk_eff]
+                sc = np.take_along_axis(S, top, axis=1)
+                rows, ranks = np.nonzero(np.isfinite(sc))
+                if not len(rows):
+                    continue
+                yield pd.DataFrame({
+                    "query_id": qid[i0:i1][rows],
+                    "match_id": cids_[top[rows, ranks]],
+                    "cosine": sc[rows, ranks],
+                    "rank": (ranks + 1).astype("int32"),
+                })
+
+    return q.select(F.col(id_col), "_vec", "_norm").mapInPandas(
+        serve, "query_id long, match_id long, cosine double, rank int")
+
+
 # -- persisted IVF index (repeated ANN serving at corpus scale) --------------
 
 #: corpora at or below this size keep the caller's n_cells unchanged —
@@ -1742,7 +1815,33 @@ def ann_ivf_topk_indexed(
         .where(F.col("_pr") <= n_probe)
         .select("query_id", "_qvec", "_qnorm", "cell_id")
     )
-    c = spark.table(f"{table}_cells").select(
+    # Serving is size-dispatched like the embedding-index read: the
+    # candidate stream is |queries| x n_probe x cell occupancy rows, and
+    # the join tier attaches ~1 KB of vectors per candidate before an
+    # interpreted array-dot and a window top-k over the full stream.
+    # Below the broadcast gate the whole serve runs as the classic ANN
+    # serving layout instead: (centroids, cell assignments, corpus
+    # matrix) broadcast once, and each Arrow batch of queries does
+    # probe-selection, cell masking, exact scoring and top-k in numpy —
+    # zero joins, zero windows, zero shuffles. Long ids only (the pair
+    # kernels' integral-id contract); any other id type serves on the
+    # join tier.
+    from pyspark.sql.types import LongType
+
+    from data_cube_spark.model import BROADCAST_MAX_ROWS
+
+    cells = spark.table(f"{table}_cells")
+    qn = q.count()
+    cn = cells.count()
+    dim = len(cw.select("_centvec").head()["_centvec"])
+    id_is_long = isinstance(q.schema[id_col].dataType, LongType) and \
+        isinstance(cells.schema["corpus_id"].dataType, LongType)
+    if (id_is_long and qn > 0 and cn > 0
+            and qn + cn <= BROADCAST_MAX_ROWS
+            and (qn + cn) * dim * 8 <= 256 * 1024 * 1024):
+        return _ivf_serve_broadcast(q, cells, cw, id_col, k, n_probe,
+                                    exclude_self)
+    c = cells.select(
         "cell_id", F.col("corpus_id").alias("match_id"),
         F.col("_vec").alias("_cvec"), F.col("_norm").alias("_cnorm"))
     scored = probed.join(c, "cell_id")

@@ -967,18 +967,31 @@ def test_ivf_index_serving_matches_inline_and_exchange_free(
             queries, corpus, k=5, n_cells=8, n_probe=4).collect())
         assert got == want and len(got) == 20 * 5
 
-        # plan: cells scan bucketed, probe side is the only join exchange
+        # plan, broadcast serving tier (long ids + gate-sized corpus):
+        # the whole serve is one MapInPandas over the query batch —
+        # zero joins, zero windows, zero exchanges
+        bc_plan = explain_str(got_df, "simple")
+        assert "MapInPandas" in bc_plan, bc_plan
+        # the serve itself adds no shuffle: no hash-partitioned exchange
+        # (the SinglePartition one belongs to the test's .limit(20)), no
+        # join, no window
+        assert "hashpartitioning" not in bc_plan, bc_plan
+        assert "SortMergeJoin" not in bc_plan and "Window" not in bc_plan
+
+        # join tier (non-long ids dispatch there): cells scan bucketed,
+        # probe side is the only join exchange — and the serve matches
         prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         try:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-            plan = explain_str(
-                similarity.ann_ivf_topk_indexed(
-                    queries, "t_ivf_idx", k=5, n_probe=4), "simple")
+            qi = queries.withColumn("vec_id", F.col("vec_id").cast("int"))
+            jdf = similarity.ann_ivf_topk_indexed(
+                qi, "t_ivf_idx", k=5, n_probe=4)
+            plan = explain_str(jdf, "simple")
             assert "Bucketed: true" in plan, plan
             # probe window + probe-side cell_id shuffle + final top-k
             # window; the cells side and the broadcast centroids add none
-            assert count_exchanges(similarity.ann_ivf_topk_indexed(
-                queries, "t_ivf_idx", k=5, n_probe=4)) == 3
+            assert count_exchanges(jdf) == 3
+            assert key(jdf.collect()) == want
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
