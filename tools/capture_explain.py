@@ -342,10 +342,13 @@ CURATED: dict[str, str] = {
         "verifies."
     ),
     "ann_ivf_topk_indexed": (
-        "Persisted IVF index (ANN serving): centroids broadcast off the "
-        "tiny table, probe join reads the cells table bucketed on "
-        "cell_id — only the query batch shuffles; corpus never "
-        "re-trained or re-shuffled per query batch."
+        "Persisted IVF index (ANN serving), broadcast tier (this "
+        "capture): the stored centroids + cell assignments + normalized "
+        "corpus matrix broadcast once, each Arrow batch of queries does "
+        "probe selection, cell masking and top-k in one numpy pass — "
+        "zero joins/windows/shuffles. Above the gate (or non-long ids) "
+        "the join tier serves: centroids broadcast, cells scan bucketed "
+        "on cell_id, only the query batch shuffles."
     ),
     "indexed_embedding_read_multiprobe": (
         "Multi-probe embedding-index read (probe_radius=1, ~5x fewer "
