@@ -68,6 +68,7 @@ def test_extra_bench_indexed_read_paths_run(spark):
             for s in ("mh_bands", "mh_sig", "fp_fp",
                       "pfx_prefix", "pfx_df", "pfx_sets",
                       "emb_buckets", "emb_vec",
+                      "embmp_buckets", "embmp_vec",
                       "ivf_cells", "ivf_centroids"):
                 spark.sql(f"DROP TABLE IF EXISTS {tag}_{s}")
             shutil.rmtree(os.path.join(tempfile.gettempdir(), tag),
