@@ -148,16 +148,18 @@ class Measure:
         return fn(col)
 
     def _pandas_udaf(self, fn: Callable):
-        # GROUPED_AGG declared explicitly: under ``from __future__ import
-        # annotations`` the type-hint inference path sees string annotations
-        # and rejects the signature.
-        from pyspark.sql.functions import PandasUDFType, pandas_udf
+        # GROUPED_AGG via type-hint inference (SPARK-28264): annotations are
+        # attached as real class objects (not strings) because the module's
+        # ``from __future__ import annotations`` would otherwise leave
+        # strings that get_type_hints can't resolve from a nested scope.
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
 
-        @pandas_udf(self.dtype, PandasUDFType.GROUPED_AGG)
         def _udaf(s):
             return fn(s)
 
-        return _udaf
+        _udaf.__annotations__ = {"s": pd.Series, "return": float}
+        return pandas_udf(_udaf, self.dtype)
 
     def _finish(self, expr: Column) -> Column:
         if self.fill is not None:

@@ -230,10 +230,10 @@ def _lsh_buckets_udf(n_planes: int, n_tables: int, dim: int, seed: int):
     """
     import numpy as np
     import pandas as pd
-    # SCALAR declared explicitly: under ``from __future__ import
-    # annotations`` the type-hint inference path sees string annotations
-    # and rejects the signature (same pattern as model._pandas_udaf).
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    # Type-hint pandas UDF (SPARK-28264): annotations attached as real class
+    # objects because the module's ``from __future__ import annotations``
+    # would otherwise leave strings unresolvable from this nested scope.
+    from pyspark.sql.functions import pandas_udf
 
     planes = np.stack([
         np.asarray(_hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)
@@ -241,14 +241,14 @@ def _lsh_buckets_udf(n_planes: int, n_tables: int, dim: int, seed: int):
     mat = planes.reshape(n_tables * n_planes, dim).T.copy()  # (dim, tables*planes)
     weights = (1 << np.arange(n_planes)).astype("int64")
 
-    @pandas_udf("array<int>", PandasUDFType.SCALAR)
     def buckets(v):
         x = np.stack(v.values).astype("float64")  # (n, dim)
         signs = (x @ mat >= 0).reshape(len(v), n_tables, n_planes)
         b = (signs * weights).sum(axis=2).astype("int32")  # (n, tables)
         return pd.Series(list(b))
 
-    return buckets
+    buckets.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(buckets, "array<int>")
 
 
 def effective_planes(n_planes: int, corpus_rows: int | None,
@@ -320,6 +320,20 @@ def _collision_p(target_cosine: float) -> float:
 #: (the flipped-bit disagreement probabilities multiply in). Past r=2
 #: you are better off buying recall with tables again.
 MAX_PROBE_RADIUS = 2
+
+
+def _validate_probe_radius(probe_radius: int) -> int:
+    """Read-side mirror of the write-path cap: a caller override above
+    ``MAX_PROBE_RADIUS`` probes a combinatorial number of buckets per
+    table (radius = planes probes ALL 2^planes buckets), and a negative
+    radius yields probe-less reads whose recall arithmetic degenerates
+    (per-table collision probability 0). Same bounds either way in."""
+    if not (0 <= probe_radius <= MAX_PROBE_RADIUS):
+        raise ValueError(
+            f"probe_radius must be in [0, {MAX_PROBE_RADIUS}]; got "
+            f"{probe_radius} (probes per table are combinatorial in the "
+            f"radius — buy recall with tables instead)")
+    return int(probe_radius)
 
 
 def probe_count(n_planes: int, probe_radius: int) -> int:
@@ -1229,7 +1243,7 @@ def _check_index_recall(spark, table: str,
             f"metadata; rebuild it with write_embedding_index.")
     planes, tables = int(stored["n_planes"]), int(stored["n_tables"])
     radius = (int(stored.get("probe_radius", 0) or 0)
-              if probe_radius is None else probe_radius)
+              if probe_radius is None else _validate_probe_radius(probe_radius))
     predicted = lsh_pair_recall(planes, tables, float(tc), radius)
     if predicted < floor:
         need = tables_for_recall(planes, float(tc), floor, radius)
@@ -1328,7 +1342,7 @@ def incremental_embedding_pairs_indexed(
 
     stored = _index_meta(spark, f"{table}_buckets")
     radius = (int(stored.get("probe_radius", 0) or 0)
-              if probe_radius is None else probe_radius)
+              if probe_radius is None else _validate_probe_radius(probe_radius))
     _check_index_recall(spark, f"{table}_buckets", min_recall, radius)
     v_b = with_norm(batch, vec_col).select(
         F.col(id_col), "_vec", "_norm").localCheckpoint()
@@ -1360,6 +1374,13 @@ def incremental_embedding_pairs_indexed(
     # via two equi-joins and the JVM array dot verifies (the
     # exchange-free corpus-side story is unchanged — the _vec table is
     # bucketed on corpus_id).
+    #
+    # Tier dispatch is NOT bit-identical at threshold boundaries: the
+    # broadcast tier scores a normalized-matrix einsum, the join tier
+    # dot(a,b)/(na*nb) in the JVM — last-ulp float differences can flip a
+    # pair sitting exactly on `threshold` when a growing corpus crosses
+    # BROADCAST_MAX_ROWS. Acceptable for ANN semantics; tests use
+    # friendly (exactly-representable) data.
     from data_cube_spark.model import BROADCAST_MAX_ROWS
 
     vc = spark.table(f"{table}_vec")
@@ -1399,7 +1420,7 @@ def _broadcast_cosine_udf(spark, v: DataFrame, id_col: str):
     evaluation of the JVM array path."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     pdf = v.toPandas()
     order = np.argsort(pdf[id_col].to_numpy())
@@ -1408,14 +1429,26 @@ def _broadcast_cosine_udf(spark, v: DataFrame, id_col: str):
     M /= np.maximum(pdf["_norm"].to_numpy()[order], 1e-300)[:, None]
     bc = spark.sparkContext.broadcast((ids, M))
 
-    @pandas_udf("double", PandasUDFType.SCALAR)
     def cos(ia, ib):
         ids_, M_ = bc.value
-        pa = np.searchsorted(ids_, ia.to_numpy())
-        pb = np.searchsorted(ids_, ib.to_numpy())
+        a = ia.to_numpy()
+        b = ib.to_numpy()
+        pa = np.clip(np.searchsorted(ids_, a), 0, len(ids_) - 1)
+        pb = np.clip(np.searchsorted(ids_, b), 0, len(ids_) - 1)
+        # Presence check: an id absent from the broadcast matrix would
+        # silently score a NEIGHBOR's vector (searchsorted returns the
+        # insertion point). Fail loudly instead of returning wrong cosines.
+        if not (np.array_equal(ids_[pa], a) and np.array_equal(ids_[pb], b)):
+            missing = set(a[ids_[pa] != a]) | set(b[ids_[pb] != b])
+            raise ValueError(
+                f"cosine verify: {len(missing)} id(s) not in the broadcast "
+                f"vector matrix (e.g. {sorted(missing)[:3]}); the pair "
+                "stream and the vector table are out of sync"
+            )
         return pd.Series(np.einsum("ij,ij->i", M_[pa], M_[pb]))
 
-    return cos
+    cos.__annotations__ = {"ia": pd.Series, "ib": pd.Series, "return": pd.Series}
+    return pandas_udf(cos, "double")
 
 
 def _two_sided_cosine_udf(spark, v_a: DataFrame, v_b: DataFrame,
@@ -1429,7 +1462,7 @@ def _two_sided_cosine_udf(spark, v_a: DataFrame, v_b: DataFrame,
     and scoring is a vectorized gather + einsum per Arrow batch."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     def mat(v: DataFrame, idc: str):
         pdf = v.toPandas()
@@ -1441,14 +1474,27 @@ def _two_sided_cosine_udf(spark, v_a: DataFrame, v_b: DataFrame,
 
     bc = spark.sparkContext.broadcast((mat(v_a, id_a), mat(v_b, id_b)))
 
-    @pandas_udf("double", PandasUDFType.SCALAR)
     def cos(ia, ib):
         (ids_a, M_a), (ids_b, M_b) = bc.value
-        pa = np.searchsorted(ids_a, ia.to_numpy())
-        pb = np.searchsorted(ids_b, ib.to_numpy())
+        a = ia.to_numpy()
+        b = ib.to_numpy()
+        pa = np.clip(np.searchsorted(ids_a, a), 0, len(ids_a) - 1)
+        pb = np.clip(np.searchsorted(ids_b, b), 0, len(ids_b) - 1)
+        # Presence check: a candidate id in {table}_buckets but missing from
+        # {table}_vec (reader racing the two insertIntos, or a half-failed
+        # append) would silently gather a NEIGHBOR's vector. Fail loudly so
+        # out-of-sync index tables surface instead of returning wrong scores.
+        if not (np.array_equal(ids_a[pa], a) and np.array_equal(ids_b[pb], b)):
+            missing = set(a[ids_a[pa] != a]) | set(b[ids_b[pb] != b])
+            raise ValueError(
+                f"cosine verify: {len(missing)} id(s) not in the broadcast "
+                f"vector matrices (e.g. {sorted(missing)[:3]}); bucket and "
+                "vector index tables are out of sync"
+            )
         return pd.Series(np.einsum("ij,ij->i", M_a[pa], M_b[pb]))
 
-    return cos
+    cos.__annotations__ = {"ia": pd.Series, "ib": pd.Series, "return": pd.Series}
+    return pandas_udf(cos, "double")
 
 
 # -- IVF-style coarse quantization -----------------------------------------
@@ -1795,7 +1841,14 @@ def ann_ivf_topk_indexed(
     re-shuffled: centroids broadcast off the tiny table, each query
     probes its ``n_probe`` nearest cells, and the candidate equi-join on
     ``cell_id`` reads the cells table bucketed — only the query batch
-    shuffles. Returns (query_id, match_id, cosine, rank)."""
+    shuffles. Returns (query_id, match_id, cosine, rank).
+
+    Tier dispatch is NOT bit-identical at ties: the broadcast tier
+    scores a normalized-matrix einsum, the join tier dot(a,b)/(na*nb)
+    in the JVM — last-ulp differences can reorder exact-tie neighbors
+    when a growing corpus crosses ``BROADCAST_MAX_ROWS``. Acceptable
+    for ANN semantics (both tiers break ties by ascending match_id on
+    equal stored cosines)."""
     from data_cube_spark.operators.dedup import _require_index_meta
 
     spark = queries.sparkSession
@@ -1831,16 +1884,21 @@ def ann_ivf_topk_indexed(
     from data_cube_spark.model import BROADCAST_MAX_ROWS
 
     cells = spark.table(f"{table}_cells")
-    qn = q.count()
-    cn = cells.count()
-    dim = len(cw.select("_centvec").head()["_centvec"])
+    # Gate ordering: schema check first (free), then the two count jobs,
+    # then dim — head() last and None-guarded, so an empty centroid table
+    # (or a non-long id) falls through to the join tier without paying
+    # any extra jobs or raising on head()=None (ADVICE r7).
     id_is_long = isinstance(q.schema[id_col].dataType, LongType) and \
         isinstance(cells.schema["corpus_id"].dataType, LongType)
-    if (id_is_long and qn > 0 and cn > 0
-            and qn + cn <= BROADCAST_MAX_ROWS
-            and (qn + cn) * dim * 8 <= 256 * 1024 * 1024):
-        return _ivf_serve_broadcast(q, cells, cw, id_col, k, n_probe,
-                                    exclude_self)
+    if id_is_long:
+        qn = q.count()
+        cn = cells.count() if qn > 0 else 0
+        if 0 < qn + cn <= BROADCAST_MAX_ROWS and qn > 0 and cn > 0:
+            head = cw.select("_centvec").head()
+            dim = len(head["_centvec"]) if head is not None else None
+            if dim is not None and (qn + cn) * dim * 8 <= 256 * 1024 * 1024:
+                return _ivf_serve_broadcast(q, cells, cw, id_col, k,
+                                            n_probe, exclude_self)
     c = cells.select(
         "cell_id", F.col("corpus_id").alias("match_id"),
         F.col("_vec").alias("_cvec"), F.col("_norm").alias("_cnorm"))
