@@ -671,7 +671,20 @@ def write_prefix_index(
     theorem (prefix length = sz - ceil(t*sz) + 1) gives LONGER prefixes
     at lower t, and a longer stored prefix is a candidate superset for
     any higher query threshold — still exact after verification. Index
-    once at your lowest operating threshold."""
+    once at your lowest operating threshold.
+
+    The shingle order is FROZEN at build time (VERDICT r7 #3): the
+    ``_df`` table written here IS the global order every later reader
+    and :func:`append_prefix_index` reuse, stamped with a deterministic
+    ``order_version``. Exactness never depends on which order is used —
+    the prefix theorem holds for ANY total order shared by both sides —
+    so appends under the frozen order stay EXACT; what drifts as the
+    corpus grows is only pruning efficiency (the frozen "rarest-first"
+    ranking slowly stops reflecting true document frequencies, so
+    prefixes admit more candidates than a fresh order would). The drift
+    is stamped on every append (``appended_docs``/``base_docs`` plus the
+    unseen-shingle posting mass) and surfaced by ``list_indexes``;
+    rebuild past :data:`PREFIX_DF_DRIFT_BOUND`."""
     import os
 
     from pyspark.sql import Window
@@ -705,12 +718,21 @@ def write_prefix_index(
     write_bucketed(sets.select(F.col(id_col).alias("corpus_id"), "_set"),
                    f"{table}_sets", ["corpus_id"], n_buckets,
                    path=_p("sets"))
+    # freeze the shingle order: the _df just written is THE order every
+    # reader and append reuses; version it deterministically from the
+    # corpus shape and zero the drift counters appends accumulate
+    spark = corpus.sparkSession
+    base_docs = spark.table(f"{table}_sets").count()
+    n_shingles = spark.table(f"{table}_df").count()
     meta = {"k": k, "hash_shingles": hash_shingles,
-            "threshold": threshold, "n_buckets": n_buckets}
+            "threshold": threshold, "n_buckets": n_buckets,
+            "order_version": f"v{base_docs}x{n_shingles}",
+            "base_docs": base_docs, "appended_docs": 0,
+            "appended_postings": 0, "unseen_postings": 0}
     # every member table carries the stamp (the membership test the
     # maintenance surface and the read paths share)
     for member in ("prefix", "df", "sets"):
-        _set_index_meta(corpus.sparkSession, f"{table}_{member}", meta)
+        _set_index_meta(spark, f"{table}_{member}", meta)
 
 
 def incremental_prefix_pairs_indexed(
@@ -792,6 +814,129 @@ def incremental_prefix_pairs_indexed(
             .cast("double").alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+#: df-drift bound for the frozen-order prefix index: past this much
+#: corpus growth since the order was frozen (appended_docs/base_docs)
+#: the stamped "rarest-first" ranking is stale enough that candidate
+#: pruning degrades measurably — list_indexes flags the index and
+#: compact_all warns; rebuild with write_prefix_index to re-freeze.
+#: Never a correctness bound: reads stay exact at any drift.
+PREFIX_DF_DRIFT_BOUND = 0.5
+
+
+def prefix_df_drift(params: dict) -> float | None:
+    """Corpus growth since the shingle order was frozen, from the
+    stamped counters: ``appended_docs / base_docs``. None for indexes
+    written before drift metadata existed (rebuild to stamp)."""
+    try:
+        base = int(params["base_docs"])
+        appended = int(params["appended_docs"])
+    except (KeyError, ValueError):
+        return None
+    return appended / base if base > 0 else None
+
+
+def append_prefix_index(
+    new_docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Fold new documents into a persisted :func:`write_prefix_index`
+    WITHOUT the full-corpus rebuild (VERDICT r7 #3 — at 100 TB the
+    rebuild was the most expensive maintenance job in the index
+    family; this is O(batch)). The batch is shingled and prefixed
+    under the index's FROZEN shingle order (the stored ``_df`` table;
+    batch shingles absent from it rank df 0 — exactly the read path's
+    rule, so append and read agree bit-for-bit), then inserted into
+    ``_prefix`` and ``_sets`` (``insertInto`` preserves bucketing).
+    The ``_df`` table is NEVER touched — the order version stays
+    frozen, which keeps every read EXACT (the prefix theorem holds
+    for any total order shared by both sides; only pruning efficiency
+    drifts as true document frequencies diverge from the frozen
+    ranking).
+
+    Stamps cumulative drift counters on all three member tables:
+    ``appended_docs``, ``appended_postings``, ``unseen_postings``
+    (posting mass whose shingle the frozen order has never seen — the
+    direct measure of ranking staleness). Returns the updated drift
+    stats. Re-appending the same document id is harmless for pair
+    semantics (identical rows) — :func:`compact_prefix_index`
+    re-distincts on the refresh cadence; appending a MODIFIED document
+    under an existing id corrupts the index (two sizes for one id) —
+    delete+rebuild or use a fresh id, as with every index in the
+    family."""
+    from pyspark.sql import Window
+
+    spark = new_docs.sparkSession
+    stored = _require_index_meta(spark, f"{table}_prefix", {})
+    if "order_version" not in stored:
+        raise ValueError(
+            f"{table} predates frozen-order metadata — rebuild with "
+            f"write_prefix_index to stamp order_version before appending.")
+    k = int(stored["k"])
+    hashed = stored["hash_shingles"] == "True"
+    threshold = float(stored["threshold"])
+    sh = shingle_table(new_docs, text_col, id_col, k,
+                       hashed=hashed).localCheckpoint()
+    freq = spark.table(f"{table}_df")  # the FROZEN order — read-only
+    ranked = (
+        sh.join(freq, "shingle", "left")
+        .withColumn("_df", F.coalesce("_df", F.lit(0)))
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(),
+                                           F.col("shingle").asc())
+    prefix = (
+        ranked.withColumn("_pos", F.row_number().over(w))
+        .join(sizes, id_col)
+        .where(F.col("_pos")
+               <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+        .select(F.col(id_col).alias("corpus_id"), "shingle", "_sz")
+    )
+    # select in the TARGET's column order: insertInto matches by position
+    (prefix.select(*spark.table(f"{table}_prefix").columns)
+     .write.insertInto(f"{table}_prefix"))
+    sets = sh.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("shingle")).alias("_set"))
+    (sets.select(F.col(id_col).alias("corpus_id"), "_set")
+     .select(*spark.table(f"{table}_sets").columns)
+     .write.insertInto(f"{table}_sets"))
+    # drift accounting: one pass over the checkpointed ranked postings
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("_postings"),
+        F.sum((F.col("_df") == 0).cast("long")).alias("_unseen"),
+    ).head()
+    n_docs = sets.count()
+    updated = dict(stored)
+    updated["appended_docs"] = int(stored.get("appended_docs", 0)) + n_docs
+    updated["appended_postings"] = (
+        int(stored.get("appended_postings", 0)) + int(agg["_postings"]))
+    updated["unseen_postings"] = (
+        int(stored.get("unseen_postings", 0)) + int(agg["_unseen"] or 0))
+    for member in ("prefix", "df", "sets"):
+        _set_index_meta(spark, f"{table}_{member}", updated)
+    drift = prefix_df_drift(updated)
+    return {"appended_docs": updated["appended_docs"],
+            "appended_postings": updated["appended_postings"],
+            "unseen_postings": updated["unseen_postings"],
+            "df_drift": drift,
+            "needs_rebuild": bool(drift is not None
+                                  and drift > PREFIX_DF_DRIFT_BOUND)}
+
+
+def compact_prefix_index(spark, table: str) -> int:
+    """Re-distinct the appendable member tables of a
+    :func:`write_prefix_index` in place (re-appended documents
+    contribute identical posting/set rows; bucketing, location and the
+    drift-counter metadata preserved). ``_df`` is never compacted —
+    appends never touch the frozen order. Returns duplicate rows
+    removed."""
+    removed = _compact_index_table(spark, f"{table}_prefix", ["shingle"])
+    removed += _compact_index_table(spark, f"{table}_sets", ["corpus_id"])
+    return removed
 
 
 def incremental_minhash_pairs(

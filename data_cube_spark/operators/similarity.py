@@ -1786,9 +1786,42 @@ def write_ivf_index(
         w = w.option("path", os.path.join(path, "cent"))
     w.saveAsTable(f"{table}_centroids")
     spark = corpus.sparkSession
-    meta = {"n_cells": n_cells, "iters": iters, "n_buckets": n_buckets}
+    meta = {"n_cells": n_cells, "iters": iters, "n_buckets": n_buckets,
+            "cell_skew": round(_cell_occupancy_skew(spark, table), 4)}
     _set_index_meta(spark, f"{table}_cells", meta)
     _set_index_meta(spark, f"{table}_centroids", meta)
+
+
+#: cell-occupancy skew (max/mean rows per cell) past which a persisted
+#: IVF index should be RETRAINED (write_ivf_index): centroids stay
+#: fixed between refreshes, so a drifting corpus piles into few cells —
+#: per-query candidate volume grows toward n_probe * max_occupancy and
+#: recall at fixed n_probe falls. Never a correctness bound (scoring is
+#: exact cosine); list_indexes surfaces the stamped skew and compact_all
+#: warns past this bound.
+IVF_SKEW_BOUND = 4.0
+
+
+def ivf_cell_skew(params: dict) -> float | None:
+    """The stamped cell-occupancy skew (max/mean), or None for indexes
+    written before skew metadata existed (retrain to stamp)."""
+    try:
+        return float(params["cell_skew"])
+    except (KeyError, ValueError):
+        return None
+
+
+def _cell_occupancy_skew(spark, table: str) -> float:
+    """max/mean rows per cell over ``<table>_cells`` — one cell_id-only
+    columnar aggregation (the observability half of the retrain
+    trigger; VERDICT r7 #4)."""
+    occ = (spark.table(f"{table}_cells").groupBy("cell_id")
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .agg(F.max("_n").alias("_mx"), F.avg("_n").alias("_avg"))
+           .head())
+    if occ is None or occ["_mx"] is None or not occ["_avg"]:
+        return 1.0
+    return float(occ["_mx"]) / float(occ["_avg"])
 
 
 def append_to_ivf_index(
@@ -1796,18 +1829,27 @@ def append_to_ivf_index(
     table: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+) -> dict:
     """Fold new vectors into a persisted :func:`write_ivf_index`: each is
     assigned to its nearest STORED centroid and inserted into the cells
     table (``insertInto`` preserves bucketing; columns selected by the
     target schema first). Centroids stay fixed between refreshes —
     standard IVF practice; re-train via ``write_ivf_index`` on the
     refresh cadence (cell balance drifts as the corpus grows, which
-    costs recall, never correctness — the scoring is exact cosine)."""
-    from data_cube_spark.operators.dedup import _require_index_meta
+    costs recall, never correctness — the scoring is exact cosine).
+
+    The drift is now OBSERVABLE (VERDICT r7 #4): after the insert the
+    cell-occupancy skew (max/mean) is recomputed from the cells table
+    and re-stamped as ``cell_skew``; ``list_indexes`` surfaces it and
+    ``compact_all`` flags indexes past :data:`IVF_SKEW_BOUND` for
+    retrain. Returns the updated skew stats. Reads are unchanged."""
+    from data_cube_spark.operators.dedup import (
+        _require_index_meta,
+        _set_index_meta,
+    )
 
     spark = new_vecs.sparkSession
-    _require_index_meta(spark, f"{table}_cells", {})
+    stored = _require_index_meta(spark, f"{table}_cells", {})
     cents = spark.table(f"{table}_centroids")
     assigned = ivf_assign(new_vecs, cents, id_col, vec_col).join(
         new_vecs.select(id_col, vec_col), id_col)
@@ -1815,6 +1857,13 @@ def append_to_ivf_index(
         "cell_id", F.col(id_col).alias("corpus_id"), "_vec", "_norm")
     (cells.select(*spark.table(f"{table}_cells").columns)
      .write.insertInto(f"{table}_cells"))
+    skew = round(_cell_occupancy_skew(spark, table), 4)
+    updated = dict(stored)
+    updated["cell_skew"] = skew
+    _set_index_meta(spark, f"{table}_cells", updated)
+    _set_index_meta(spark, f"{table}_centroids", updated)
+    return {"cell_skew": skew,
+            "needs_retrain": skew > IVF_SKEW_BOUND}
 
 
 def compact_ivf_index(spark, table: str) -> int:
