@@ -927,13 +927,43 @@ def append_prefix_index(
                                   and drift > PREFIX_DF_DRIFT_BOUND)}
 
 
+def check_prefix_consistency(spark, table: str) -> int:
+    """Fail-loudly cross-member consistency check for a
+    :func:`write_prefix_index` (ADVICE r8: :func:`append_prefix_index`
+    is two ``insertInto`` calls — a failure between them leaves a doc
+    with postings but no set row, and the read path's inner
+    verification join then silently DROPS that doc's pairs: silent
+    recall loss on an operator documented EXACT). The invariant is
+    structural: every document's prefix has length >= 1 (``sz -
+    ceil(t*sz) + 1 >= 1`` for any t <= 1), so the distinct corpus_id
+    sets of ``_prefix`` and ``_sets`` must be identical; duplicate rows
+    from re-appends don't disturb it. Two id-column aggregations —
+    cheap at maintenance cadence, which is where
+    :func:`compact_prefix_index` runs it. Returns the shared document
+    count; raises ValueError on any divergence."""
+    n_pfx = (spark.table(f"{table}_prefix")
+             .select("corpus_id").distinct().count())
+    n_sets = (spark.table(f"{table}_sets")
+              .select("corpus_id").distinct().count())
+    if n_pfx != n_sets:
+        raise ValueError(
+            f"prefix index {table} is out of sync: {n_pfx} distinct "
+            f"corpus_ids in {table}_prefix vs {n_sets} in {table}_sets — "
+            f"a partial append left postings without set rows (or vice "
+            f"versa) and the verification join would silently drop pairs. "
+            f"Rebuild with write_prefix_index.")
+    return n_pfx
+
+
 def compact_prefix_index(spark, table: str) -> int:
     """Re-distinct the appendable member tables of a
     :func:`write_prefix_index` in place (re-appended documents
     contribute identical posting/set rows; bucketing, location and the
     drift-counter metadata preserved). ``_df`` is never compacted —
-    appends never touch the frozen order. Returns duplicate rows
-    removed."""
+    appends never touch the frozen order. Runs
+    :func:`check_prefix_consistency` FIRST so a half-applied append is
+    refused, not blessed. Returns duplicate rows removed."""
+    check_prefix_consistency(spark, table)
     removed = _compact_index_table(spark, f"{table}_prefix", ["shingle"])
     removed += _compact_index_table(spark, f"{table}_sets", ["corpus_id"])
     return removed

@@ -1,5 +1,5 @@
 """Unified maintenance surface for the persisted incremental-dedup /
-ANN index family (VERDICT r6 #7).
+ANN index family (VERDICT r6 #7, wired for drift/skew in r9).
 
 Five index kinds share one operational contract — bucketed catalog
 tables stamped with ``spark_graft.index.*`` TBLPROPERTIES, read paths
@@ -9,9 +9,16 @@ thin fleet-management layer over the stamped metadata:
 
 - :func:`list_indexes` enumerates every index in the catalog (kind,
   member tables, stamped parameters, row counts) by recognizing the
-  kind-specific table suffixes and their properties;
+  kind-specific table suffixes and their properties, and surfaces a
+  per-index ``health`` dict computed from the stamped drift/skew
+  counters (``needs_rebuild`` for the frozen-order prefix index past
+  :data:`~data_cube_spark.operators.dedup.PREFIX_DF_DRIFT_BOUND`,
+  ``needs_retrain`` for IVF past
+  :data:`~data_cube_spark.operators.similarity.IVF_SKEW_BOUND`);
 - :func:`compact_all` runs each index's own compaction helper in one
-  sweep — the "nightly cadence" entry point.
+  sweep — the "nightly cadence" entry point — and returns (plus
+  ``warnings.warn``-s) one warning per index whose health flags a
+  rebuild/retrain, so the nightly job is also the drift monitor.
 
 Refresh cadence contract (per kind):
 
@@ -20,16 +27,21 @@ kind         append  compact  refresh
 ===========  ======  =======  ==================================
 fingerprint  yes     yes      compact only
 minhash      yes     yes      compact only
-prefix       no      no       REBUILD (``write_prefix_index``) —
-                              the rarest-first global shingle
-                              order bakes corpus document
-                              frequencies into the stored prefixes
+prefix       yes     yes      compact on the nightly cadence;
+                              REBUILD (``write_prefix_index``)
+                              when ``health.needs_rebuild`` —
+                              appends reuse the FROZEN rarest-
+                              first shingle order (still EXACT),
+                              but pruning efficiency drifts as
+                              true document frequencies diverge
+                              from the frozen ranking
 embedding    yes     yes      compact; REBUILD when the occupancy
                               guard would raise planes (the write
                               path re-sizes tables for the stamped
                               recall floor)
 ivf          yes     yes      compact + RETRAIN
-                              (``write_ivf_index``) — centroids
+                              (``write_ivf_index``) when
+                              ``health.needs_retrain`` — centroids
                               stay fixed between refreshes, so
                               cell balance drifts as the corpus
                               grows (costs recall, never
@@ -43,6 +55,8 @@ surface.
 
 from __future__ import annotations
 
+import warnings as _warnings
+
 
 #: kind -> (recognizing suffixes, append/compact capability). The FIRST
 #: suffix names the table whose properties are authoritative for the
@@ -51,8 +65,8 @@ INDEX_KINDS: dict[str, dict] = {
     "fingerprint": {"suffixes": ("_fp",), "append": True, "compact": True},
     "minhash": {"suffixes": ("_sig", "_bands"), "append": True,
                 "compact": True},
-    "prefix": {"suffixes": ("_prefix", "_df", "_sets"), "append": False,
-               "compact": False},
+    "prefix": {"suffixes": ("_prefix", "_df", "_sets"), "append": True,
+               "compact": True},
     "embedding": {"suffixes": ("_buckets", "_vec"), "append": True,
                   "compact": True},
     "ivf": {"suffixes": ("_cells", "_centroids"), "append": True,
@@ -72,17 +86,51 @@ def _classify(name: str) -> tuple[str, str] | None:
     return None if best is None else (best[0], best[1])
 
 
+def _health(kind: str, params: dict) -> dict:
+    """Per-index health from the STAMPED counters only (no table scans
+    — listing stays a metadata operation). Prefix: df-order drift vs
+    PREFIX_DF_DRIFT_BOUND -> needs_rebuild. IVF: cell-occupancy skew vs
+    IVF_SKEW_BOUND -> needs_retrain. None-valued metrics mean the index
+    predates the counters (rebuild/retrain to stamp them)."""
+    from data_cube_spark.operators.dedup import (
+        PREFIX_DF_DRIFT_BOUND,
+        prefix_df_drift,
+    )
+    from data_cube_spark.operators.similarity import (
+        IVF_SKEW_BOUND,
+        ivf_cell_skew,
+    )
+
+    h: dict = {"needs_rebuild": False, "needs_retrain": False}
+    if kind == "prefix":
+        drift = prefix_df_drift(params)
+        h["df_drift"] = drift
+        h["df_drift_bound"] = PREFIX_DF_DRIFT_BOUND
+        h["needs_rebuild"] = bool(drift is not None
+                                  and drift > PREFIX_DF_DRIFT_BOUND)
+    elif kind == "ivf":
+        skew = ivf_cell_skew(params)
+        h["cell_skew"] = skew
+        h["cell_skew_bound"] = IVF_SKEW_BOUND
+        h["needs_retrain"] = bool(skew is not None and skew > IVF_SKEW_BOUND)
+    return h
+
+
 def list_indexes(spark, prefix: str | None = None) -> list[dict]:
     """Enumerate the persisted indexes in the current database by their
     stamped ``spark_graft.index.*`` properties. Returns one dict per
     index: ``name`` (base), ``kind``, ``tables`` (member catalog
     tables), ``params`` (stamped metadata of the kind's authoritative
-    member), ``appendable``/``compactable`` (the cadence contract), and
+    member), ``appendable``/``compactable`` (the cadence contract),
     ``complete`` (every expected member table present — a False here
     means a partial write or manual drop and the index must be
-    rebuilt). ``prefix`` filters by base-name prefix. Metadata-less
-    tables that merely share a suffix are ignored — the stamp IS the
-    membership test, exactly as on the read paths."""
+    rebuilt), and ``health`` — the drift/skew flags the append paths
+    stamp (``needs_rebuild`` for prefix df-order drift past
+    ``PREFIX_DF_DRIFT_BOUND``, ``needs_retrain`` for IVF cell skew past
+    ``IVF_SKEW_BOUND``; both computed from metadata alone, no scans).
+    ``prefix`` filters by base-name prefix. Metadata-less tables that
+    merely share a suffix are ignored — the stamp IS the membership
+    test, exactly as on the read paths."""
     from data_cube_spark.operators.dedup import _index_meta
 
     found: dict[tuple[str, str], set[str]] = {}
@@ -103,42 +151,66 @@ def list_indexes(spark, prefix: str | None = None) -> list[dict]:
                                        key=lambda kv: (kv[0][1], kv[0][0])):
         spec = INDEX_KINDS[kind]
         expected = {base + suf for suf in spec["suffixes"]}
+        params = (_index_meta(spark, base + spec["suffixes"][0])
+                  if base + spec["suffixes"][0] in tables else {})
         out.append({
             "name": base,
             "kind": kind,
             "tables": sorted(tables),
-            "params": _index_meta(spark, base + spec["suffixes"][0])
-            if base + spec["suffixes"][0] in tables else {},
+            "params": params,
             "appendable": spec["append"],
             "compactable": spec["compact"],
             "complete": tables == expected,
+            "health": _health(kind, params),
         })
     return out
 
 
-def compact_all(spark, prefix: str | None = None) -> dict[str, int]:
+def compact_all(spark, prefix: str | None = None) -> dict:
     """Run every compactable index's own in-place compaction (the
     nightly-cadence sweep): re-distincts each member table preserving
     bucketing, location and metadata, exactly as the per-kind helpers
-    do — this simply dispatches to them. Returns {index name: duplicate
-    rows removed}; rebuild-only kinds (prefix) and incomplete indexes
-    are skipped — compacting a partial index would bless a broken
-    state."""
+    do — this simply dispatches to them. Returns ``{"removed": {index
+    name: duplicate rows removed}, "warnings": [str, ...]}`` — one
+    warning (also raised via :mod:`warnings`) per index whose stamped
+    health flags a rebuild (prefix df-order drift past
+    ``PREFIX_DF_DRIFT_BOUND``) or retrain (IVF cell skew past
+    ``IVF_SKEW_BOUND``), making the nightly sweep the drift monitor
+    the append docstrings promise. Incomplete indexes are skipped —
+    compacting a partial index would bless a broken state."""
     from data_cube_spark.operators import similarity
     from data_cube_spark.operators.dedup import (
         compact_fingerprint_index,
         compact_minhash_index,
+        compact_prefix_index,
     )
 
     dispatch = {
         "fingerprint": compact_fingerprint_index,
         "minhash": compact_minhash_index,
+        "prefix": compact_prefix_index,
         "embedding": similarity.compact_embedding_index,
         "ivf": similarity.compact_ivf_index,
     }
     removed: dict[str, int] = {}
+    warns: list[str] = []
     for idx in list_indexes(spark, prefix):
         if not idx["compactable"] or not idx["complete"]:
             continue
         removed[idx["name"]] = dispatch[idx["kind"]](spark, idx["name"])
-    return removed
+        h = idx["health"]
+        if h.get("needs_rebuild"):
+            warns.append(
+                f"{idx['name']} ({idx['kind']}): frozen shingle-order drift "
+                f"{h['df_drift']:.3f} exceeds {h['df_drift_bound']} — "
+                f"candidate pruning is degrading; rebuild with "
+                f"write_prefix_index to re-freeze the order.")
+        if h.get("needs_retrain"):
+            warns.append(
+                f"{idx['name']} ({idx['kind']}): cell-occupancy skew "
+                f"{h['cell_skew']:.3f} exceeds {h['cell_skew_bound']} — "
+                f"recall at fixed n_probe is degrading; retrain with "
+                f"write_ivf_index.")
+    for w in warns:
+        _warnings.warn(w, stacklevel=2)
+    return {"removed": removed, "warnings": warns}

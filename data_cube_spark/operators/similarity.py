@@ -1425,14 +1425,25 @@ def _broadcast_cosine_udf(spark, v: DataFrame, id_col: str):
     pdf = v.toPandas()
     order = np.argsort(pdf[id_col].to_numpy())
     ids = pdf[id_col].to_numpy()[order]
-    M = np.stack(pdf["_vec"].to_numpy()[order]).astype("float64")
-    M /= np.maximum(pdf["_norm"].to_numpy()[order], 1e-300)[:, None]
+    if len(ids) == 0:  # np.stack refuses an empty list; guard fires on use
+        M = np.zeros((0, 1))
+    else:
+        M = np.stack(pdf["_vec"].to_numpy()[order]).astype("float64")
+        M /= np.maximum(pdf["_norm"].to_numpy()[order], 1e-300)[:, None]
     bc = spark.sparkContext.broadcast((ids, M))
 
     def cos(ia, ib):
         ids_, M_ = bc.value
         a = ia.to_numpy()
         b = ib.to_numpy()
+        # Fully-out-of-sync case first: an EMPTY matrix with candidate
+        # pairs present would make the clip below produce index -1 and
+        # the gather an opaque IndexError (ADVICE r8) — same diagnostic.
+        if len(ids_) == 0 and (len(a) or len(b)):
+            raise ValueError(
+                "cosine verify: broadcast vector matrix is empty while "
+                "candidate pairs exist; the pair stream and the vector "
+                "table are out of sync")
         pa = np.clip(np.searchsorted(ids_, a), 0, len(ids_) - 1)
         pb = np.clip(np.searchsorted(ids_, b), 0, len(ids_) - 1)
         # Presence check: an id absent from the broadcast matrix would
@@ -1468,6 +1479,8 @@ def _two_sided_cosine_udf(spark, v_a: DataFrame, v_b: DataFrame,
         pdf = v.toPandas()
         order = np.argsort(pdf[idc].to_numpy())
         ids = pdf[idc].to_numpy()[order]
+        if len(ids) == 0:  # np.stack refuses an empty list; guard on use
+            return ids, np.zeros((0, 1))
         M = np.stack(pdf["_vec"].to_numpy()[order]).astype("float64")
         M /= np.maximum(pdf["_norm"].to_numpy()[order], 1e-300)[:, None]
         return ids, M
@@ -1478,6 +1491,14 @@ def _two_sided_cosine_udf(spark, v_a: DataFrame, v_b: DataFrame,
         (ids_a, M_a), (ids_b, M_b) = bc.value
         a = ia.to_numpy()
         b = ib.to_numpy()
+        # Empty-matrix guard (ADVICE r8): candidate pairs against an
+        # empty side must raise the diagnostic below, not an IndexError
+        # from the -1 clip.
+        if (len(ids_a) == 0 or len(ids_b) == 0) and (len(a) or len(b)):
+            raise ValueError(
+                "cosine verify: a broadcast vector matrix is empty while "
+                "candidate pairs exist; bucket and vector index tables "
+                "are out of sync")
         pa = np.clip(np.searchsorted(ids_a, a), 0, len(ids_a) - 1)
         pb = np.clip(np.searchsorted(ids_b, b), 0, len(ids_b) - 1)
         # Presence check: a candidate id in {table}_buckets but missing from

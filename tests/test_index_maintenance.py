@@ -1,0 +1,243 @@
+"""Round-9 maintenance-surface tests (VERDICT r8 #1 / ADVICE r8): the
+frozen-order prefix append, its drift counters and consistency check,
+IVF cell-skew stamping, and the list_indexes/compact_all health wiring.
+These are the regression bars the r8 snapshot landed without."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_cube_spark.operators import dedup, similarity
+from data_cube_spark.operators.index_maintenance import (
+    compact_all,
+    list_indexes,
+)
+
+
+def _drop(spark, *tables):
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+PFX_TABLES = ("_prefix", "_df", "_sets")
+
+
+def test_append_prefix_index_read_equals_rebuild(spark, tables, tmp_path):
+    """Exactness bar for the O(batch) append: reading an APPENDED index
+    returns bit-for-bit the same pairs as (a) a full rebuild over the
+    grown corpus and (b) the inline exact operator — the prefix theorem
+    holds for the frozen order even though the appended docs' shingles
+    rank under stale (or zero) document frequencies."""
+    docs = tables["documents"]
+    corpus = docs.where(F.col("doc_id") % 3 == 0)
+    extra = docs.where(F.col("doc_id") % 3 == 1)
+    batch = docs.where(F.col("doc_id") % 3 == 2)
+    try:
+        dedup.write_prefix_index(corpus, "t_apx", n_buckets=4,
+                                 threshold=0.4, path=str(tmp_path / "a"))
+        stats = dedup.append_prefix_index(extra, "t_apx")
+        assert stats["appended_docs"] == extra.count()
+        got = sorted(map(tuple, dedup.incremental_prefix_pairs_indexed(
+            batch, "t_apx", threshold=0.4).collect()))
+        # (a) vs a full rebuild over corpus + extra (fresh frozen order)
+        dedup.write_prefix_index(corpus.unionByName(extra), "t_apx_rb",
+                                 n_buckets=4, threshold=0.4,
+                                 path=str(tmp_path / "b"))
+        rebuilt = sorted(map(tuple, dedup.incremental_prefix_pairs_indexed(
+            batch, "t_apx_rb", threshold=0.4).collect()))
+        # (b) vs the inline exact R x S operator
+        inline = sorted(map(tuple, dedup.jaccard_pairs_prefix_rs(
+            batch, corpus.unionByName(extra), threshold=0.4).collect()))
+        assert got == rebuilt == inline
+        assert len(got) > 0
+        # higher query threshold still exact over the appended index
+        got_hi = sorted(map(tuple, dedup.incremental_prefix_pairs_indexed(
+            batch, "t_apx", threshold=0.6).collect()))
+        inline_hi = sorted(map(tuple, dedup.jaccard_pairs_prefix_rs(
+            batch, corpus.unionByName(extra), threshold=0.6).collect()))
+        assert got_hi == inline_hi
+    finally:
+        _drop(spark, *[f"t_apx{s}" for s in PFX_TABLES],
+              *[f"t_apx_rb{s}" for s in PFX_TABLES])
+
+
+def test_append_prefix_drift_counters_and_health(spark, tables, tmp_path):
+    """Drift counters accumulate across appends, needs_rebuild flips
+    past PREFIX_DF_DRIFT_BOUND, list_indexes surfaces the health dict,
+    and compact_all returns (and warns) the rebuild advice."""
+    docs = tables["documents"]
+    corpus = docs.where(F.col("doc_id") % 10 == 0)  # small base
+    extra1 = docs.where(F.col("doc_id") % 10 == 1)
+    extra2 = docs.where(F.col("doc_id") % 10 == 2)
+    try:
+        dedup.write_prefix_index(corpus, "t_drift", n_buckets=4,
+                                 threshold=0.5, path=str(tmp_path / "d"))
+        base = corpus.count()
+        s1 = dedup.append_prefix_index(extra1, "t_drift")
+        assert s1["appended_docs"] == extra1.count()
+        assert s1["appended_postings"] > 0
+        s2 = dedup.append_prefix_index(extra2, "t_drift")
+        # cumulative, not per-batch
+        assert s2["appended_docs"] == extra1.count() + extra2.count()
+        assert s2["appended_postings"] > s1["appended_postings"]
+        assert s2["unseen_postings"] >= s1["unseen_postings"]
+        drift = s2["df_drift"]
+        assert drift == pytest.approx(s2["appended_docs"] / base)
+        # base ~equal-size slices: two appends over one base slice is
+        # ~2x growth, far past the 0.5 bound
+        assert drift > dedup.PREFIX_DF_DRIFT_BOUND
+        assert s2["needs_rebuild"]
+        # the stamped counters drive list_indexes health
+        idx = {i["name"]: i for i in list_indexes(spark, prefix="t_drift")}
+        h = idx["t_drift"]["health"]
+        assert h["df_drift"] == pytest.approx(drift)
+        assert h["needs_rebuild"]
+        # ...and the nightly sweep warns with rebuild advice
+        with pytest.warns(UserWarning, match="write_prefix_index"):
+            sweep = compact_all(spark, prefix="t_drift")
+        assert any("drift" in w for w in sweep["warnings"])
+        # a rebuild re-freezes the order and zeroes the counters
+        dedup.write_prefix_index(
+            corpus.unionByName(extra1).unionByName(extra2), "t_drift",
+            n_buckets=4, threshold=0.5, path=str(tmp_path / "d2"))
+        idx = {i["name"]: i for i in list_indexes(spark, prefix="t_drift")}
+        assert idx["t_drift"]["health"]["df_drift"] == 0.0
+        assert not idx["t_drift"]["health"]["needs_rebuild"]
+    finally:
+        _drop(spark, *[f"t_drift{s}" for s in PFX_TABLES])
+
+
+def test_append_prefix_frozen_order_guard(spark, tables, tmp_path):
+    """An index written before frozen-order metadata existed (no
+    order_version stamp) must refuse appends — appending under an
+    unversioned order could silently disagree with later readers."""
+    docs = tables["documents"].limit(30)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    extra = docs.where(F.col("doc_id") % 2 == 1)
+    try:
+        dedup.write_prefix_index(corpus, "t_frz", n_buckets=4,
+                                 threshold=0.5, path=str(tmp_path / "f"))
+        spark.sql("ALTER TABLE t_frz_prefix UNSET TBLPROPERTIES "
+                  "('spark_graft.index.order_version')")
+        with pytest.raises(ValueError, match="predates frozen-order"):
+            dedup.append_prefix_index(extra, "t_frz")
+    finally:
+        _drop(spark, *[f"t_frz{s}" for s in PFX_TABLES])
+
+
+def test_reappend_then_compact_prefix_removes_duplicate_pairs(
+        spark, tables, tmp_path):
+    """ADVICE r8 (verified empirically by the advisor): re-appending a
+    batch makes the read path emit DUPLICATE pairs (duplicate _sets rows
+    survive the candidate distinct via the verification join) until
+    compact_prefix_index re-distincts — and compact_all now dispatches
+    it on the nightly sweep."""
+    docs = tables["documents"].limit(60)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    # appended docs are EXACT copies of the query batch under fresh ids,
+    # so every batch doc is guaranteed a pair THROUGH the appended rows
+    extra = batch.withColumn("doc_id", F.col("doc_id") + 500_000)
+    try:
+        dedup.write_prefix_index(corpus, "t_rpx", n_buckets=4,
+                                 threshold=0.3, path=str(tmp_path / "r"))
+        dedup.append_prefix_index(extra, "t_rpx")
+        want = sorted(map(tuple, dedup.incremental_prefix_pairs_indexed(
+            batch, "t_rpx", threshold=0.3).collect()))
+        assert len(want) > 0
+        dedup.append_prefix_index(extra, "t_rpx")  # same batch again
+        dup = sorted(map(tuple, dedup.incremental_prefix_pairs_indexed(
+            batch, "t_rpx", threshold=0.3).collect()))
+        assert len(dup) > len(want)  # duplicates leak until compaction
+        sweep = compact_all(spark, prefix="t_rpx")
+        assert sweep["removed"]["t_rpx"] > 0
+        got = sorted(map(tuple, dedup.incremental_prefix_pairs_indexed(
+            batch, "t_rpx", threshold=0.3).collect()))
+        assert got == want
+        # idempotent: a second sweep removes nothing
+        assert compact_all(spark, prefix="t_rpx")["removed"]["t_rpx"] == 0
+    finally:
+        _drop(spark, *[f"t_rpx{s}" for s in PFX_TABLES])
+
+
+def test_prefix_consistency_check_fails_loudly(spark, tables, tmp_path):
+    """ADVICE r8: a half-applied append (postings without a set row, or
+    vice versa) silently drops pairs in the verification join — the
+    consistency check turns that into a raise at compaction time."""
+    docs = tables["documents"].limit(30)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    try:
+        dedup.write_prefix_index(corpus, "t_sync", n_buckets=4,
+                                 threshold=0.5, path=str(tmp_path / "s"))
+        assert dedup.check_prefix_consistency(spark, "t_sync") == \
+            corpus.count()
+        # simulate the failure window between the two insertInto calls:
+        # a doc appears in _sets but has no _prefix postings
+        spark.sql("INSERT INTO t_sync_sets "
+                  "SELECT corpus_id + 1000000 AS corpus_id, _set "
+                  "FROM t_sync_sets LIMIT 1")
+        with pytest.raises(ValueError, match="out of sync"):
+            dedup.check_prefix_consistency(spark, "t_sync")
+        with pytest.raises(ValueError, match="out of sync"):
+            dedup.compact_prefix_index(spark, "t_sync")
+    finally:
+        _drop(spark, *[f"t_sync{s}" for s in PFX_TABLES])
+
+
+def test_ivf_skew_stamping_and_retrain_flag(spark, tables, tmp_path):
+    """VERDICT r8: a skewed append must raise the stamped cell_skew past
+    IVF_SKEW_BOUND, flip needs_retrain in the append return AND in
+    list_indexes health, and make compact_all warn retrain advice."""
+    emb = tables["embeddings"].limit(60)
+    try:
+        similarity.write_ivf_index(emb, "t_skw", n_cells=8, n_buckets=2,
+                                   path=str(tmp_path / "i"))
+        idx = {i["name"]: i for i in list_indexes(spark, prefix="t_skw")}
+        base_skew = idx["t_skw"]["health"]["cell_skew"]
+        assert base_skew is not None and base_skew >= 1.0
+        # pile 300 copies of ONE vector (fresh ids) into its single
+        # nearest cell: max occupancy ~300+, mean ~(360/8) -> skew > 4
+        one = emb.limit(1).select("embedding")
+        skewed = (spark.range(300)
+                  .select((F.col("id") + 10_000_000).alias("vec_id"))
+                  .crossJoin(F.broadcast(one)))
+        stats = similarity.append_to_ivf_index(skewed, "t_skw")
+        assert stats["cell_skew"] > similarity.IVF_SKEW_BOUND
+        assert stats["needs_retrain"]
+        idx = {i["name"]: i for i in list_indexes(spark, prefix="t_skw")}
+        h = idx["t_skw"]["health"]
+        assert h["cell_skew"] == pytest.approx(stats["cell_skew"])
+        assert h["needs_retrain"]
+        with pytest.warns(UserWarning, match="write_ivf_index"):
+            sweep = compact_all(spark, prefix="t_skw")
+        assert any("skew" in w for w in sweep["warnings"])
+        # never a correctness bound: reads still serve exact cosine
+        q = emb.limit(3)
+        assert similarity.ann_ivf_topk_indexed(q, "t_skw", k=2).count() > 0
+    finally:
+        _drop(spark, "t_skw_cells", "t_skw_centroids")
+
+
+def test_broadcast_cosine_empty_matrix_diagnostic(spark):
+    """ADVICE r8: an EMPTY broadcast matrix with candidate pairs present
+    (the fully out-of-sync case) must raise the diagnostic ValueError,
+    not an IndexError from the -1 clip."""
+    v_empty = spark.createDataFrame(
+        [], "vec_id long, _vec array<double>, _norm double")
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+
+    udf1 = similarity._broadcast_cosine_udf(spark, v_empty, "vec_id")
+    with pytest.raises(Exception, match="out of sync"):
+        pairs.select(udf1("a", "b").alias("c")).collect()
+
+    v_ok = spark.createDataFrame(
+        [(1, [1.0, 0.0], 1.0), (2, [0.0, 1.0], 1.0)],
+        "vec_id long, _vec array<double>, _norm double")
+    udf2 = similarity._two_sided_cosine_udf(spark, v_ok, v_empty,
+                                            "vec_id", "vec_id")
+    with pytest.raises(Exception, match="out of sync"):
+        pairs.select(udf2("a", "b").alias("c")).collect()
+    # and a present-on-both-sides pair still scores
+    udf3 = similarity._two_sided_cosine_udf(spark, v_ok, v_ok,
+                                            "vec_id", "vec_id")
+    row = pairs.select(udf3("a", "b").alias("c")).head()
+    assert row["c"] == pytest.approx(0.0)

@@ -727,7 +727,7 @@ def test_index_maintenance_surface(spark, tables, tmp_path):
     """VERDICT r6 #7: one fleet-management layer over the stamped
     spark_graft.index.* properties — list_indexes enumerates all five
     kinds with their cadence contract, compact_all dispatches each
-    index's own in-place compaction (prefix = rebuild-only, skipped),
+    index's own in-place compaction (including prefix, since r9),
     and read results are unchanged afterwards."""
     from data_cube_spark.operators import dedup, similarity
     from data_cube_spark.operators.index_maintenance import (
@@ -769,10 +769,15 @@ def test_index_maintenance_surface(spark, tables, tmp_path):
         assert idx["t_mnt_pfx"]["kind"] == "prefix"
         assert idx["t_mnt_emb"]["kind"] == "embedding"
         assert idx["t_mnt_ivf"]["kind"] == "ivf"
-        # cadence contract: prefix is rebuild-only
-        assert not idx["t_mnt_pfx"]["compactable"]
-        assert not idx["t_mnt_pfx"]["appendable"]
-        assert all(idx[t]["compactable"] for t in tags if t != "t_mnt_pfx")
+        # cadence contract: every kind appends + compacts since r9
+        # (prefix appends under the frozen shingle order)
+        assert all(idx[t]["compactable"] for t in tags)
+        assert all(idx[t]["appendable"] for t in tags)
+        # health flags surface (fresh indexes: no drift, no skew)
+        assert idx["t_mnt_pfx"]["health"]["df_drift"] == 0.0
+        assert not idx["t_mnt_pfx"]["health"]["needs_rebuild"]
+        assert idx["t_mnt_ivf"]["health"]["cell_skew"] is not None
+        assert not idx["t_mnt_ivf"]["health"]["needs_retrain"]
         # stamped params surface through the listing
         assert idx["t_mnt_mh"]["params"]["n_buckets"] == "4"
         assert float(idx["t_mnt_emb"]["params"]["predicted_recall"]) >= 0.9
@@ -784,10 +789,13 @@ def test_index_maintenance_surface(spark, tables, tmp_path):
         dedup.append_to_minhash_index(batch, "t_mnt_mh")
         want = {r["doc_id"] for r in
                 dedup.dedup_exact_indexed(batch, "t_mnt_fp").collect()}
-        removed = compact_all(spark, prefix="t_mnt_")
-        assert set(removed) == set(tags) - {"t_mnt_pfx"}
+        sweep = compact_all(spark, prefix="t_mnt_")
+        removed = sweep["removed"]
+        assert set(removed) == set(tags)
         assert removed["t_mnt_fp"] > 0 and removed["t_mnt_mh"] > 0
         assert removed["t_mnt_emb"] == 0 and removed["t_mnt_ivf"] == 0
+        assert removed["t_mnt_pfx"] == 0  # nothing appended to it here
+        assert sweep["warnings"] == []  # fresh indexes: nothing to flag
         got = {r["doc_id"] for r in
                dedup.dedup_exact_indexed(batch, "t_mnt_fp").collect()}
         assert got == want
