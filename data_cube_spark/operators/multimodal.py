@@ -11,11 +11,15 @@ decodable without external libraries:
 - **PGM/PPM** (binary netpbm): header parse + numpy.
 - **WAV** (PCM): stdlib ``wave`` + numpy for duration and RMS energy.
 
-JPEG / MP3 / video codecs are NOT in this container: payloads in those
-formats return ``decode_ok='unsupported:<fmt>'`` rows (null dimensions)
-rather than failing the batch, and :func:`frame_sample_plan` remains a
-metadata-only plan. ``fake=True`` keeps the deterministic hash-derived
-path for pipeline tests that don't care about bytes.
+JPEG / MP3 / video codecs are NOT in this container: by default payloads
+in those formats return ``decode_ok='unsupported:<fmt>'`` rows (null
+dimensions) rather than failing the batch, and :func:`frame_sample_plan`
+remains a metadata-only plan. Deployments WITH an image library plug it
+in via :func:`register_image_codec` ("jpeg" -> bytes-to-ndarray): the
+decode stages snapshot the registry into their ``mapInPandas`` closures
+so the hook reaches every executor — no Spark-plumbing change needed.
+``fake=True`` keeps the deterministic hash-derived path for pipeline
+tests that don't care about bytes.
 """
 
 from __future__ import annotations
@@ -253,19 +257,60 @@ def decode_pnm_bytes(b: bytes):
     return px.reshape(h, w, c)
 
 
-def decode_image_bytes(b: bytes):
-    """Sniff + decode one payload. Returns (array, format) or raises."""
+#: pluggable codec hooks (VERDICT r7 #8 / r8 #6): format tag ->
+#: ``callable(bytes) -> HxWxC uint8 ndarray``. Registering e.g. a
+#: Pillow/libjpeg-backed decoder under "jpeg" makes decode_image /
+#: resize_image handle real JPEG corpora with ZERO Spark-plumbing
+#: changes — the decode stages snapshot this dict at PLAN-BUILD time and
+#: ship it to the Python workers inside the mapInPandas closure
+#: (cloudpickle), so a driver-side registration reaches every executor;
+#: mutating the registry after the plan is built does not affect it.
+#: The stdlib-only default leaves jpeg/riff unregistered, so those
+#: payloads keep returning ``decode_ok='unsupported:<fmt>'``.
+IMAGE_CODEC_HOOKS: dict = {}
+
+
+def register_image_codec(fmt: str, decoder) -> None:
+    """Plug an external image decoder (``bytes -> HxWxC uint8 ndarray``)
+    for a sniffed format tag (``jpeg``/``riff``/``unknown``). The
+    decoder must be cloudpickle-serializable (a module-level function
+    whose imports live inside it travels best to executors)."""
+    IMAGE_CODEC_HOOKS[fmt] = decoder
+
+
+def unregister_image_codec(fmt: str) -> None:
+    IMAGE_CODEC_HOOKS.pop(fmt, None)
+
+
+def _sniff_format(b: bytes) -> str:
+    if b[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if b[:4] == b"RIFF":
+        return "riff"
+    return "unknown"
+
+
+def decode_image_bytes(b: bytes, hooks: dict | None = None):
+    """Sniff + decode one payload. Returns (array, format) or raises.
+    ``hooks`` extends the stdlib codecs with registered decoders for
+    formats this container has no library for (see
+    :data:`IMAGE_CODEC_HOOKS`); builtin codecs always win for their own
+    magic bytes."""
     if b.startswith(_PNG_MAGIC):
         return decode_png_bytes(b), "png"
     if b[:2] == b"BM":
         return decode_bmp_bytes(b), "bmp"
     if b[:2] in (b"P5", b"P6"):
         return decode_pnm_bytes(b), "pnm"
-    if b[:3] == b"\xff\xd8\xff":
-        raise ValueError("unsupported:jpeg")
-    if b[:4] in (b"RIFF",):
-        raise ValueError("unsupported:riff")
-    raise ValueError("unsupported:unknown")
+    fmt = _sniff_format(b)
+    if hooks and fmt in hooks:
+        import numpy as np
+
+        arr = np.asarray(hooks[fmt](b), dtype=np.uint8)
+        if arr.ndim == 2:  # grayscale decoders: normalize to HxWx1
+            arr = arr[:, :, None]
+        return arr, fmt
+    raise ValueError(f"unsupported:{fmt}")
 
 
 def decode_image(media: DataFrame, *, fake: bool = False,
@@ -302,6 +347,11 @@ def decode_image(media: DataFrame, *, fake: bool = False,
 
         return media.mapInPandas(decode_batches, DECODED_IMAGE_SCHEMA)
 
+    # snapshot the codec registry at plan-build time: the dict rides the
+    # mapInPandas closure to every Python worker (driver-side module
+    # state would NOT be visible on executors of a real cluster)
+    hooks = dict(IMAGE_CODEC_HOOKS)
+
     def decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
@@ -309,7 +359,8 @@ def decode_image(media: DataFrame, *, fake: bool = False,
             hh, ww, cc, ok = [], [], [], []
             for p in pdf["payload"]:
                 try:
-                    arr, fmt = decode_image_bytes(bytes(p) if p is not None else b"")
+                    arr, fmt = decode_image_bytes(
+                        bytes(p) if p is not None else b"", hooks)
                     h, w, c = arr.shape
                     hh.append(h); ww.append(w); cc.append(c); ok.append(fmt)
                 except ValueError as e:
@@ -367,6 +418,9 @@ def resize_image(media: DataFrame, target: tuple[int, int] = (224, 224),
 
         return media.mapInPandas(batches, RESIZED_IMAGE_SCHEMA)
 
+    # same plan-build-time snapshot as decode_image (closure-shipped)
+    hooks = dict(IMAGE_CODEC_HOOKS)
+
     def batches(it: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
@@ -375,7 +429,8 @@ def resize_image(media: DataFrame, target: tuple[int, int] = (224, 224),
             hh, ww, payloads = [], [], []
             for p in pdf["payload"]:
                 try:
-                    arr, _fmt = decode_image_bytes(bytes(p) if p is not None else b"")
+                    arr, _fmt = decode_image_bytes(
+                        bytes(p) if p is not None else b"", hooks)
                     h, w = arr.shape[:2]
                     ri = (np.arange(th) * h // th)
                     ci = (np.arange(tw) * w // tw)

@@ -871,6 +871,7 @@ def near_pairs(
     dim: int = 64,
     max_degree: int | None = None,
     max_pairs: int | None = None,
+    uncapped: bool = False,
     **lsh_kwargs,
 ) -> DataFrame:
     """Size-dispatched embedding near-pair source — the production entry
@@ -906,9 +907,31 @@ def near_pairs(
     pre-cap-free driver tier (already bounded by its
     :data:`DRIVER_PAIRS_MAX_ROWS` size gate) is judged on the raw
     random-pair volume; the raise still reports the threshold that would
-    fit the budget as the no-cap remedy."""
+    fit the budget as the no-cap remedy.
+
+    Above :data:`UNCAPPED_PAIRS_GATE_ROWS` an uncapped, unbudgeted call
+    REFUSES (VERDICT r8 #7, the same refuse-don't-melt shape as the
+    all-pairs verifier gate): the Θ(n²) edge density is a property of
+    fixed-threshold similarity graphs, not of any particular corpus, so
+    at that size the caller must pick ``max_degree`` (recommended — it
+    bounds the stream in-kernel), set a ``max_pairs`` budget, or opt out
+    explicitly with ``uncapped=True`` (accepting the quadratic edge
+    set)."""
     from data_cube_spark.model import BROADCAST_MAX_ROWS
 
+    if (corpus_rows is not None and corpus_rows > UNCAPPED_PAIRS_GATE_ROWS
+            and max_degree is None and max_pairs is None and not uncapped):
+        plan = near_pairs_plan(corpus_rows, dim=dim, threshold=threshold)
+        raise ValueError(
+            f"near_pairs over {corpus_rows:,} rows without max_degree or "
+            f"max_pairs: at threshold {threshold}/dim {dim} the "
+            f"fixed-threshold pair graph is Θ(n²) "
+            f"(~{plan['est_random_pairs']:,} estimated random pairs "
+            f"alone). Set max_degree (bounds the emitted stream "
+            f"in-kernel and the graph to <= 2*k*n edges), set a "
+            f"max_pairs budget, or pass uncapped=True to accept the "
+            f"quadratic edge set explicitly."
+        )
     small = (
         corpus_rows is not None
         and corpus_rows > DRIVER_PAIRS_MAX_ROWS
@@ -958,6 +981,16 @@ def near_pairs(
     if max_degree is not None:
         out = cap_pair_degree(out, max_degree)
     return out
+
+
+#: corpus size above which :func:`near_pairs` refuses to build an
+#: UNCAPPED, UNBUDGETED pair graph (no max_degree, no max_pairs, no
+#: explicit ``uncapped=True``): below it even the worst-case Θ(n²·p)
+#: edge set (~0.26% density at t=0.35/d=64 -> ~1.3e9 pairs at the gate)
+#: is survivable-if-slow; above it an uncapped graph is an outage, not
+#: a job. Mirrors the all-pairs verifier gate: refuse with the remedy
+#: in the message rather than melt a cluster.
+UNCAPPED_PAIRS_GATE_ROWS = 1_000_000
 
 
 def near_pairs_plan(

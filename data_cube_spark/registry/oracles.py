@@ -1034,6 +1034,16 @@ ORACLE: dict[str, str] = {
              TRUE AS stream_eq_batch, TRUE AS target_text_ok
       FROM documents WHERE doc_id % 2 = 1
     """,
+    "dual_index_stream_ingest": """
+      SELECT doc_id, md5(text) AS text_hash, TRUE AS stream_eq_batch,
+             TRUE AS fp_eq_rebuild, TRUE AS mh_eq_rebuild
+      FROM (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+      ) t
+    """,
     "embedding_near_pairs_lsh": """
       WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

@@ -356,6 +356,123 @@ def q_scd2_dim_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_dual_index_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-epoch DUAL-index ingest as driver evidence (VERDICT r8 #5;
+    streaming/cube_stream.py::streaming_dual_index_ingest): incoming
+    documents — the odd half plus exact clones of every 10th corpus doc
+    under fresh ids, which exercise the fingerprint stage — stream in
+    two micro-batches; each runs exact-then-near-dup suppression against
+    the PERSISTED fingerprint + minhash indexes, and the epoch's
+    survivors maintain BOTH indexes, so batch 2 dedups against batch 1's
+    survivors on both axes. Emitted per incoming doc: ``stream_eq_batch``
+    = the streamed keep/suppress decision equals the SEQUENTIAL batch
+    twin's (the same two-stage pipeline run inline, folding each wave's
+    survivors into the hash/signature sets before the next); plus two
+    set-level flags — after the nightly ``compact_all`` sweep the
+    fingerprint and minhash index contents are row-equal to indexes
+    REBUILT from corpus + survivors (exactly-once maintenance). All
+    flags TRUE by construction; the oracle asserts them."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_cube_spark.operators.index_maintenance import compact_all
+    from data_cube_spark.operators.text import fingerprint
+    from data_cube_spark.streaming.cube_stream import (
+        streaming_dual_index_ingest,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    odd = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    half = odd.approxQuantile("doc_id", [0.5], 0.01)[0]
+    wave1 = odd.where(F.col("doc_id") <= half)
+    wave2 = odd.where(F.col("doc_id") > half).unionByName(clones)
+    work = tempfile.mkdtemp(prefix="sg_dualidx_")
+    tag = os.path.basename(work).lower()
+    drops = [f"{tag}_{s}" for s in
+             ("f_fp", "m_sig", "m_bands", "rf_fp", "rm_sig", "rm_bands")]
+    try:
+        dedup.write_fingerprint_index(
+            corpus, f"{tag}_f", n_buckets=8, path=os.path.join(work, "fp"))
+        dedup.write_minhash_index(
+            corpus, f"{tag}_m", n_buckets=8, path=os.path.join(work, "mh"))
+        src = os.path.join(work, "src")
+        wave1.coalesce(1).write.mode("overwrite").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes pin the file-per-trigger order
+        wave2.coalesce(1).write.mode("append").parquet(src)
+        q = streaming_dual_index_ingest(
+            spark, src, wave1.schema, os.path.join(work, "ck"),
+            os.path.join(work, "target"), f"{tag}_f", f"{tag}_m",
+            threshold=0.3, max_files_per_trigger=1).start()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("dual_index_stream_ingest: stream did not "
+                               "finish within 300 s")
+        tgt = (spark.read.parquet(os.path.join(work, "target"))
+               .select("doc_id", "text").localCheckpoint())
+        streamed = tgt.select("doc_id", F.lit(True).alias("_streamed"))
+        # SEQUENTIAL batch twin: same waves, same two stages, survivors
+        # folded into the in-memory hash/signature sets between waves
+        hashes = (corpus.select(fingerprint("text").alias("_fp"))
+                  .dropDuplicates().localCheckpoint())
+        sigs = dedup.minhash_signatures(corpus).localCheckpoint()
+        twin_parts = []
+        for wave in (wave1, wave2):
+            ek = (wave.withColumn("_fp", fingerprint("text"))
+                  .join(hashes, "_fp", "left_anti").drop("_fp"))
+            dup = (dedup.incremental_minhash_pairs(ek, sigs, threshold=0.3)
+                   .select(F.col("batch_id").alias("doc_id"))
+                   .dropDuplicates())
+            sv = ek.join(dup, "doc_id", "left_anti").localCheckpoint()
+            twin_parts.append(sv)
+            hashes = (hashes.unionByName(
+                sv.select(fingerprint("text").alias("_fp")))
+                .dropDuplicates().localCheckpoint())
+            sigs = sigs.unionByName(
+                dedup.minhash_signatures(sv)).localCheckpoint()
+        twin = twin_parts[0].unionByName(twin_parts[1]).select(
+            "doc_id", F.lit(True).alias("_twin"))
+        # nightly sweep, then both indexes must equal rebuilt twins
+        compact_all(spark, prefix=f"{tag}_")
+        grown = corpus.unionByName(tgt)
+        dedup.write_fingerprint_index(
+            grown, f"{tag}_rf", n_buckets=8, path=os.path.join(work, "rf"))
+        dedup.write_minhash_index(
+            grown, f"{tag}_rm", n_buckets=8, path=os.path.join(work, "rm"))
+
+        def _row_equal(a: str, b: str) -> bool:
+            ta, tb = spark.table(a), spark.table(b)
+            return (ta.exceptAll(tb).count() == 0
+                    and tb.exceptAll(ta).count() == 0)
+
+        fp_eq = _row_equal(f"{tag}_f_fp", f"{tag}_rf_fp")
+        mh_eq = (_row_equal(f"{tag}_m_sig", f"{tag}_rm_sig")
+                 and _row_equal(f"{tag}_m_bands", f"{tag}_rm_bands"))
+        out = (
+            odd.unionByName(clones)
+            .join(streamed, "doc_id", "left")
+            .join(twin, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.md5(F.encode("text", "UTF-8")).alias("text_hash"),
+                (F.coalesce("_streamed", F.lit(False))
+                 == F.coalesce("_twin", F.lit(False)))
+                .alias("stream_eq_batch"),
+                F.lit(bool(fp_eq)).alias("fp_eq_rebuild"),
+                F.lit(bool(mh_eq)).alias("mh_eq_rebuild"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        for t in drops:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful stream-stream interval join
     (streaming/stream_join.py::interval_attribution_join): purchases

@@ -590,6 +590,136 @@ def streaming_embedding_ingest(
     )
 
 
+def streaming_dual_index_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    target_dir: str,
+    fp_table: str,
+    mh_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    max_files_per_trigger: int | None = None,
+):
+    """Single-epoch DUAL-index ingest (VERDICT r7 #7 / r8 #5): one
+    ``foreachBatch`` epoch runs the full two-stage dedup — exact
+    fingerprint anti-join first, MinHash-LSH near-dup suppression on
+    what survives it — and the epoch's survivors maintain BOTH persisted
+    indexes (:func:`...dedup.write_fingerprint_index` and
+    :func:`...dedup.write_minhash_index`), so later micro-batches in the
+    same run dedup against earlier survivors on both axes. Per batch
+    only the batch is hashed/shingled/shuffled; both corpus index sides
+    come off disk pre-partitioned on their join keys.
+
+    Exactly-once for the TARGET, idempotent-after-compaction for the
+    indexes: survivors land in an epoch-keyed directory written with
+    OVERWRITE (at-least-once replays rewrite it byte-identically), and a
+    replayed epoch recomputes the IDENTICAL survivor set despite its own
+    rows being indexed by the crashed attempt —
+
+    - exact path: the crashed attempt's own contributions are exactly
+      the fingerprints of THIS epoch's previously written survivors
+      (read back from the epoch's own target directory), and none of
+      those hashes can also pre-exist in the index (a doc whose hash
+      pre-existed was suppressed, hence never a survivor) — so
+      subtracting them from the index side restores the pre-crash view
+      precisely;
+    - near-dup path: candidate pairs whose ``corpus_id`` is among this
+      epoch's own survivors are excluded, the same ADVICE-r6 scoping as
+      :func:`streaming_corpus_ingest` (a stable-id re-delivery is still
+      suppressed against its pre-existing corpus row).
+
+    A crash BETWEEN the two index appends re-appends both on replay —
+    duplicate rows, harmless for anti-join semantics, re-distincted by
+    the nightly :func:`...index_maintenance.compact_all` sweep (the
+    kill-and-resume test proves both indexes equal their batch-rebuilt
+    twins after compaction). All index parameters come from the stamped
+    metadata — a caller cannot drift from the writers'."""
+    import os
+
+    from data_cube_spark.operators.dedup import (
+        _index_meta,
+        append_to_fingerprint_index,
+        append_to_minhash_index,
+        fingerprint,
+        incremental_minhash_pairs_indexed,
+    )
+
+    fp_meta = _index_meta(spark, f"{fp_table}_fp")
+    mh_meta = _index_meta(spark, f"{mh_table}_sig")
+    if not fp_meta or not mh_meta:
+        raise ValueError(
+            f"{fp_table}_fp / {mh_table}_sig must be written by "
+            f"write_fingerprint_index / write_minhash_index first")
+    canonical = fp_meta.get("canonical") == "True"
+    mh_params = {"num_hashes": int(mh_meta["num_hashes"]),
+                 "bands": int(mh_meta["bands"]), "k": int(mh_meta["k"])}
+
+    def _hash(col):
+        return (fingerprint(col) if canonical
+                else F.md5(F.encode(F.col(col), "UTF-8")))
+
+    def ingest(batch_df, epoch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        # all catalog reads go through the micro-batch session (a fresh
+        # clone per trigger, so it always lists the files earlier
+        # triggers appended); reading via the OUTER session would pin a
+        # stale file-index cache from batch 0 onward
+        s = batch_df.sparkSession
+        prev = _read_target(spark, os.path.join(
+            target_dir, f"ingest_epoch={int(epoch_id)}"))
+        # stage 1 — exact: anti-join on content hash against the
+        # fingerprint index MINUS this epoch's own prior contributions
+        # (eagerly materialized before the epoch dir is overwritten)
+        hashed = batch_df.withColumn("_fp", _hash(text_col))
+        idx = s.table(f"{fp_table}_fp").select(
+            F.col("content_hash").alias("_fp"))
+        own = None
+        if prev is not None:
+            own = prev.localCheckpoint()
+            idx = idx.join(own.select(_hash(text_col).alias("_fp"))
+                           .dropDuplicates(), "_fp", "left_anti")
+        exact_keep = hashed.join(idx, "_fp", "left_anti").drop("_fp")
+        # stage 2 — near-dup: band what survived stage 1 against the
+        # minhash index, excluding matches on this epoch's own survivors
+        pairs = incremental_minhash_pairs_indexed(
+            exact_keep, mh_table, text_col=text_col, id_col=id_col,
+            threshold=threshold, **mh_params)
+        if own is not None:
+            pairs = pairs.join(
+                own.select(F.col(id_col).alias("corpus_id"))
+                .dropDuplicates(), "corpus_id", "left_anti")
+        dup = pairs.select(F.col("batch_id").alias(id_col)).dropDuplicates()
+        # one materialization feeds the epoch write and BOTH index appends
+        survivors = exact_keep.join(dup, id_col, "left_anti").localCheckpoint()
+        (survivors.write.mode("overwrite")
+         .parquet(os.path.join(target_dir, f"ingest_epoch={int(epoch_id)}")))
+        folded = survivors.select(id_col, text_col)
+        append_to_fingerprint_index(folded, fp_table, text_col=text_col,
+                                    canonical=canonical)
+        append_to_minhash_index(folded, mh_table, text_col=text_col,
+                                id_col=id_col, **mh_params)
+        # the insertIntos above ran in the micro-batch session clone —
+        # invalidate the DRIVER session's cached file indexes so readers
+        # on it (the caller, the nightly compact sweep) see the appends
+        for t in (f"{fp_table}_fp", f"{mh_table}_sig", f"{mh_table}_bands"):
+            spark.catalog.refreshTable(t)
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(source_dir)
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def streaming_ann_serving(
     spark: SparkSession,
     source_dir: str,

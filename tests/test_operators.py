@@ -1850,3 +1850,98 @@ def test_histogram_psi_properties(spark):
     rev = bins(db, "bins_a").join(bins(da, "bins_b"), "k") \
         .select(histogram_psi("bins_a", "bins_b").alias("psi")).collect()
     assert rev[0]["psi"] == shift[0]["psi"]  # PSI is symmetric
+
+
+def test_image_codec_hook_registry(spark, tables):
+    """VERDICT r8 #6: pluggable decoder hook — a registered "jpeg"
+    decoder flows through the distributed decode/resize stages (the
+    registry is snapshotted into the mapInPandas closure at PLAN-BUILD
+    time, the cluster-correct shape), while the stdlib-only default
+    keeps returning unsupported:jpeg."""
+    import struct as _struct
+
+    import numpy as np
+
+    def fake_jpeg(h, w):
+        # sniffable JPEG magic + dims the test decoder can parse
+        return b"\xff\xd8\xff" + _struct.pack(">HH", h, w)
+
+    def dec(b):
+        import struct as _s
+
+        import numpy as _np
+
+        h, w = _s.unpack(">HH", b[3:7])
+        return _np.full((h, w, 3), 7, dtype=_np.uint8)
+
+    docs = tables["documents"].limit(6)
+    payloads = spark.createDataFrame(
+        [(int(r["doc_id"]), fake_jpeg(10 + i, 20 + i))
+         for i, r in enumerate(docs.collect())],
+        "doc_id long, p binary")
+    media = multimodal.as_media_table(payloads, "doc_id", "p")
+
+    # default: no codec -> classified unsupported, batch survives
+    base = multimodal.decode_image(media).collect()
+    assert all(r["decode_ok"] == "unsupported:jpeg" and r["height"] is None
+               for r in base)
+    with pytest.raises(ValueError, match="unsupported:jpeg"):
+        multimodal.decode_image_bytes(fake_jpeg(4, 4))
+
+    try:
+        multimodal.register_image_codec("jpeg", dec)
+        got = {r["asset_id"]: r for r in
+               multimodal.decode_image(media).collect()}
+        assert all(r["decode_ok"] == "jpeg" for r in got.values())
+        assert sorted((r["height"], r["width"], r["channels"])
+                      for r in got.values()) == \
+            sorted((10 + i, 20 + i, 3) for i in range(6))
+        # resize consumes the hook too and re-encodes as PNG
+        rz = multimodal.resize_image(media, target=(8, 8)).collect()
+        for r in rz:
+            arr, fmt = multimodal.decode_image_bytes(bytes(r["payload"]))
+            assert fmt == "png" and arr.shape == (8, 8, 3)
+            assert int(arr[0, 0, 0]) == 7
+        # plan-build-time snapshot: a plan built WHILE registered keeps
+        # decoding after unregistration (closure carries the hook)
+        plan = multimodal.decode_image(media)
+        multimodal.unregister_image_codec("jpeg")
+        assert all(r["decode_ok"] == "jpeg" for r in plan.collect())
+        # ...but a NEW plan is back to the stdlib fallback
+        again = multimodal.decode_image(media).collect()
+        assert all(r["decode_ok"] == "unsupported:jpeg" for r in again)
+        # grayscale 2-D decoder output normalizes to HxWx1
+        multimodal.register_image_codec(
+            "jpeg", lambda b: __import__("numpy").zeros((5, 6), "uint8"))
+        arr, fmt = multimodal.decode_image_bytes(
+            fake_jpeg(5, 6), multimodal.IMAGE_CODEC_HOOKS)
+        assert fmt == "jpeg" and arr.shape == (5, 6, 1)
+    finally:
+        multimodal.unregister_image_codec("jpeg")
+
+
+def test_near_pairs_uncapped_gate(spark, tables):
+    """VERDICT r8 #7: above UNCAPPED_PAIRS_GATE_ROWS a pair-graph build
+    must pick a degree cap or a stream budget, or opt out explicitly —
+    the fixed-threshold edge set is Θ(n²), so an uncapped build at that
+    size is an outage. Below the gate (every registry query) nothing
+    changes."""
+    emb = tables["embeddings"].limit(40)
+    big = similarity.UNCAPPED_PAIRS_GATE_ROWS + 1
+    with pytest.raises(ValueError, match="uncapped=True"):
+        similarity.near_pairs(emb, threshold=0.35, corpus_rows=big)
+    # each remedy unlocks the call (tiny real df, big declared corpus)
+    assert similarity.near_pairs(
+        emb, threshold=0.35, corpus_rows=big, max_degree=4,
+        n_planes=4, n_tables=8).count() >= 0
+    assert similarity.near_pairs(
+        emb, threshold=0.35, corpus_rows=big, uncapped=True,
+        n_planes=4, n_tables=8).count() >= 0
+    # max_pairs alone also routes past the gate into the budget check,
+    # which refuses with the threshold remedy at this density
+    with pytest.raises(ValueError, match="stream budget exceeded"):
+        similarity.near_pairs(emb, threshold=0.35, corpus_rows=big,
+                              max_pairs=10_000)
+    # below the gate: uncapped stays allowed (the registry contract)
+    assert similarity.near_pairs(
+        emb, threshold=0.35, corpus_rows=40).count() >= 0

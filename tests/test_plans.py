@@ -158,8 +158,11 @@ def test_near_pairs_dispatch_both_tiers(tables):
     plan_small = explain_str(small, "simple")
     assert "Join" not in plan_small and "Exchange" not in plan_small, plan_small
 
+    # uncapped=True: this declared corpus size is past the r9 Θ(n²)
+    # guard gate, and the test pins tier dispatch, not the cap
     big = similarity.near_pairs(emb, 0.35, n_planes=4, n_tables=8,
-                                corpus_rows=BROADCAST_MAX_ROWS + 1)
+                                corpus_rows=BROADCAST_MAX_ROWS + 1,
+                                uncapped=True)
     plan_big = explain_str(big, "simple")
     assert "CartesianProduct" not in plan_big, plan_big
     assert "BroadcastNestedLoopJoin" not in plan_big, plan_big

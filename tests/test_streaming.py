@@ -1081,3 +1081,88 @@ def test_streaming_embedding_ingest_restart_exactly_once(
         for tag in ("t_erst_a", "t_erst_b"):
             for s in ("buckets", "vec"):
                 spark.sql(f"DROP TABLE IF EXISTS {tag}_{s}")
+
+
+def test_streaming_dual_index_ingest_restart_exactly_once(
+        spark, tables, tmp_path):
+    """VERDICT r8 #5 kill-and-resume: the single-epoch DUAL-index ingest
+    is hard-stopped after the first committed micro-batch (whose
+    survivors are already folded into BOTH indexes), resumed — the
+    survivor set must equal an uninterrupted run's with no duplicates,
+    and after the nightly compact sweep BOTH indexes must be row-equal
+    to indexes rebuilt from corpus + survivors (exactly-once index
+    maintenance up to compaction)."""
+    from data_cube_spark.operators import dedup
+    from data_cube_spark.operators.index_maintenance import compact_all
+    from data_cube_spark.streaming.cube_stream import (
+        streaming_dual_index_ingest,
+    )
+
+    docs = tables["documents"].limit(60)
+    corpus = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    odd = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    # clones of corpus docs exercise the exact stage; clones of other
+    # odd docs exercise cross-batch near-dup suppression on resume
+    incoming = odd.unionByName(
+        corpus.limit(5).select((F.col("doc_id") + 900_000).alias("doc_id"),
+                               "text"))
+    src = str(tmp_path / "src")
+    import time as _time
+
+    for i in range(3):
+        incoming.where(F.col("doc_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+        _time.sleep(1.05)
+    drops = []
+    try:
+        results = {}
+        for tag, interrupt in (("t_dual_a", True), ("t_dual_b", False)):
+            drops += [f"{tag}_f_fp", f"{tag}_m_sig", f"{tag}_m_bands",
+                      f"{tag}_rf_fp", f"{tag}_rm_sig", f"{tag}_rm_bands"]
+            dedup.write_fingerprint_index(
+                corpus, f"{tag}_f", n_buckets=4,
+                path=str(tmp_path / f"fp_{tag}"))
+            dedup.write_minhash_index(
+                corpus, f"{tag}_m", n_buckets=4,
+                path=str(tmp_path / f"mh_{tag}"))
+
+            def start():
+                return streaming_dual_index_ingest(
+                    spark, src, incoming.schema,
+                    str(tmp_path / f"ck_{tag}"),
+                    str(tmp_path / f"out_{tag}"),
+                    f"{tag}_f", f"{tag}_m",
+                    threshold=0.5, max_files_per_trigger=1).start()
+
+            if interrupt:
+                _run_until_n_batches(start(), 1)
+            q = start()
+            q.awaitTermination(180)
+            results[tag] = [
+                r["doc_id"] for r in
+                spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()]
+        a, b = results["t_dual_a"], results["t_dual_b"]
+        assert len(a) == len(set(a)), "duplicate survivors after replay"
+        assert sorted(a) == sorted(b), "interrupted run diverged"
+        # corpus-clone redelivery was suppressed by the exact stage
+        assert all(i < 900_000 for i in a)
+
+        # after the nightly sweep, both indexes == rebuilt-from-scratch
+        swept = compact_all(spark, prefix="t_dual_a_")
+        assert set(swept["removed"]) == {"t_dual_a_f", "t_dual_a_m"}
+        survivors = spark.read.parquet(
+            str(tmp_path / "out_t_dual_a")).select("doc_id", "text")
+        grown = corpus.unionByName(survivors)
+        dedup.write_fingerprint_index(grown, "t_dual_a_rf", n_buckets=4,
+                                      path=str(tmp_path / "rf"))
+        dedup.write_minhash_index(grown, "t_dual_a_rm", n_buckets=4,
+                                  path=str(tmp_path / "rm"))
+        for got, want in (("t_dual_a_f_fp", "t_dual_a_rf_fp"),
+                          ("t_dual_a_m_sig", "t_dual_a_rm_sig"),
+                          ("t_dual_a_m_bands", "t_dual_a_rm_bands")):
+            ga, wa = spark.table(got), spark.table(want)
+            assert ga.exceptAll(wa).count() == 0, got
+            assert wa.exceptAll(ga).count() == 0, got
+    finally:
+        for t in drops:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
