@@ -510,3 +510,60 @@ def test_blocked_pre_cap_matches_python_reference(spark, vecs, dups, k, thr):
                                    or ids[i] in top[ids[j]]):
                 want.add((int(ids[i]), int(ids[j])))
     assert got == want
+
+
+_APX_SEQ = [0]
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    corpus_texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=10)
+        .map(" ".join),
+        min_size=1, max_size=8),
+    extra_texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=10)
+        .map(" ".join),
+        min_size=1, max_size=8),
+    batch_texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=10)
+        .map(" ".join),
+        min_size=1, max_size=8),
+    threshold=st.sampled_from([0.4, 0.6]),
+)
+def test_append_prefix_index_exact_for_any_corpus(
+        spark, corpus_texts, extra_texts, batch_texts, threshold):
+    """VERDICT r8 #1 property bar: for ANY corpus / appended batch /
+    query batch (including docs too short to shingle), reading an
+    APPENDED prefix index equals the inline exact R x S operator over
+    the grown corpus — the frozen order never costs exactness."""
+    from data_cube_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)],
+        "doc_id long, text string")
+    extra = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(extra_texts)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(2000 + i, t) for i, t in enumerate(batch_texts)],
+        "doc_id long, text string")
+    _APX_SEQ[0] += 1
+    tag = f"t_apxp_{_APX_SEQ[0]}"
+    try:
+        dedup.write_prefix_index(corpus, tag, n_buckets=2,
+                                 threshold=threshold)
+        dedup.append_prefix_index(extra, tag)
+        got = sorted(map(tuple, dedup.incremental_prefix_pairs_indexed(
+            batch, tag, threshold=threshold).collect()))
+        want = sorted(map(tuple, dedup.jaccard_pairs_prefix_rs(
+            batch, corpus.unionByName(extra),
+            threshold=threshold).collect()))
+        assert got == want
+        # and the member tables stay structurally consistent
+        dedup.check_prefix_consistency(spark, tag)
+    finally:
+        for s in ("_prefix", "_df", "_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {tag}{s}")
