@@ -557,10 +557,39 @@ def compact_fingerprint_index(spark, table: str) -> int:
     return _compact_index_table(spark, f"{table}_fp", ["content_hash"])
 
 
+def check_member_sync(spark, table_a: str, table_b: str,
+                      key: str = "corpus_id") -> int:
+    """Fail-loudly cross-member consistency check shared by the
+    multi-table indexes (the ADVICE r8 finding, generalized from the
+    prefix index): a failure between an append's two ``insertInto``
+    calls leaves a doc present in one member table and absent from the
+    other, and the read paths then silently LOSE candidates or pairs
+    for it. The invariant is structural for every kind — each doc with
+    a signature has >= 1 band row, each vector row has >= 1 bucket row
+    — so the distinct key sets must be identical; duplicate rows from
+    re-appends don't disturb it. Two key-column aggregations, run at
+    maintenance cadence by the ``compact_*`` helpers. Returns the
+    shared doc count; raises ValueError on divergence."""
+    n_a = spark.table(table_a).select(key).distinct().count()
+    n_b = spark.table(table_b).select(key).distinct().count()
+    if n_a != n_b:
+        raise ValueError(
+            f"index members out of sync: {n_a} distinct {key}s in "
+            f"{table_a} vs {n_b} in {table_b} — a partial append left "
+            f"rows in one member table without the other's, and reads "
+            f"would silently lose candidates for the missing docs. "
+            f"Rebuild the index with its write_* helper.")
+    return n_a
+
+
 def compact_minhash_index(spark, table: str) -> int:
     """Re-distinct both :func:`write_minhash_index` tables in place (a
     doc appended twice contributes identical signature/band rows).
-    Returns total duplicate rows removed across ``_sig`` and ``_bands``."""
+    Runs :func:`check_member_sync` FIRST — a doc with a signature but
+    no band rows (half-applied append) would silently generate no
+    candidates, so compaction refuses to bless that state. Returns
+    total duplicate rows removed across ``_sig`` and ``_bands``."""
+    check_member_sync(spark, f"{table}_sig", f"{table}_bands")
     removed = _compact_index_table(spark, f"{table}_sig", ["corpus_id"])
     removed += _compact_index_table(spark, f"{table}_bands",
                                     ["band_id", "band_hash"])
@@ -941,18 +970,7 @@ def check_prefix_consistency(spark, table: str) -> int:
     cheap at maintenance cadence, which is where
     :func:`compact_prefix_index` runs it. Returns the shared document
     count; raises ValueError on any divergence."""
-    n_pfx = (spark.table(f"{table}_prefix")
-             .select("corpus_id").distinct().count())
-    n_sets = (spark.table(f"{table}_sets")
-              .select("corpus_id").distinct().count())
-    if n_pfx != n_sets:
-        raise ValueError(
-            f"prefix index {table} is out of sync: {n_pfx} distinct "
-            f"corpus_ids in {table}_prefix vs {n_sets} in {table}_sets — "
-            f"a partial append left postings without set rows (or vice "
-            f"versa) and the verification join would silently drop pairs. "
-            f"Rebuild with write_prefix_index.")
-    return n_pfx
+    return check_member_sync(spark, f"{table}_prefix", f"{table}_sets")
 
 
 def compact_prefix_index(spark, table: str) -> int:

@@ -1324,9 +1324,18 @@ def append_to_embedding_index(
 
 def compact_embedding_index(spark, table: str) -> int:
     """Re-distinct both embedding-index tables in place (bucketing,
-    location and metadata preserved). Returns duplicate rows removed."""
-    from data_cube_spark.operators.dedup import _compact_index_table
+    location and metadata preserved). Runs
+    :func:`...dedup.check_member_sync` FIRST: a vector present in
+    ``_vec`` but missing from ``_buckets`` (half-applied append) would
+    silently never be a candidate — the inverse case is caught loudly
+    by the read path's presence check, this closes the silent half.
+    Returns duplicate rows removed."""
+    from data_cube_spark.operators.dedup import (
+        _compact_index_table,
+        check_member_sync,
+    )
 
+    check_member_sync(spark, f"{table}_buckets", f"{table}_vec")
     removed = _compact_index_table(spark, f"{table}_buckets",
                                    ["_t", "_b"])
     removed += _compact_index_table(spark, f"{table}_vec", ["corpus_id"])

@@ -241,3 +241,35 @@ def test_broadcast_cosine_empty_matrix_diagnostic(spark):
                                             "vec_id", "vec_id")
     row = pairs.select(udf3("a", "b").alias("c")).head()
     assert row["c"] == pytest.approx(0.0)
+
+
+def test_member_sync_check_minhash_and_embedding(spark, tables, tmp_path):
+    """The ADVICE r8 half-applied-append hazard, generalized: a doc in
+    _sig without _bands rows (or a vector in _vec without _buckets rows)
+    silently generates no candidates — the compact helpers now refuse
+    that state instead of blessing it."""
+    docs = tables["documents"].limit(30)
+    emb = tables["embeddings"].limit(30)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    vecs = emb.where(F.col("vec_id") % 2 == 0)
+    try:
+        dedup.write_minhash_index(corpus, "t_msync", n_buckets=4,
+                                  path=str(tmp_path / "m"))
+        assert dedup.compact_minhash_index(spark, "t_msync") == 0
+        spark.sql("INSERT INTO t_msync_sig "
+                  "SELECT corpus_id + 1000000 AS corpus_id, signature "
+                  "FROM t_msync_sig LIMIT 1")
+        with pytest.raises(ValueError, match="out of sync"):
+            dedup.compact_minhash_index(spark, "t_msync")
+
+        similarity.write_embedding_index(vecs, "t_esync", n_buckets=4,
+                                         path=str(tmp_path / "e"))
+        assert similarity.compact_embedding_index(spark, "t_esync") == 0
+        spark.sql("INSERT INTO t_esync_vec "
+                  "SELECT corpus_id + 1000000 AS corpus_id, _vec, _norm "
+                  "FROM t_esync_vec LIMIT 1")
+        with pytest.raises(ValueError, match="out of sync"):
+            similarity.compact_embedding_index(spark, "t_esync")
+    finally:
+        _drop(spark, "t_msync_sig", "t_msync_bands",
+              "t_esync_buckets", "t_esync_vec")
