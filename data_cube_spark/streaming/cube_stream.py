@@ -720,6 +720,92 @@ def streaming_dual_index_ingest(
     )
 
 
+def streaming_prefix_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    target_dir: str,
+    index_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous EXACT-Jaccard ingest — the prefix-index twin of
+    :func:`streaming_corpus_ingest`, composing the r9 O(batch)
+    :func:`...dedup.append_prefix_index`: every micro-batch is
+    prefix-filtered against the persisted
+    :func:`...dedup.write_prefix_index` postings (corpus side read
+    bucketed on the shingle key, only the batch shuffles), documents
+    with an exact Jaccard >= ``threshold`` against the standing corpus
+    are suppressed, and survivors are folded into the index under its
+    FROZEN shingle order — so later batches dedup against earlier
+    survivors with zero recall loss (exactness never depends on the
+    order being fresh; only pruning efficiency drifts, which the
+    stamped counters track and ``list_indexes`` surfaces).
+
+    ``threshold`` defaults to the index's stored threshold and must be
+    >= it (enforced by the read path — shorter stored prefixes would
+    silently lose recall). Same exactly-once contract as the family:
+    epoch-keyed OVERWRITE target; replayed epochs exclude candidate
+    pairs on their own previously written survivors, so the survivor
+    set recomputes identically; re-run appends only duplicate
+    posting/set rows, re-distincted by ``compact_prefix_index`` on the
+    nightly sweep (a crash between the two member inserts is caught
+    fail-loudly by ``check_prefix_consistency`` there). One honest
+    caveat: a replayed append re-accumulates the DRIFT counters, so
+    after a crash they over-count corpus growth — conservative (flags
+    a rebuild earlier, never later) and re-zeroed by the rebuild that
+    re-freezes the order."""
+    import os
+
+    from data_cube_spark.operators.dedup import (
+        _require_index_meta,
+        append_prefix_index,
+        incremental_prefix_pairs_indexed,
+    )
+
+    stored = _require_index_meta(spark, f"{index_table}_prefix", {})
+    k = int(stored["k"])
+    hashed = stored["hash_shingles"] == "True"
+    t = float(stored["threshold"]) if threshold is None else threshold
+
+    def ingest(batch_df, epoch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        pairs = incremental_prefix_pairs_indexed(
+            batch_df, index_table, text_col=text_col, id_col=id_col,
+            k=k, threshold=t, hash_shingles=hashed)
+        prev = _read_target(spark, os.path.join(
+            target_dir, f"ingest_epoch={int(epoch_id)}"))
+        if prev is not None:
+            own = (prev.select(F.col(id_col).alias("corpus_id"))
+                   .dropDuplicates().localCheckpoint())
+            pairs = pairs.join(own, "corpus_id", "left_anti")
+        dup = pairs.select(F.col("batch_id").alias(id_col)).dropDuplicates()
+        survivors = batch_df.join(dup, id_col, "left_anti").localCheckpoint()
+        (survivors.write.mode("overwrite")
+         .parquet(os.path.join(target_dir, f"ingest_epoch={int(epoch_id)}")))
+        append_prefix_index(survivors.select(id_col, text_col),
+                            index_table, text_col=text_col, id_col=id_col)
+        # insertIntos ran in the micro-batch session clone — refresh the
+        # driver session's cached file indexes (see dual-index ingest)
+        for suf in ("_prefix", "_df", "_sets"):
+            spark.catalog.refreshTable(f"{index_table}{suf}")
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(source_dir)
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def streaming_ann_serving(
     spark: SparkSession,
     source_dir: str,

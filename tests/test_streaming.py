@@ -1166,3 +1166,85 @@ def test_streaming_dual_index_ingest_restart_exactly_once(
     finally:
         for t in drops:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_prefix_ingest_self_maintaining_restart(
+        spark, tables, tmp_path):
+    """The prefix-index streaming twin (composes r9's O(batch)
+    append_prefix_index): micro-batches suppress on EXACT Jaccard
+    against the persisted postings, survivors fold in under the frozen
+    order, so a later batch's clone of an earlier survivor is
+    suppressed. Kill-and-resume: interrupted == uninterrupted with no
+    duplicate survivors, and after the nightly sweep the indexed read
+    equals a read over an index REBUILT from corpus + survivors."""
+    import time as _time
+
+    from data_cube_spark.operators import dedup
+    from data_cube_spark.operators.index_maintenance import compact_all
+    from data_cube_spark.streaming.cube_stream import streaming_prefix_ingest
+
+    docs = tables["documents"].limit(60)
+    corpus = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    odd = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    half = odd.approxQuantile("doc_id", [0.5], 0.01)[0]
+    w1 = odd.where(F.col("doc_id") <= half)
+    # wave 2 includes exact clones of wave-1 docs under fresh ids: any
+    # that SURVIVE wave 1 must suppress their clones cross-batch
+    w2 = (odd.where(F.col("doc_id") > half)
+          .unionByName(w1.limit(5).select(
+              (F.col("doc_id") + 700_000).alias("doc_id"), "text")))
+    src = str(tmp_path / "src")
+    w1.coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.05)
+    w2.coalesce(1).write.mode("append").parquet(src)
+    drops = []
+    try:
+        results = {}
+        for tag, interrupt in (("t_spfx_a", True), ("t_spfx_b", False)):
+            drops += [f"{tag}{s}" for s in
+                      ("_prefix", "_df", "_sets",
+                       "_rb_prefix", "_rb_df", "_rb_sets")]
+            dedup.write_prefix_index(corpus, tag, n_buckets=4,
+                                     threshold=0.5,
+                                     path=str(tmp_path / f"ix_{tag}"))
+
+            def start():
+                return streaming_prefix_ingest(
+                    spark, src, w1.schema, str(tmp_path / f"ck_{tag}"),
+                    str(tmp_path / f"out_{tag}"), tag,
+                    max_files_per_trigger=1).start()
+
+            if interrupt:
+                _run_until_n_batches(start(), 1)
+            q = start()
+            q.awaitTermination(180)
+            results[tag] = [
+                r["doc_id"] for r in
+                spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()]
+        a, b = results["t_spfx_a"], results["t_spfx_b"]
+        assert len(a) == len(set(a)), "duplicate survivors after replay"
+        assert sorted(a) == sorted(b), "interrupted run diverged"
+        # cross-batch: clones of wave-1 SURVIVORS died (jaccard 1.0)
+        w1_survivors = {i for i in a if i <= half}
+        cloned = {r["doc_id"] for r in w1.limit(5).collect()}
+        assert all(i + 700_000 not in a
+                   for i in cloned & w1_survivors)
+        # sweep compacts replay-duplicated rows, then the read equals a
+        # full rebuild over corpus + survivors (exactness preserved)
+        sweep = compact_all(spark, prefix="t_spfx_a")
+        assert "t_spfx_a" in sweep["removed"]
+        survivors = spark.read.parquet(
+            str(tmp_path / "out_t_spfx_a")).select("doc_id", "text")
+        dedup.write_prefix_index(corpus.unionByName(survivors),
+                                 "t_spfx_a_rb", n_buckets=4, threshold=0.5,
+                                 path=str(tmp_path / "rb"))
+        probe = odd.limit(20)
+        got = sorted(map(tuple, dedup.incremental_prefix_pairs_indexed(
+            probe, "t_spfx_a", threshold=0.5).collect()))
+        want = sorted(map(tuple, dedup.incremental_prefix_pairs_indexed(
+            probe, "t_spfx_a_rb", threshold=0.5).collect()))
+        assert got == want
+        dedup.check_prefix_consistency(spark, "t_spfx_a")
+    finally:
+        for t in drops:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
