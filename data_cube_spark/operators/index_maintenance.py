@@ -108,6 +108,14 @@ def _health(kind: str, params: dict) -> dict:
         h["df_drift_bound"] = PREFIX_DF_DRIFT_BOUND
         h["needs_rebuild"] = bool(drift is not None
                                   and drift > PREFIX_DF_DRIFT_BOUND)
+        # the DIRECT staleness measure: share of appended posting mass
+        # whose shingle the frozen order has never seen (df ranked 0)
+        try:
+            ap = int(params["appended_postings"])
+            h["unseen_ratio"] = (int(params["unseen_postings"]) / ap
+                                 if ap > 0 else 0.0)
+        except (KeyError, ValueError):
+            h["unseen_ratio"] = None
     elif kind == "ivf":
         skew = ivf_cell_skew(params)
         h["cell_skew"] = skew

@@ -91,6 +91,10 @@ def test_append_prefix_drift_counters_and_health(spark, tables, tmp_path):
         h = idx["t_drift"]["health"]
         assert h["df_drift"] == pytest.approx(drift)
         assert h["needs_rebuild"]
+        # the direct staleness measure rides along: unseen posting share
+        assert h["unseen_ratio"] == pytest.approx(
+            s2["unseen_postings"] / s2["appended_postings"])
+        assert 0.0 <= h["unseen_ratio"] <= 1.0
         # ...and the nightly sweep warns with rebuild advice
         with pytest.warns(UserWarning, match="write_prefix_index"):
             sweep = compact_all(spark, prefix="t_drift")
@@ -102,6 +106,7 @@ def test_append_prefix_drift_counters_and_health(spark, tables, tmp_path):
         idx = {i["name"]: i for i in list_indexes(spark, prefix="t_drift")}
         assert idx["t_drift"]["health"]["df_drift"] == 0.0
         assert not idx["t_drift"]["health"]["needs_rebuild"]
+        assert idx["t_drift"]["health"]["unseen_ratio"] == 0.0
     finally:
         _drop(spark, *[f"t_drift{s}" for s in PFX_TABLES])
 
