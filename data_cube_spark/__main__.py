@@ -3,10 +3,22 @@
     python -m data_cube_spark list                      # query names
     python -m data_cube_spark run QUERY [SF_DIR] [-n N] # show N rows
     python -m data_cube_spark explain QUERY [SF_DIR]    # physical plan
+    python -m data_cube_spark indexes [PREFIX]          # persisted-index fleet
+    python -m data_cube_spark compact [PREFIX]          # nightly sweep
 
 The same surface the driver contract exposes programmatically, for humans:
 `run` prints the first rows (never collects the full result), `explain`
-prints the formatted physical plan for plan-shape inspection.
+prints the formatted physical plan for plan-shape inspection, and
+`indexes`/`compact` are the operational entry points over the
+spark_graft.index.* catalog stamps (health flags and the rebuild/
+retrain warnings included).
+
+`indexes`/`compact` enumerate the CURRENT catalog: on a deployment
+with a persistent metastore (Hive/Glue) that is the standing index
+fleet; under the local in-memory catalog, tables registered by other
+processes are not visible — call ``main(["indexes"])`` in-process
+(``get_spark`` reuses the active session) or point the session at the
+shared metastore.
 """
 
 from __future__ import annotations
@@ -25,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
         if c == "run":
             p.add_argument("-n", type=int, default=20, help="rows to show")
+    for c in ("indexes", "compact"):
+        p = sub.add_parser(c, help=f"{c} the persisted-index fleet")
+        p.add_argument("prefix", nargs="?", default=None,
+                       help="filter by index base-name prefix")
     args = ap.parse_args(argv)
 
     from data_cube_spark.registry import ORACLE, QUERIES
@@ -33,6 +49,32 @@ def main(argv: list[str] | None = None) -> int:
         for name in QUERIES:
             kind = "oracle" if name in ORACLE else "rows-only"
             print(f"{name}  [{kind}]")
+        return 0
+
+    if args.cmd in ("indexes", "compact"):
+        from data_cube_spark.operators.index_maintenance import (
+            compact_all,
+            list_indexes,
+        )
+        from data_cube_spark.session import get_spark
+
+        spark = get_spark("data-cube-maint")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.cmd == "indexes":
+            for idx in list_indexes(spark, args.prefix):
+                flags = "".join(
+                    f" {k}" for k in ("needs_rebuild", "needs_retrain")
+                    if idx["health"].get(k))
+                state = "" if idx["complete"] else " INCOMPLETE"
+                print(f"{idx['name']}  [{idx['kind']}]{state}{flags}")
+                for k, v in sorted(idx["health"].items()):
+                    print(f"    {k}: {v}")
+            return 0
+        sweep = compact_all(spark, args.prefix)
+        for name, n in sorted(sweep["removed"].items()):
+            print(f"compacted {name}: {n} duplicate rows removed")
+        for w in sweep["warnings"]:
+            print(f"WARNING: {w}")
         return 0
 
     if args.query not in QUERIES:

@@ -121,6 +121,13 @@ def _health(kind: str, params: dict) -> dict:
         h["cell_skew"] = skew
         h["cell_skew_bound"] = IVF_SKEW_BOUND
         h["needs_retrain"] = bool(skew is not None and skew > IVF_SKEW_BOUND)
+    elif kind == "embedding":
+        # the stamped recall floor story rides along (reads already
+        # refuse a below-floor geometry; this is the fleet view of it)
+        try:
+            h["predicted_recall"] = float(params["predicted_recall"])
+        except (KeyError, ValueError):
+            h["predicted_recall"] = None
     return h
 
 

@@ -278,3 +278,30 @@ def test_member_sync_check_minhash_and_embedding(spark, tables, tmp_path):
     finally:
         _drop(spark, "t_msync_sig", "t_msync_bands",
               "t_esync_buckets", "t_esync_vec")
+
+
+def test_maintenance_cli_in_process(spark, tables, tmp_path, capsys):
+    """The operational CLI over the index fleet: `indexes` prints kind +
+    health (flags included), `compact` prints removed counts and the
+    rebuild/retrain warnings — in-process, since get_spark reuses the
+    active session (the in-memory catalog is process-local)."""
+    from data_cube_spark.__main__ import main
+
+    docs = tables["documents"].limit(40)
+    corpus = docs.where(F.col("doc_id") % 4 == 0)
+    extra = docs.where(F.col("doc_id") % 4 != 0)
+    try:
+        dedup.write_prefix_index(corpus, "t_climt", n_buckets=2,
+                                 threshold=0.5, path=str(tmp_path / "c"))
+        dedup.append_prefix_index(extra, "t_climt")  # drift ~3x > bound
+        assert main(["indexes", "t_climt"]) == 0
+        out = capsys.readouterr().out
+        assert "t_climt  [prefix] needs_rebuild" in out
+        assert "df_drift:" in out and "unseen_ratio:" in out
+        with pytest.warns(UserWarning, match="write_prefix_index"):
+            assert main(["compact", "t_climt"]) == 0
+        out = capsys.readouterr().out
+        assert "compacted t_climt:" in out
+        assert "WARNING:" in out and "drift" in out
+    finally:
+        _drop(spark, *[f"t_climt{s}" for s in PFX_TABLES])
