@@ -726,6 +726,16 @@ def test_embedding_index_multiprobe(spark, tmp_path):
         with pytest.raises(ValueError, match="probe_radius"):
             similarity.write_embedding_index(
                 seed, "t_mp_bad", probe_radius=3)
+        # ...and the READ-side caller override hits the same bounds
+        # (ADVICE r8: _validate_probe_radius was untested): above the
+        # cap probes are combinatorial, negative degenerates recall
+        with pytest.raises(ValueError, match="probe_radius"):
+            similarity.incremental_embedding_pairs_indexed(
+                batch, tbl, threshold=0.4,
+                probe_radius=similarity.MAX_PROBE_RADIUS + 1)
+        with pytest.raises(ValueError, match="probe_radius"):
+            similarity.incremental_embedding_pairs_indexed(
+                batch, tbl, threshold=0.4, probe_radius=-1)
     finally:
         for s in ("buckets", "vec"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}_{s}")
