@@ -364,7 +364,12 @@ def main() -> None:
         if first > REPEAT_THRESHOLD_SEC:
             for _ in range(N_DRAWS - 1):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
+                try:
+                    fn(spark, sf_dir).count()
+                except Exception as ex:  # a flaky repeat must not zero
+                    print(f"# {name}: repeat draw FAILED "
+                          f"{type(ex).__name__}: {ex}", file=sys.stderr)
+                    break  # median over the draws that did complete
                 draws.append(round(time.perf_counter() - t0, 3))
         med = round(statistics.median(draws), 3)
         times[name] = med
