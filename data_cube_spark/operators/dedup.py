@@ -980,10 +980,25 @@ def compact_prefix_index(spark, table: str) -> int:
     drift-counter metadata preserved). ``_df`` is never compacted —
     appends never touch the frozen order. Runs
     :func:`check_prefix_consistency` FIRST so a half-applied append is
-    refused, not blessed. Returns duplicate rows removed."""
-    check_prefix_consistency(spark, table)
+    refused, not blessed. When rows were removed, ``appended_docs`` is
+    re-stamped from ground truth (``distinct _sets ids - base_docs``):
+    a replayed/re-run append inflates the counter with duplicates, and
+    a duplicate-inflated drift must not keep demanding a rebuild the
+    compaction already resolved. Returns duplicate rows removed."""
+    n_docs = check_prefix_consistency(spark, table)
     removed = _compact_index_table(spark, f"{table}_prefix", ["shingle"])
     removed += _compact_index_table(spark, f"{table}_sets", ["corpus_id"])
+    if removed > 0:
+        stored = _index_meta(spark, f"{table}_prefix")
+        try:
+            true_appended = max(0, n_docs - int(stored["base_docs"]))
+        except (KeyError, ValueError):
+            return removed  # pre-metadata index: nothing to re-stamp
+        if true_appended != int(stored.get("appended_docs", -1)):
+            updated = dict(stored)
+            updated["appended_docs"] = true_appended
+            for member in ("prefix", "df", "sets"):
+                _set_index_meta(spark, f"{table}_{member}", updated)
     return removed
 
 

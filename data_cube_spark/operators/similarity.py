@@ -1932,10 +1932,25 @@ def append_to_ivf_index(
 def compact_ivf_index(spark, table: str) -> int:
     """Re-distinct the cells table in place (a vector appended twice
     contributes identical rows; bucketing, location and metadata
-    preserved). Returns duplicate rows removed."""
-    from data_cube_spark.operators.dedup import _compact_index_table
+    preserved). Removing duplicate rows CHANGES cell occupancy, so the
+    skew stamped by the last append may be stale afterwards — the
+    compaction re-measures and re-stamps ``cell_skew`` whenever it
+    removed anything, so the health flag reflects the compacted table
+    (a duplicate-inflated skew must not keep demanding a retrain the
+    compaction already resolved). Returns duplicate rows removed."""
+    from data_cube_spark.operators.dedup import (
+        _compact_index_table,
+        _index_meta,
+        _set_index_meta,
+    )
 
-    return _compact_index_table(spark, f"{table}_cells", ["cell_id"])
+    removed = _compact_index_table(spark, f"{table}_cells", ["cell_id"])
+    if removed > 0:
+        updated = dict(_index_meta(spark, f"{table}_cells"))
+        updated["cell_skew"] = round(_cell_occupancy_skew(spark, table), 4)
+        _set_index_meta(spark, f"{table}_cells", updated)
+        _set_index_meta(spark, f"{table}_centroids", updated)
+    return removed
 
 
 def ann_ivf_topk_indexed(

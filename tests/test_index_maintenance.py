@@ -305,3 +305,57 @@ def test_maintenance_cli_in_process(spark, tables, tmp_path, capsys):
         assert "WARNING:" in out and "drift" in out
     finally:
         _drop(spark, *[f"t_climt{s}" for s in PFX_TABLES])
+
+
+def test_compact_ivf_restamps_skew(spark, tables, tmp_path):
+    """Duplicate-inflated cell skew must not survive the compaction that
+    resolved it: re-appending the same skewed batch doubles one cell's
+    rows; after compact the re-measured (lower) skew is re-stamped and
+    the health flag reflects the compacted table."""
+    emb = tables["embeddings"].limit(60)
+    try:
+        similarity.write_ivf_index(emb, "t_rsk", n_cells=8, n_buckets=2,
+                                   path=str(tmp_path / "i"))
+        one = emb.limit(1).select("embedding")
+        skewed = (spark.range(120)
+                  .select((F.col("id") + 20_000_000).alias("vec_id"))
+                  .crossJoin(F.broadcast(one)))
+        s1 = similarity.append_to_ivf_index(skewed, "t_rsk")
+        # SAME batch again: pure duplicate rows, doubling the hot cell
+        s2 = similarity.append_to_ivf_index(skewed, "t_rsk")
+        assert s2["cell_skew"] > s1["cell_skew"]
+        removed = similarity.compact_ivf_index(spark, "t_rsk")
+        assert removed == 120
+        idx = {i["name"]: i for i in
+               list_indexes(spark, prefix="t_rsk")}
+        restamped = idx["t_rsk"]["health"]["cell_skew"]
+        # back to the single-copy skew (duplicates were the inflation)
+        assert restamped == pytest.approx(s1["cell_skew"], rel=0.05)
+        assert restamped < s2["cell_skew"]
+    finally:
+        _drop(spark, "t_rsk_cells", "t_rsk_centroids")
+
+
+def test_compact_prefix_restamps_appended_docs(spark, tables, tmp_path):
+    """A replayed append inflates appended_docs with duplicates; the
+    compaction re-stamps it from ground truth (distinct _sets ids -
+    base_docs), so a duplicate-inflated df_drift cannot keep demanding
+    a rebuild the sweep already resolved."""
+    docs = tables["documents"].limit(40)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    extra = docs.where(F.col("doc_id") % 2 == 1)
+    try:
+        dedup.write_prefix_index(corpus, "t_rst", n_buckets=4,
+                                 threshold=0.5, path=str(tmp_path / "p"))
+        dedup.append_prefix_index(extra, "t_rst")
+        s2 = dedup.append_prefix_index(extra, "t_rst")  # replay twin
+        n_extra = extra.count()
+        assert s2["appended_docs"] == 2 * n_extra  # inflated
+        assert dedup.compact_prefix_index(spark, "t_rst") > 0
+        idx = {i["name"]: i for i in
+               list_indexes(spark, prefix="t_rst")}
+        h = idx["t_rst"]["health"]
+        assert int(idx["t_rst"]["params"]["appended_docs"]) == n_extra
+        assert h["df_drift"] == pytest.approx(n_extra / corpus.count())
+    finally:
+        _drop(spark, *[f"t_rst{s}" for s in PFX_TABLES])
