@@ -39,4 +39,4 @@ __all__ = [
     "Selector",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.9.0"

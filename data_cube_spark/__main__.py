@@ -99,5 +99,21 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def cli() -> int:
+    """Console-script entry point (``data-cube-spark``, pyproject
+    ``[project.scripts]``): :func:`main` plus Unix pipe manners — a
+    downstream ``| head`` closing the pipe exits 0 instead of a
+    BrokenPipeError traceback. Kept separate so in-process callers of
+    ``main`` still see every exception."""
+    try:
+        return main()
+    except BrokenPipeError:
+        # stdout is gone; suppress the interpreter's close-time whinge
+        import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        return 0
+
+
 if __name__ == "__main__":
     sys.exit(main())

@@ -191,8 +191,14 @@ def compact_all(spark, prefix: str | None = None) -> dict:
     health flags a rebuild (prefix df-order drift past
     ``PREFIX_DF_DRIFT_BOUND``) or retrain (IVF cell skew past
     ``IVF_SKEW_BOUND``), making the nightly sweep the drift monitor
-    the append docstrings promise. Incomplete indexes are skipped —
-    compacting a partial index would bless a broken state."""
+    the append docstrings promise. Health is recomputed from the
+    POST-compaction metadata (compaction re-stamps the counters when it
+    removes duplicate rows), so the warnings reflect the state the
+    sweep leaves behind, not the one it found. Incomplete indexes are
+    skipped — compacting a partial index would bless a broken state —
+    and a per-index consistency failure (``check_member_sync``) is
+    surfaced as a warning and skipped rather than aborting the sweep,
+    so one half-appended index never leaves the rest uncompacted."""
     from data_cube_spark.operators import similarity
     from data_cube_spark.operators.dedup import (
         compact_fingerprint_index,
@@ -207,13 +213,32 @@ def compact_all(spark, prefix: str | None = None) -> dict:
         "embedding": similarity.compact_embedding_index,
         "ivf": similarity.compact_ivf_index,
     }
+    from data_cube_spark.operators.dedup import _index_meta
+
     removed: dict[str, int] = {}
     warns: list[str] = []
     for idx in list_indexes(spark, prefix):
         if not idx["compactable"] or not idx["complete"]:
             continue
-        removed[idx["name"]] = dispatch[idx["kind"]](spark, idx["name"])
-        h = idx["health"]
+        try:
+            removed[idx["name"]] = dispatch[idx["kind"]](spark, idx["name"])
+        except ValueError as exc:
+            # One half-appended index (member-sync violation) must not
+            # abort the fleet sweep — surface it and keep compacting
+            # the rest, so the nightly job still monitors every index.
+            warns.append(
+                f"{idx['name']} ({idx['kind']}): compaction skipped — "
+                f"{exc}")
+            continue
+        # Health is re-evaluated from FRESH metadata: compact_prefix_/
+        # compact_ivf_index re-stamp the drift/skew counters when
+        # removing duplicate-inflated rows, so the pre-sweep snapshot in
+        # idx['health'] may demand a rebuild the compaction just
+        # resolved (or miss a skew that only crossed the bound after
+        # dedup).
+        spec = INDEX_KINDS[idx["kind"]]
+        h = _health(idx["kind"],
+                    _index_meta(spark, idx["name"] + spec["suffixes"][0]))
         if h.get("needs_rebuild"):
             warns.append(
                 f"{idx['name']} ({idx['kind']}): frozen shingle-order drift "

@@ -306,9 +306,19 @@ def decode_image_bytes(b: bytes, hooks: dict | None = None):
     if hooks and fmt in hooks:
         import numpy as np
 
-        arr = np.asarray(hooks[fmt](b), dtype=np.uint8)
-        if arr.ndim == 2:  # grayscale decoders: normalize to HxWx1
-            arr = arr[:, :, None]
+        # External decoders raise their own exception types (PIL:
+        # OSError/UnidentifiedImageError on truncated JPEGs,
+        # struct.error on malformed headers). The decode stages only
+        # classify ValueError into fail-soft rows, so anything else
+        # escaping here would kill the whole Spark task — normalize.
+        try:
+            arr = np.asarray(hooks[fmt](b), dtype=np.uint8)
+            if arr.ndim == 2:  # grayscale decoders: normalize to HxWx1
+                arr = arr[:, :, None]
+        except ValueError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — fail-soft contract
+            raise ValueError(f"error:{fmt}:{type(exc).__name__}") from exc
         return arr, fmt
     raise ValueError(f"unsupported:{fmt}")
 
@@ -365,7 +375,8 @@ def decode_image(media: DataFrame, *, fake: bool = False,
                     hh.append(h); ww.append(w); cc.append(c); ok.append(fmt)
                 except ValueError as e:
                     hh.append(None); ww.append(None); cc.append(None)
-                    ok.append(str(e) if str(e).startswith("unsupported")
+                    ok.append(str(e)
+                              if str(e).startswith(("unsupported", "error:"))
                               else f"error:{e}")
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],

@@ -916,14 +916,28 @@ def near_pairs(
     at that size the caller must pick ``max_degree`` (recommended — it
     bounds the stream in-kernel), set a ``max_pairs`` budget, or opt out
     explicitly with ``uncapped=True`` (accepting the quadratic edge
-    set)."""
+    set). When ``corpus_rows`` is omitted on such an uncapped,
+    unbudgeted call, the corpus is counted first (one cheap job) so the
+    unknown-size case cannot bypass the gate; the count feeds ONLY the
+    gate — tier dispatch still treats the size as unknown (bucketed
+    tier), so plans are unchanged."""
     from data_cube_spark.model import BROADCAST_MAX_ROWS
 
-    if (corpus_rows is not None and corpus_rows > UNCAPPED_PAIRS_GATE_ROWS
+    gate_rows = corpus_rows
+    if (gate_rows is None and max_degree is None and max_pairs is None
+            and not uncapped):
+        # The unknown-size case is exactly the one the Θ(n²) gate most
+        # needs to cover (ADVICE r9): a caller who omits corpus_rows
+        # must not silently bypass it. One cheap count() before a
+        # potentially quadratic build is the right trade; the count is
+        # used ONLY for the gate, never for tier dispatch, so passing
+        # corpus_rows=None keeps selecting the bucketed tier as before.
+        gate_rows = df.count()
+    if (gate_rows is not None and gate_rows > UNCAPPED_PAIRS_GATE_ROWS
             and max_degree is None and max_pairs is None and not uncapped):
-        plan = near_pairs_plan(corpus_rows, dim=dim, threshold=threshold)
+        plan = near_pairs_plan(gate_rows, dim=dim, threshold=threshold)
         raise ValueError(
-            f"near_pairs over {corpus_rows:,} rows without max_degree or "
+            f"near_pairs over {gate_rows:,} rows without max_degree or "
             f"max_pairs: at threshold {threshold}/dim {dim} the "
             f"fixed-threshold pair graph is Θ(n²) "
             f"(~{plan['est_random_pairs']:,} estimated random pairs "

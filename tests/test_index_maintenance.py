@@ -336,6 +336,76 @@ def test_compact_ivf_restamps_skew(spark, tables, tmp_path):
         _drop(spark, "t_rsk_cells", "t_rsk_centroids")
 
 
+def test_compact_all_warns_from_post_compaction_health(
+        spark, tables, tmp_path):
+    """ADVICE r9: compact_all must evaluate health AFTER the sweep, not
+    from the pre-compaction snapshot. A replayed append inflates
+    df_drift past the bound; the compaction restamps it below the bound
+    — so the sweep that resolved the drift must NOT still demand a
+    rebuild from the stale counters."""
+    import warnings as _w
+
+    docs = tables["documents"].limit(40)
+    corpus = docs.where(F.col("doc_id") % 3 > 0)       # ~2/3 base
+    extra = docs.where(F.col("doc_id") % 3 == 0).limit(8)
+    try:
+        dedup.write_prefix_index(corpus, "t_pch", n_buckets=4,
+                                 threshold=0.5, path=str(tmp_path / "h"))
+        dedup.append_prefix_index(extra, "t_pch")
+        s2 = dedup.append_prefix_index(extra, "t_pch")  # replay twin
+        base = corpus.count()
+        single_drift = extra.count() / base
+        assert single_drift < dedup.PREFIX_DF_DRIFT_BOUND  # post-compact ok
+        assert s2["df_drift"] > dedup.PREFIX_DF_DRIFT_BOUND  # pre-sweep bad
+        # pre-sweep snapshot demands a rebuild...
+        idx = {i["name"]: i for i in list_indexes(spark, prefix="t_pch")}
+        assert idx["t_pch"]["health"]["needs_rebuild"]
+        # ...but the sweep removes the duplicates, restamps, and the
+        # warning is judged on the state it LEAVES BEHIND: silence.
+        with _w.catch_warnings():
+            _w.simplefilter("error")  # any UserWarning -> test failure
+            sweep = compact_all(spark, prefix="t_pch")
+        assert sweep["removed"]["t_pch"] > 0
+        assert sweep["warnings"] == []
+        idx = {i["name"]: i for i in list_indexes(spark, prefix="t_pch")}
+        assert not idx["t_pch"]["health"]["needs_rebuild"]
+    finally:
+        _drop(spark, *[f"t_pch{s}" for s in PFX_TABLES])
+
+
+def test_compact_all_continues_past_member_sync_failure(
+        spark, tables, tmp_path):
+    """ADVICE r9: one half-appended index must not abort the fleet
+    sweep — its consistency ValueError becomes a warning and the
+    remaining indexes still compact."""
+    docs = tables["documents"].limit(40)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    try:
+        dedup.write_prefix_index(corpus, "t_ca1", n_buckets=2,
+                                 threshold=0.5, path=str(tmp_path / "1"))
+        dedup.write_prefix_index(corpus, "t_ca2", n_buckets=2,
+                                 threshold=0.5, path=str(tmp_path / "2"))
+        # replay an append on the healthy index so the sweep has real
+        # duplicate rows to remove there
+        extra = docs.where(F.col("doc_id") % 2 == 1).limit(6)
+        dedup.append_prefix_index(extra, "t_ca2")
+        dedup.append_prefix_index(extra, "t_ca2")
+        # break member sync on t_ca1 (sets row without postings)
+        spark.sql("INSERT INTO t_ca1_sets "
+                  "SELECT corpus_id + 1000000 AS corpus_id, _set "
+                  "FROM t_ca1_sets LIMIT 1")
+        sweep = compact_all(spark, prefix="t_ca")
+        # broken index: skipped with the diagnostic surfaced
+        assert "t_ca1" not in sweep["removed"]
+        assert any("t_ca1" in w and "skipped" in w and "out of sync" in w
+                   for w in sweep["warnings"])
+        # healthy index: still swept
+        assert sweep["removed"]["t_ca2"] > 0
+    finally:
+        _drop(spark, *[f"t_ca1{s}" for s in PFX_TABLES],
+              *[f"t_ca2{s}" for s in PFX_TABLES])
+
+
 def test_compact_prefix_restamps_appended_docs(spark, tables, tmp_path):
     """A replayed append inflates appended_docs with duplicates; the
     compaction re-stamps it from ground truth (distinct _sets ids -

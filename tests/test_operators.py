@@ -1930,6 +1930,50 @@ def test_image_codec_hook_registry(spark, tables):
         multimodal.unregister_image_codec("jpeg")
 
 
+def test_codec_hook_failures_fail_soft(spark, tables):
+    """ADVICE r9: external decoders raise their own exception types
+    (PIL: OSError/UnidentifiedImageError, struct.error on malformed
+    headers) — a bad payload must classify as an error ROW, never kill
+    the Spark task. The hook invocation is normalized to ValueError so
+    the decode/resize stages keep their fail-soft contract."""
+    import numpy as np
+
+    def bad_dec(b):
+        raise OSError("truncated jpeg stream")
+
+    payload = b"\xff\xd8\xff" + b"\x00" * 8  # sniffs as jpeg
+    docs = tables["documents"].limit(4)
+    media = multimodal.as_media_table(
+        spark.createDataFrame(
+            [(int(r["doc_id"]), payload) for r in docs.collect()],
+            "doc_id long, p binary"),
+        "doc_id", "p")
+    try:
+        multimodal.register_image_codec("jpeg", bad_dec)
+        # direct call: normalized to ValueError carrying the error class
+        with pytest.raises(ValueError, match="error:jpeg:OSError"):
+            multimodal.decode_image_bytes(payload,
+                                          multimodal.IMAGE_CODEC_HOOKS)
+        # distributed decode: one error row per payload, batch survives,
+        # and the message is not double-prefixed
+        rows = multimodal.decode_image(media).collect()
+        assert len(rows) == 4
+        assert all(r["decode_ok"] == "error:jpeg:OSError"
+                   and r["height"] is None for r in rows)
+        # resize: fail-soft null payload rows, batch survives
+        rz = multimodal.resize_image(media, target=(4, 4)).collect()
+        assert len(rz) == 4
+        assert all(r["payload"] is None for r in rz)
+        # a hook returning a malformed payload (asarray/ndim path) is
+        # also fail-soft: numpy's own ValueError classifies as an error
+        # row, a non-ValueError (e.g. TypeError) is normalized
+        multimodal.register_image_codec("jpeg", lambda b: "not-an-image")
+        rows = multimodal.decode_image(media).collect()
+        assert all(r["decode_ok"].startswith("error:") for r in rows)
+    finally:
+        multimodal.unregister_image_codec("jpeg")
+
+
 def test_near_pairs_uncapped_gate(spark, tables):
     """VERDICT r8 #7: above UNCAPPED_PAIRS_GATE_ROWS a pair-graph build
     must pick a degree cap or a stream budget, or opt out explicitly —
@@ -1955,3 +1999,22 @@ def test_near_pairs_uncapped_gate(spark, tables):
     # below the gate: uncapped stays allowed (the registry contract)
     assert similarity.near_pairs(
         emb, threshold=0.35, corpus_rows=40).count() >= 0
+
+
+def test_near_pairs_gate_counts_unknown_corpus(spark, tables, monkeypatch):
+    """ADVICE r9: omitting corpus_rows must not bypass the uncapped-pair
+    gate — the unknown-size case is the one the Θ(n²) guard most needs
+    to cover. The gate now counts the corpus (one cheap job) before an
+    uncapped, unbudgeted build; the count feeds only the gate, so tier
+    dispatch is unchanged (bucketed when size is unknown)."""
+    emb = tables["embeddings"].limit(40)
+    monkeypatch.setattr(similarity, "UNCAPPED_PAIRS_GATE_ROWS", 10)
+    with pytest.raises(ValueError, match="uncapped=True"):
+        similarity.near_pairs(emb, threshold=0.35)
+    # each remedy still unlocks the unknown-size call (no count needed)
+    assert similarity.near_pairs(
+        emb, threshold=0.35, max_degree=4,
+        n_planes=4, n_tables=8).count() >= 0
+    assert similarity.near_pairs(
+        emb, threshold=0.35, uncapped=True,
+        n_planes=4, n_tables=8).count() >= 0

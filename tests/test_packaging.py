@@ -1,0 +1,61 @@
+"""VERDICT r9 #1: the engine is an installable package. These tests pin
+the pyproject contract — metadata parses, the console entry point
+resolves to the CLI, and (when the package has been `pip install -e .`-d,
+as in this sandbox) the installed distribution agrees with the source
+tree on version and entry point."""
+
+import importlib
+import tomllib
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _pyproject() -> dict:
+    return tomllib.loads((ROOT / "pyproject.toml").read_text())
+
+
+def test_pyproject_metadata_parses():
+    meta = _pyproject()
+    proj = meta["project"]
+    assert proj["name"] == "data-cube-spark"
+    assert any(d.startswith("pyspark>=4") for d in proj["dependencies"])
+    # version single-sourced check: pyproject == package __version__
+    pkg = importlib.import_module("data_cube_spark")
+    assert proj["version"] == pkg.__version__
+
+
+def test_console_entry_point_resolves_and_runs(capsys):
+    """The [project.scripts] target must import and behave like the CLI:
+    `data-cube-spark list` == `python -m data_cube_spark list`."""
+    meta = _pyproject()
+    target = meta["project"]["scripts"]["data-cube-spark"]
+    modname, funcname = target.split(":")
+    func = getattr(importlib.import_module(modname), funcname)
+    import sys
+
+    argv_backup = sys.argv
+    try:
+        sys.argv = ["data-cube-spark", "list"]
+        assert func() == 0
+    finally:
+        sys.argv = argv_backup
+    out = capsys.readouterr().out
+    assert "flagship_revenue_by_region  [oracle]" in out
+
+
+def test_installed_distribution_if_present():
+    """When the sandbox has run `pip install -e . --no-build-isolation`
+    (the documented offline install), the installed metadata must match
+    the tree. Skips cleanly on a source-only checkout."""
+    from importlib import metadata
+
+    try:
+        dist = metadata.distribution("data-cube-spark")
+    except metadata.PackageNotFoundError:
+        pytest.skip("package not installed in this environment")
+    assert dist.version == _pyproject()["project"]["version"]
+    eps = [e for e in dist.entry_points if e.name == "data-cube-spark"]
+    assert eps and eps[0].value == "data_cube_spark.__main__:cli"
