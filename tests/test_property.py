@@ -567,3 +567,218 @@ def test_append_prefix_index_exact_for_any_corpus(
     finally:
         for s in ("_prefix", "_df", "_sets"):
             spark.sql(f"DROP TABLE IF EXISTS {tag}{s}")
+
+
+# -- append == rebuild for the OTHER appendable index kinds (VERDICT r9 #2) --
+#
+# The prefix property above is the strongest correctness pattern in the
+# suite (it caught the frozen-parameter drift class before any driver
+# window could). These extend it to every other appendable index:
+# minhash and embedding appends are exactly rebuild-equivalent (all
+# hashing/geometry is deterministic and frozen in the stamp), so the
+# indexed read after append must equal BOTH a full rebuild and the
+# inline operator; IVF appends keep centroids frozen by design (a
+# rebuild retrains), so its bar is stronger than rebuild-equality:
+# probe-ALL serving over the appended index must equal exact
+# brute-force cosine top-k over the grown corpus.
+
+_MHX_SEQ = [0]
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    corpus_texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=10)
+        .map(" ".join),
+        min_size=1, max_size=8),
+    extra_texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=10)
+        .map(" ".join),
+        min_size=1, max_size=8),
+    batch_texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=10)
+        .map(" ".join),
+        min_size=1, max_size=8),
+    threshold=st.sampled_from([0.3, 0.6]),
+)
+def test_append_minhash_index_exact_for_any_corpus(
+        spark, corpus_texts, extra_texts, batch_texts, threshold):
+    """For ANY corpus / appended batch / query batch (short docs with no
+    shingles included), reading an APPENDED minhash index equals a full
+    rebuild over the grown corpus AND the inline operator — signatures
+    are deterministic affine hashes, so append==rebuild is bit-for-bit,
+    and the member tables stay in sync."""
+    from data_cube_spark.operators import dedup
+
+    mh = dict(num_hashes=16, bands=4, k=3)
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)],
+        "doc_id long, text string")
+    extra = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(extra_texts)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(2000 + i, t) for i, t in enumerate(batch_texts)],
+        "doc_id long, text string")
+    grown = corpus.unionByName(extra)
+    _MHX_SEQ[0] += 1
+    tag = f"t_mhp_{_MHX_SEQ[0]}"
+    try:
+        dedup.write_minhash_index(corpus, tag, n_buckets=2, **mh)
+        dedup.append_to_minhash_index(extra, tag, **mh)
+        got = sorted(map(tuple, dedup.incremental_minhash_pairs_indexed(
+            batch, tag, threshold=threshold, **mh).collect()))
+        dedup.write_minhash_index(grown, f"{tag}_rb", n_buckets=2, **mh)
+        rebuilt = sorted(map(tuple, dedup.incremental_minhash_pairs_indexed(
+            batch, f"{tag}_rb", threshold=threshold, **mh).collect()))
+        inline = sorted(map(tuple, dedup.incremental_minhash_pairs(
+            batch, dedup.minhash_signatures(
+                grown, num_hashes=mh["num_hashes"], k=mh["k"]),
+            threshold=threshold, num_hashes=mh["num_hashes"],
+            bands=mh["bands"], k=mh["k"]).collect()))
+        assert got == rebuilt == inline
+        dedup.check_member_sync(spark, f"{tag}_sig", f"{tag}_bands")
+        assert dedup.compact_minhash_index(spark, tag) == 0  # no dups
+    finally:
+        for t in (tag, f"{tag}_rb"):
+            for s in ("_sig", "_bands"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+
+
+def _vec_lists(min_size, max_size, id_base):
+    """Distinct-id dim-4 integer vectors; all-zero vectors filtered (no
+    zero-norm guard in with_norm — cosine is undefined there)."""
+    return st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3),
+                 min_size=4, max_size=4).filter(lambda v: any(v)),
+        min_size=min_size, max_size=max_size,
+    ).map(lambda vs: [(id_base + i, [float(x) for x in v])
+                      for i, v in enumerate(vs)])
+
+
+_EBX_SEQ = [0]
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    corpus_vecs=_vec_lists(1, 10, 0),
+    extra_vecs=_vec_lists(1, 10, 1000),
+    batch_vecs=_vec_lists(1, 6, 2000),
+    threshold=st.sampled_from([0.0, 0.5]),
+)
+def test_append_embedding_index_equals_rebuild_any_corpus(
+        spark, corpus_vecs, extra_vecs, batch_vecs, threshold):
+    """For ANY vector corpus / appended batch / query batch, reading an
+    APPENDED embedding index equals a full rebuild over the grown corpus
+    at the same (frozen, stamped) geometry — the seeded hyperplanes make
+    bucketing deterministic, so the pair set and cosines agree — and the
+    member tables stay in sync (compaction removes nothing)."""
+    from data_cube_spark.operators import similarity
+
+    geo = dict(n_planes=3, n_tables=4, dim=4)
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(corpus_vecs, schema)
+    extra = spark.createDataFrame(extra_vecs, schema)
+    batch = spark.createDataFrame(batch_vecs, schema)
+    _EBX_SEQ[0] += 1
+    tag = f"t_ebp_{_EBX_SEQ[0]}"
+    try:
+        similarity.write_embedding_index(corpus, tag, n_buckets=2,
+                                         recall_floor=None, **geo)
+        similarity.append_to_embedding_index(extra, tag)
+        got = sorted(
+            (r["batch_id"], r["corpus_id"], round(r["cosine"], 9))
+            for r in similarity.incremental_embedding_pairs_indexed(
+                batch, tag, threshold).collect())
+        similarity.write_embedding_index(
+            corpus.unionByName(extra), f"{tag}_rb", n_buckets=2,
+            recall_floor=None, **geo)
+        rebuilt = sorted(
+            (r["batch_id"], r["corpus_id"], round(r["cosine"], 9))
+            for r in similarity.incremental_embedding_pairs_indexed(
+                batch, f"{tag}_rb", threshold).collect())
+        assert got == rebuilt
+        assert similarity.compact_embedding_index(spark, tag) == 0
+    finally:
+        for t in (tag, f"{tag}_rb"):
+            for s in ("_buckets", "_vec"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+
+
+_IVX_SEQ = [0]
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    corpus_vecs=_vec_lists(2, 8, 0),
+    extra_vecs=_vec_lists(1, 8, 1000),
+    query_vecs=_vec_lists(1, 3, 2000),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_append_ivf_index_probe_all_is_exact(
+        spark, corpus_vecs, extra_vecs, query_vecs, k):
+    """IVF's append bar is STRONGER than rebuild-equality (a rebuild
+    retrains centroids by design): after appending to frozen centroids,
+    probe-ALL serving must equal exact brute-force cosine top-k over the
+    grown corpus — cell assignment can drift recall at small n_probe,
+    never coverage. Near-ties at the k boundary are assumed away (tier
+    float paths differ in the last ulp, documented in
+    ann_ivf_topk_indexed); a deterministic per-row jitter keeps them
+    rare."""
+    import numpy as np
+    from hypothesis import assume
+
+    from data_cube_spark.operators import similarity
+
+    # index-dependent jitter breaks exact collinearity between rows
+    # (duplicate directions would tie at cosine 1.0)
+    def jitter(rows):
+        return [(i, [v[0] + (i % 97) * 1e-3] + v[1:]) for i, v in rows]
+
+    corpus_vecs, extra_vecs, query_vecs = (
+        jitter(corpus_vecs), jitter(extra_vecs), jitter(query_vecs))
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(corpus_vecs, schema)
+    extra = spark.createDataFrame(extra_vecs, schema)
+    queries = spark.createDataFrame(query_vecs, schema)
+
+    grown = corpus_vecs + extra_vecs
+    ids = np.array([i for i, _ in grown])
+    M = np.array([v for _, v in grown], dtype="float64")
+    M /= np.sqrt((M * M).sum(axis=1))[:, None]
+    oracle = {}
+    for qid, qv in query_vecs:
+        qn = np.array(qv) / np.linalg.norm(qv)
+        cos = M @ qn
+        order = np.lexsort((ids, -cos))
+        top = [(int(ids[j]), float(cos[j])) for j in order[: k + 1]]
+        # tie-free at every boundary the assertion depends on
+        assume(all(a[1] - b[1] > 1e-6 for a, b in zip(top, top[1:])))
+        oracle[qid] = top[:k]
+
+    _IVX_SEQ[0] += 1
+    tag = f"t_ivp_{_IVX_SEQ[0]}"
+    try:
+        similarity.write_ivf_index(corpus, tag, n_cells=3, n_buckets=2)
+        similarity.append_to_ivf_index(extra, tag)
+        got: dict = {}
+        for r in similarity.ann_ivf_topk_indexed(
+                queries, tag, k=k, n_probe=64).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["match_id"], r["cosine"]))
+        assert set(got) == set(oracle)
+        for qid, want in oracle.items():
+            have = sorted(got[qid])
+            assert [(m, r) for r, m, _ in have] == \
+                [(m, r + 1) for r, (m, _) in enumerate(want)]
+            for (_, _, c), (_, wc) in zip(have, want):
+                assert c == pytest.approx(wc, abs=1e-9)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tag}_cells")
+        spark.sql(f"DROP TABLE IF EXISTS {tag}_centroids")
