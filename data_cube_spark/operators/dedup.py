@@ -476,16 +476,78 @@ def incremental_dedup_keep(
 
 _INDEX_PROP_PREFIX = "spark_graft.index."
 
+#: Persisted-index layout version (VERDICT r9 #3), stamped as
+#: ``spark_graft.index.format_version`` on every ``write_*`` (appends
+#: inherit the write's stamp; counter re-stamps preserve it). Readers,
+#: appenders and compactors REFUSE a version NEWER than this library
+#: knows — the parameter checks at ``_require_index_meta`` cover
+#: mismatched knobs, this covers schema evolution: a future layout
+#: change bumps the constant so today's binaries fail loudly instead of
+#: misreading tomorrow's tables. An ABSENT stamp means the index
+#: predates versioning (implicitly version 0) and stays readable.
+INDEX_FORMAT_VERSION = 1
+
+
+def _check_format_version(table: str, stored: dict) -> None:
+    """Refuse an index stamped with a format newer than this library
+    (reading it could silently misinterpret the layout). Pre-versioning
+    indexes (no stamp) pass — older layouts are still understood."""
+    raw = stored.get("format_version")
+    if raw is None:
+        return
+    try:
+        ver = int(raw)
+    except ValueError:
+        ver = None
+    if ver is None or ver > INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"{table} is stamped format_version={raw!r} but this "
+            f"library understands <= {INDEX_FORMAT_VERSION} — it was "
+            f"written by a newer (or corrupted) version and reading it "
+            f"here could silently misinterpret the layout. Upgrade the "
+            f"library, or rebuild the index with this version's "
+            f"write_* helper."
+        )
+
 
 def _set_index_meta(spark, table: str, params: dict) -> None:
     """Record the parameters an index was built with as table properties
     — the read/append paths validate against them (ADVICE r5: a caller
     passing different k/hashes/bands than the writer would silently lose
     recall or corrupt the index; the preconditions live in the CATALOG,
-    not just in docstrings)."""
+    not just in docstrings). Every stamp carries
+    :data:`INDEX_FORMAT_VERSION` (preserved on re-stamps that already
+    have one, e.g. counter updates on appended indexes)."""
+    params = {"format_version": INDEX_FORMAT_VERSION, **params}
     kv = ", ".join(f"'{_INDEX_PROP_PREFIX}{k}'='{v}'"
                    for k, v in params.items())
     spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+
+
+def _bump_epoch(spark, *tables: str) -> int:
+    """Advance the ``maintenance_epoch`` fence on each member table an
+    append just touched (VERDICT r9 #5). The maintenance contract is
+    SINGLE-WRITER: one append or compaction at a time per index. The
+    epoch makes the most dangerous violation detectable —
+    ``_compact_index_table`` snapshots the epoch, materializes the
+    distinct rows, then re-reads the epoch and REFUSES to overwrite if
+    an append interleaved (the appended rows would not be in the
+    materialized snapshot, so overwriting would silently drop them).
+    Absent stamps read as epoch 0 (pre-fence indexes stay appendable).
+    Returns the new epoch."""
+    new = 0
+    for t in tables:
+        cur = int(_index_meta(spark, t).get("maintenance_epoch", 0))
+        new = cur + 1
+        _set_index_meta(spark, t, {"maintenance_epoch": new})
+    return new
+
+
+def _read_epoch(stored: dict) -> int:
+    try:
+        return int(stored.get("maintenance_epoch", 0))
+    except ValueError:
+        return 0
 
 
 def _index_meta(spark, table: str) -> dict:
@@ -505,6 +567,7 @@ def _require_index_meta(spark, table: str, expect: dict) -> dict:
             f"not written by write_*_index (or written by a pre-metadata "
             f"version). Rewrite the index to stamp its parameters."
         )
+    _check_format_version(table, stored)
     bad = {k: (str(v), stored.get(k)) for k, v in expect.items()
            if stored.get(k) != str(v)}
     if bad:
@@ -535,14 +598,35 @@ def _compact_index_table(spark, table: str, keys: list[str]) -> int:
     bucketing, location and metadata properties. Returns rows removed.
     The staged-materialize-then-overwrite shape: the distinct rows are
     eagerly localCheckpointed first, so the rewrite never reads the
-    table it is overwriting."""
+    table it is overwriting.
+
+    Concurrency contract (VERDICT r9 #5): maintenance is SINGLE-WRITER
+    per index — the ``maintenance_epoch`` stamped by every append is
+    the fence that makes a violation loud instead of lossy. The epoch
+    is snapshotted with the metadata, the distinct rows are
+    materialized, and the epoch is re-read BEFORE the overwrite: if an
+    append interleaved, its rows are not in the materialized snapshot
+    and overwriting would silently drop them — so this raises with the
+    retry remedy and leaves the table untouched."""
     from data_cube_spark.sources.ingest import write_bucketed
 
     stored = _index_meta(spark, table)
+    _check_format_version(table, stored)
+    epoch0 = _read_epoch(stored)
     n_buckets = int(stored["n_buckets"])
     loc, external = _table_layout(spark, table)
     before = spark.table(table).count()
     distinct = spark.table(table).dropDuplicates().localCheckpoint()
+    epoch1 = _read_epoch(_index_meta(spark, table))
+    if epoch1 != epoch0:
+        raise ValueError(
+            f"maintenance_epoch on {table} advanced {epoch0} -> {epoch1} "
+            f"while compaction was materializing — an append interleaved "
+            f"with the sweep (the maintenance contract is single-writer "
+            f"per index), and overwriting now would silently drop the "
+            f"appended rows. Nothing was modified; retry the compaction "
+            f"after the appender finishes."
+        )
     write_bucketed(distinct, table, keys, n_buckets,
                    path=loc if external else None)
     _set_index_meta(spark, table, stored)
@@ -646,6 +730,7 @@ def append_to_fingerprint_index(
     target_cols = spark.table(f"{table}_fp").columns
     (new_docs.select(h.alias("content_hash")).dropDuplicates()
      .select(*target_cols).write.insertInto(f"{table}_fp"))
+    _bump_epoch(spark, f"{table}_fp")
 
 
 def dedup_exact_indexed(
@@ -945,6 +1030,7 @@ def append_prefix_index(
         int(stored.get("appended_postings", 0)) + int(agg["_postings"]))
     updated["unseen_postings"] = (
         int(stored.get("unseen_postings", 0)) + int(agg["_unseen"] or 0))
+    updated["maintenance_epoch"] = _read_epoch(stored) + 1  # compact fence
     for member in ("prefix", "df", "sets"):
         _set_index_meta(spark, f"{table}_{member}", updated)
     drift = prefix_df_drift(updated)
@@ -1155,6 +1241,7 @@ def append_to_minhash_index(
      .select(F.col(id_col).alias("corpus_id"), "band_id", "band_hash")
      .select(*spark.table(f"{table}_bands").columns)
      .write.insertInto(f"{table}_bands"))
+    _bump_epoch(spark, f"{table}_sig", f"{table}_bands")
 
 
 def incremental_minhash_pairs_indexed(

@@ -48,6 +48,17 @@ ivf          yes     yes      compact + RETRAIN
                               correctness)
 ===========  ======  =======  ==================================
 
+Concurrency contract (VERDICT r9 #5): maintenance is SINGLE-WRITER per
+index — run one append or compaction at a time (the nightly sweep and
+the ingest appender must not overlap on the same index). The contract
+is FENCED, not merely assumed: every append advances a stamped
+``maintenance_epoch``, and every compaction snapshots it, materializes
+the deduplicated rows, then re-checks the epoch before overwriting —
+an interleaved append makes the compaction fail loudly (retry remedy
+in the message) instead of silently dropping the appended rows.
+Readers are unaffected: reads never take part in the fence and are
+safe concurrent with appends (appends are insert-only).
+
 Greenfield vs the reference (SURVEY §2.10): data.cube persists no
 indexes; this is the operational half of the north-star dedup/ANN
 surface.
@@ -101,7 +112,20 @@ def _health(kind: str, params: dict) -> dict:
         ivf_cell_skew,
     )
 
+    from data_cube_spark.operators.dedup import INDEX_FORMAT_VERSION
+
     h: dict = {"needs_rebuild": False, "needs_retrain": False}
+    # format version rides along on every kind (VERDICT r9 #3): None =
+    # pre-versioning index (still readable); too_new = written by a
+    # NEWER library — read/append/compact paths refuse it, and the
+    # listing surfaces the refusal reason instead of hiding the index
+    try:
+        h["format_version"] = int(params["format_version"])
+    except (KeyError, ValueError):
+        h["format_version"] = None
+    h["format_too_new"] = bool(
+        h["format_version"] is not None
+        and h["format_version"] > INDEX_FORMAT_VERSION)
     if kind == "prefix":
         drift = prefix_df_drift(params)
         h["df_drift"] = drift

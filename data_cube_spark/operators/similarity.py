@@ -1334,6 +1334,9 @@ def append_to_embedding_index(
     (v.select(F.col(id_col).alias("corpus_id"), "_vec", "_norm")
      .select(*spark.table(f"{table}_vec").columns)
      .write.insertInto(f"{table}_vec"))
+    from data_cube_spark.operators.dedup import _bump_epoch
+
+    _bump_epoch(spark, f"{table}_buckets", f"{table}_vec")
 
 
 def compact_embedding_index(spark, table: str) -> int:
@@ -1935,8 +1938,11 @@ def append_to_ivf_index(
     (cells.select(*spark.table(f"{table}_cells").columns)
      .write.insertInto(f"{table}_cells"))
     skew = round(_cell_occupancy_skew(spark, table), 4)
+    from data_cube_spark.operators.dedup import _read_epoch
+
     updated = dict(stored)
     updated["cell_skew"] = skew
+    updated["maintenance_epoch"] = _read_epoch(stored) + 1  # compact fence
     _set_index_meta(spark, f"{table}_cells", updated)
     _set_index_meta(spark, f"{table}_centroids", updated)
     return {"cell_skew": skew,
