@@ -1044,6 +1044,11 @@ ORACLE: dict[str, str] = {
         FROM documents WHERE doc_id % 10 = 0
       ) t
     """,
+    "prefix_stream_ingest": """
+      SELECT doc_id, md5(text) AS text_hash, TRUE AS stream_eq_batch,
+             TRUE AS sets_eq_rebuild, TRUE AS consistency_ok
+      FROM documents WHERE doc_id % 2 = 1
+    """,
     "embedding_near_pairs_lsh": """
       WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

@@ -473,6 +473,113 @@ def q_dual_index_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_prefix_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous EXACT-Jaccard ingest against the persisted prefix
+    index (VERDICT r9 #4; streaming/cube_stream.py::
+    streaming_prefix_ingest — pytest-proven since r9, now carrying
+    driver evidence): odd-doc_id documents stream in two micro-batches;
+    each is prefix-filtered against the even-doc
+    :func:`...dedup.write_prefix_index` postings (corpus side read
+    bucketed on the shingle key, only the batch shuffles), docs with an
+    exact Jaccard >= 0.3 against the standing corpus are suppressed,
+    and survivors fold into the index under its FROZEN shingle order —
+    so batch 2 dedups against batch 1's survivors with zero recall loss
+    (the append==rebuild exactness property, test_property.py). Emitted
+    per odd doc: ``stream_eq_batch`` = the streamed keep/suppress
+    decision equals the SEQUENTIAL batch twin's (the same exact R x S
+    operator run inline, folding each wave's survivors into the corpus
+    before the next — exactness makes the equality deterministic);
+    ``sets_eq_rebuild`` = after the nightly ``compact_all`` sweep the
+    appended ``_sets`` member is row-equal to an index REBUILT from
+    corpus + survivors (the order-independent member; ``_prefix``
+    posting lengths legitimately differ under a re-frozen order);
+    ``consistency_ok`` = ``check_prefix_consistency`` sees exactly the
+    grown corpus. All flags TRUE by construction; the oracle asserts
+    them."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_cube_spark.operators.index_maintenance import compact_all
+    from data_cube_spark.streaming.cube_stream import (
+        streaming_prefix_ingest,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    odd = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    half = odd.approxQuantile("doc_id", [0.5], 0.01)[0]
+    wave1 = odd.where(F.col("doc_id") <= half)
+    wave2 = odd.where(F.col("doc_id") > half)
+    work = tempfile.mkdtemp(prefix="sg_pfxing_")
+    tag = os.path.basename(work).lower()
+    drops = [f"{tag}_{m}{s}" for m in ("p", "rp")
+             for s in ("_prefix", "_df", "_sets")]
+    try:
+        dedup.write_prefix_index(
+            corpus, f"{tag}_p", n_buckets=8, threshold=0.3,
+            path=os.path.join(work, "idx"))
+        src = os.path.join(work, "src")
+        wave1.coalesce(1).write.mode("overwrite").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes pin the file-per-trigger order
+        wave2.coalesce(1).write.mode("append").parquet(src)
+        q = streaming_prefix_ingest(
+            spark, src, wave1.schema, os.path.join(work, "ck"),
+            os.path.join(work, "target"), f"{tag}_p",
+            threshold=0.3, max_files_per_trigger=1).start()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("prefix_stream_ingest: stream did not "
+                               "finish within 300 s")
+        tgt = (spark.read.parquet(os.path.join(work, "target"))
+               .select("doc_id", "text").localCheckpoint())
+        streamed = tgt.select("doc_id", F.lit(True).alias("_streamed"))
+        # SEQUENTIAL batch twin: same waves through the inline exact
+        # R x S operator, survivors folded into the corpus between waves
+        cur = corpus
+        twin_parts = []
+        for wave in (wave1, wave2):
+            dup = (dedup.jaccard_pairs_prefix_rs(wave, cur, threshold=0.3)
+                   .select(F.col("batch_id").alias("doc_id"))
+                   .dropDuplicates())
+            sv = wave.join(dup, "doc_id", "left_anti").localCheckpoint()
+            twin_parts.append(sv)
+            cur = cur.unionByName(sv).localCheckpoint()
+        twin = twin_parts[0].unionByName(twin_parts[1]).select(
+            "doc_id", F.lit(True).alias("_twin"))
+        # nightly sweep, then the order-independent member must equal a
+        # rebuild's, and the member tables must cover the grown corpus
+        compact_all(spark, prefix=f"{tag}_p")
+        grown = corpus.unionByName(tgt).localCheckpoint()
+        dedup.write_prefix_index(
+            grown, f"{tag}_rp", n_buckets=8, threshold=0.3,
+            path=os.path.join(work, "ridx"))
+        sa, sb = spark.table(f"{tag}_p_sets"), spark.table(f"{tag}_rp_sets")
+        sets_eq = (sa.exceptAll(sb).count() == 0
+                   and sb.exceptAll(sa).count() == 0)
+        n_ok = (dedup.check_prefix_consistency(spark, f"{tag}_p")
+                == grown.count())
+        out = (
+            odd.join(streamed, "doc_id", "left")
+            .join(twin, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.md5(F.encode("text", "UTF-8")).alias("text_hash"),
+                (F.coalesce("_streamed", F.lit(False))
+                 == F.coalesce("_twin", F.lit(False)))
+                .alias("stream_eq_batch"),
+                F.lit(bool(sets_eq)).alias("sets_eq_rebuild"),
+                F.lit(bool(n_ok)).alias("consistency_ok"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        for t in drops:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful stream-stream interval join
     (streaming/stream_join.py::interval_attribution_join): purchases
