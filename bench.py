@@ -310,8 +310,15 @@ def main() -> None:
     # queries measured 7.6-24.8 s with the spread concentrated there —
     # a production serving pool is warmed the same way)
     def _warm_workers(batches):
-        import numpy  # noqa: F401
+        import numpy
 
+        # importing numpy forks the worker and loads the shared libs;
+        # the BLAS thread pool itself initializes lazily on the FIRST
+        # gemm call, which is where the residual sf1 single-draw spread
+        # of the Python-matmul queries concentrated (VERDICT r9 #6a) —
+        # so warm it with a real matmul, not just the import
+        a = numpy.ones((128, 128), dtype="float64")
+        (a @ a).sum()
         for b in batches:
             yield b
 
@@ -344,6 +351,15 @@ def main() -> None:
     total = 0.0
     bench_fns = {name: QUERIES[name] for name in BENCH_QUERIES}
     bench_fns.update(EXTRA_BENCH)
+    # targeted subset (the sf10 spot probe, VERDICT r9 #8): same harness,
+    # same ingest/warm-up phases, only the named queries timed
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {x.strip() for x in only.split(",") if x.strip()}
+        unknown = keep - set(bench_fns)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY: unknown {unknown}")
+        bench_fns = {k: v for k, v in bench_fns.items() if k in keep}
     for name, fn in bench_fns.items():
         t0 = time.perf_counter()
         try:

@@ -130,12 +130,22 @@ def _percentile_cuts(
     return ranked.groupBy(*by).agg(*aggs)
 
 
+#: rows above which ``equi_depth_bins(approx="auto")`` dispatches to
+#: t-digest ``percentile_approx`` cuts (VERDICT r9 #6b): the exact
+#: nearest-rank tier is a per-group rank window — with few groups that
+#: is a linear scan through one reducer per group, the measured 8.6x
+#: sf0.1->sf1 ratio — while the sketch tier is a mergeable map-side
+#: partial aggregate. Below the gate exactness is free; above it the
+#: exact tier is the bottleneck by construction, not by accident.
+EXACT_BINS_MAX_ROWS = 2_000_000
+
+
 def equi_depth_bins(
     df: DataFrame,
     value_col: str,
     n_bins: int,
     by: list[str] | None = None,
-    approx: bool = False,
+    approx: bool | str = "auto",
 ) -> DataFrame:
     """Equi-depth (quantile) binning: nearest-rank cuts at ``i/n_bins``
     within each group; a row's bin is the number of cuts strictly below
@@ -146,10 +156,21 @@ def equi_depth_bins(
     one-row-per-group cuts broadcast back, then a hash aggregate — no
     global sort, no single reducer (NTILE over an unpartitioned window
     would be one). The nearest-rank cuts are actual data values, so the
-    DuckDB oracle reproduces them bit-for-bit; at 100 TB swap the exact
-    rank for ``percentile_approx`` cuts with no interface change."""
+    DuckDB oracle reproduces them bit-for-bit.
+
+    ``approx`` is the cut-computation tier: ``False`` = exact
+    nearest-rank (oracle-reproducible, but the per-group rank window is
+    a linear scan — the at-scale bottleneck); ``True`` = t-digest
+    ``percentile_approx`` cuts (mergeable sketch, the 100 TB path;
+    accuracy bound asserted by the ``quantile_bins_approx_bound``
+    oracle); ``"auto"`` (default) counts the input once and picks exact
+    below :data:`EXACT_BINS_MAX_ROWS`, sketch above — so small/oracle
+    scales keep bit-exact cuts and large scales never pay the linear
+    rank scan."""
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
+    if approx == "auto":
+        approx = df.count() > EXACT_BINS_MAX_ROWS
     by = list(by or [])
     cuts = _percentile_cuts(
         df, value_col, by,

@@ -96,7 +96,8 @@ def q_quantile_bins_approx_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     li = t["lineitem"]
-    exact = equi_depth_bins(li, "l_extendedprice", 4, by=["l_returnflag"]) \
+    exact = equi_depth_bins(li, "l_extendedprice", 4, by=["l_returnflag"],
+                            approx=False) \
         .select("l_returnflag", "bin_id", F.col("n_rows").alias("_n_exact"))
     approx = equi_depth_bins(li, "l_extendedprice", 4, by=["l_returnflag"],
                              approx=True) \
@@ -128,7 +129,12 @@ def q_key_skew_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth quartile binning of l_extendedprice per return flag:
     nearest-rank cuts broadcast back, bin = #cuts strictly below the value
-    (operators/stats.py::equi_depth_bins) — no NTILE single-reducer sort."""
+    (operators/stats.py::equi_depth_bins) — no NTILE single-reducer sort.
+    Cuts are size-dispatched (VERDICT r9 #6b): exact nearest-rank below
+    EXACT_BINS_MAX_ROWS — every oracle-checked scale — t-digest sketch
+    cuts above it (sf1+ bench scales), so the linear rank scan never
+    becomes the at-scale bottleneck; the sketch tier's accuracy bound is
+    itself oracle-pinned by quantile_bins_approx_bound."""
     from data_cube_spark.operators.stats import equi_depth_bins
 
     t = load_tables(spark, sf_dir)

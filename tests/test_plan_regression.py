@@ -43,64 +43,62 @@ SKIP: dict[str, str] = {
         "test_write_range_layout_files_cover_disjoint_ranges"),
 }
 
+#: A scalar map-side partial aggregate — grouping keys EMPTY, partial
+#: functions — emits <= 1 row per input partition, so the single-
+#: partition exchange above it carries <= #partitions rows regardless
+#: of input size: the canonical output-bounded reduction.
+_SCALAR_REDUCE = (r"(HashAggregate|SortAggregate|ObjectHashAggregate)"
+                  r"\((keys|key)=\[\], functions=\[partial_")
+
 #: Queries whose final (or only) aggregate is a GLOBAL reduction to one
 #: row / a handful of rows — the single-partition exchange there carries
 #: bytes proportional to the OUTPUT, not the input, so it is the correct
-#: plan at any scale. Everything else must justify itself.
+#: plan at any scale. The VALUE pins what the exchange is allowed to sit
+#: above (VERDICT r9 #7): every ``Exchange SinglePartition`` in the plan
+#: must have an immediate child line matching the regex, and an
+#: allowlisted plan with NO such exchange fails as a stale entry — so
+#: the allowlist can neither bless a future unbounded exchange nor
+#: outlive the plan shape it was written for. (Entries that lost their
+#: exchange as implementations improved — quantile_bins, winsorize,
+#: percentile-keep, component convergence and friends — were removed in
+#: r10 and are now under the strict no-SinglePartition assertion.)
 SINGLE_PARTITION_OK = {
     # scalar totals / single-row aggregates
-    "grand_total",
-    "tpch_q6_forecast_revenue",
-    "funnel_conversion",         # 1-row conditional-count reduce, then inline
-    "range_join_error_window",   # single global error window total
-    "decontaminate_overlap",     # broadcast 1-row benchmark shingle-set count
-    # global orderBy on a FINAL small result (rangepartitioning would show
-    # for big sorts; these end in a driver-facing ordered result)
-    "tpch_q2_min_cost_supplier",
-    # scalar subquery feeding the main plan (avg over the whole table)
-    "tpch_q11_important_stock",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q22_idle_balance",
-    "quality_percentile_keep",   # global percentile cut broadcast back
-    "winsorized_price_stats",    # per-flag cuts collected from 3-row agg
-    "quantile_bins",             # nearest-rank cuts from per-flag agg
-    "quantile_bins_approx_bound",
-    "price_histogram",           # global min/max scalar for bin edges
-    "embedding_components",      # pointer-jumping convergence check (1-row)
-    "semantic_dedup_keep",
-    "sketch_error_bounds",
-    "ann_lsh_topk",              # 1-row mean-recall scalar broadcast
-    "ann_ivf_topk",
-    "simhash_pairs",             # 1-row global-invariant-flags aggregate
-    "tpch_q19_disjunctive_revenue",  # single-row final aggregate
-    "window_running_total",      # window over the ~dozens-row MONTHLY
-                                 # aggregate (aggregate-first, window after
-                                 # — the documented §2.6 design)
-    "key_skew_users",            # rank window over <= top_n profile rows
-    "tfidf_keywords",            # 1-row corpus-count scalar broadcast
-    "data_quality_report",       # per-rule 1-row violation totals (map-side
-                                 # partials; the merge reduces one row per
-                                 # partition, the grand_total shape)
+    "grand_total": _SCALAR_REDUCE,
+    "tpch_q6_forecast_revenue": _SCALAR_REDUCE,
+    "funnel_conversion": _SCALAR_REDUCE,   # 1-row conditional-count reduce
+    # scalar subquery feeding the main plan (sum/max/avg over the table)
+    "tpch_q11_important_stock": _SCALAR_REDUCE,
+    "tpch_q14_promo_revenue": _SCALAR_REDUCE,
+    "tpch_q15_top_supplier": _SCALAR_REDUCE,
+    "tpch_q17_small_qty_revenue": _SCALAR_REDUCE,
+    "tpch_q19_disjunctive_revenue": _SCALAR_REDUCE,
+    "tpch_q22_idle_balance": _SCALAR_REDUCE,
+    "ann_lsh_topk": _SCALAR_REDUCE,        # 1-row mean-recall scalar
+    "ann_ivf_topk": _SCALAR_REDUCE,
+    "simhash_pairs": _SCALAR_REDUCE,       # 1-row invariant-flags agg
+    "key_skew_users": _SCALAR_REDUCE,      # 1-row table-total scalar
+    "tfidf_keywords": _SCALAR_REDUCE,      # 1-row corpus-count scalar
+    "data_quality_report": _SCALAR_REDUCE,  # per-rule 1-row totals
+    # window over the ~dozens-row MONTHLY aggregate (aggregate-first,
+    # window after — the documented §2.6 design): the exchange sits on
+    # the projected month totals, pinned by the output column name
+    "window_running_total": r"Project \[.*month_total",
 }
 
 #: Bounded join shapes: BroadcastNestedLoopJoin / CartesianProduct whose
 #: SMALL side is bytes-bounded by construction — a 1-row scalar
 #: aggregate, a fixed tiny query batch, or a size-guarded verifier that
-#: REFUSES oversized inputs. (See EXPLAIN.md "scalar joins".)
+#: REFUSES oversized inputs. (See EXPLAIN.md "scalar joins".) An entry
+#: whose plan no longer contains such a join fails as stale (same
+#: rationale as SINGLE_PARTITION_OK; the r10 sweep removed seven that
+#: had already lost theirs: decontaminate_overlap, both pipelines,
+#: price_histogram, both quantile_bins variants, winsorized stats).
 BOUNDED_JOIN_OK = {
     # 1-row scalar-aggregate broadcasts
     "tpch_q22_idle_balance",
     "tpch_q11_important_stock",  # global-sum threshold scalar subquery
-    "decontaminate_overlap",
-    "winsorized_price_stats",
-    "quantile_bins",
-    "quantile_bins_approx_bound",
-    "price_histogram",
     "tfidf_keywords",
-    "pipeline_clean_corpus",
-    "pipeline_pretraining",
     "ann_lsh_topk",              # 1-row mean-recall scalar broadcast
     "ann_ivf_topk",
     "simhash_pairs",             # 1-row global-invariant-flags broadcast
@@ -138,10 +136,35 @@ def plans(spark):
     return out
 
 
+def _single_partition_children(plan: str) -> list[str]:
+    """The immediate child line of every ``Exchange SinglePartition`` —
+    the node whose output the exchange actually moves. In simple-mode
+    explain the child of a unary node is the next non-empty line."""
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        for nxt in lines[i + 1:]:
+            if nxt.strip():
+                out.append(nxt.strip())
+                break
+    return out
+
+
 @pytest.mark.parametrize("name", _CHECKED)
 def test_no_unbounded_joins(plans, name):
     plan = plans[name]
+    present = ("CartesianProduct" in plan
+               or "BroadcastNestedLoopJoin" in plan)
     if name in BOUNDED_JOIN_OK:
+        # allowlist hygiene: an entry whose plan no longer contains the
+        # join it sanctions is stale and would silently bless a future
+        # regression — fail it so the list tracks reality
+        assert present, (
+            f"{name}: allowlisted in BOUNDED_JOIN_OK but its plan has no "
+            f"CartesianProduct/BroadcastNestedLoopJoin — remove the stale "
+            f"entry:\n{plan}")
         return
     assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
     assert "BroadcastNestedLoopJoin" not in plan, f"{name}:\n{plan}"
@@ -149,10 +172,28 @@ def test_no_unbounded_joins(plans, name):
 
 @pytest.mark.parametrize("name", _CHECKED)
 def test_no_unsanctioned_single_partition(plans, name):
-    if name in SINGLE_PARTITION_OK:
-        return
     plan = plans[name]
-    assert "SinglePartition" not in plan, f"{name}:\n{plan}"
+    if name not in SINGLE_PARTITION_OK:
+        assert "SinglePartition" not in plan, f"{name}:\n{plan}"
+        return
+    # VERDICT r9 #7: the allowlist entry must prove itself — every
+    # single-partition exchange in the plan sits directly above the
+    # output-bounded reduction its entry pins (a scalar partial
+    # aggregate, or the named tiny-aggregate projection), and an entry
+    # with no such exchange at all is stale and fails
+    import re
+
+    kids = _single_partition_children(plan)
+    assert kids, (
+        f"{name}: allowlisted in SINGLE_PARTITION_OK but its plan has no "
+        f"Exchange SinglePartition — remove the stale entry:\n{plan}")
+    pat = SINGLE_PARTITION_OK[name]
+    for kid in kids:
+        assert re.search(pat, kid), (
+            f"{name}: Exchange SinglePartition sits above\n  {kid}\n"
+            f"which does not match the pinned output-bounded shape "
+            f"{pat!r} — the exchange is no longer (provably) "
+            f"output-bounded:\n{plan}")
 
 
 @pytest.mark.parametrize("name", DICE_PUSHDOWN)
