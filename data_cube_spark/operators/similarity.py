@@ -1676,21 +1676,27 @@ def ivf_topk(
     )
     q = with_norm(queries, vec_col)
     cw = cents.select("cell_id", _as_double(F.col("centroid")).alias("_centvec"))
+    # same probe-window payload rule as ann_ivf_topk_indexed: rank
+    # (query_id, cell_id, score) only — the |queries| x cells exchange
+    # must not carry vectors — then join vectors onto the survivors
     probes = (
         q.crossJoin(F.broadcast(cw))
         .select(
-            F.col(id_col).alias("query_id"), F.col("_vec").alias("_qvec"),
-            F.col("_norm").alias("_qnorm"), "cell_id",
+            F.col(id_col).alias("query_id"), "cell_id",
             dot(F.col("_vec"), F.col("_centvec")).alias("_cscore"),
         )
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_cscore").desc(), F.col("cell_id").asc()
     )
+    qv = q.select(F.col(id_col).alias("query_id"),
+                  F.col("_vec").alias("_qvec"),
+                  F.col("_norm").alias("_qnorm"))
     probed = (
         probes.withColumn("_pr", F.row_number().over(wq))
         .where(F.col("_pr") <= n_probe)
-        .select("query_id", "_qvec", "_qnorm", "cell_id")
+        .select("query_id", "cell_id")
+        .join(qv, "query_id")
     )
     scored = probed.join(c, "cell_id")
     if exclude_self:
@@ -1726,7 +1732,13 @@ def _ivf_serve_broadcast(q: DataFrame, cells: DataFrame, cw: DataFrame,
 
     spark = q.sparkSession
     cpdf = cells.select("cell_id", "corpus_id", "_vec", "_norm").toPandas()
-    order = np.argsort(cpdf["corpus_id"].to_numpy())
+    # corpus sorted by (cell_id, corpus_id): probed cells become
+    # CONTIGUOUS row ranges, so each query scores only its n_probe
+    # cells' rows — ~n_probe * corpus/cells dots per query instead of
+    # the full (batch x corpus) slab the r10 sf10 probe measured linear
+    # in the corpus (which defeats IVF's whole point computationally)
+    order = np.lexsort((cpdf["corpus_id"].to_numpy(),
+                        cpdf["cell_id"].to_numpy()))
     cids = cpdf["corpus_id"].to_numpy()[order].astype("int64")
     ccell = cpdf["cell_id"].to_numpy()[order].astype("int64")
     M = np.stack(cpdf["_vec"].to_numpy()[order]).astype("float64")
@@ -1735,13 +1747,14 @@ def _ivf_serve_broadcast(q: DataFrame, cells: DataFrame, cw: DataFrame,
     corder = np.argsort(cent["cell_id"].to_numpy())
     cent_ids = cent["cell_id"].to_numpy()[corder].astype("int64")
     C = np.stack(cent["_centvec"].to_numpy()[corder]).astype("float64")
-    bc = spark.sparkContext.broadcast((cids, ccell, M, cent_ids, C))
+    # per-centroid row ranges in the cell-sorted corpus (empty = 0-width)
+    starts = np.searchsorted(ccell, cent_ids, side="left")
+    ends = np.searchsorted(ccell, cent_ids, side="right")
+    bc = spark.sparkContext.broadcast((cids, M, cent_ids, C, starts, ends))
     npb, kk, excl = int(n_probe), int(k), bool(exclude_self)
 
     def serve(batches):
-        cids_, ccell_, M_, cent_ids_, C_ = bc.value
-        n = len(cids_)
-        block = max(1, (64 << 20) // (max(n, 1) * 8))
+        cids_, M_, cent_ids_, C_, starts_, ends_ = bc.value
         for b in batches:
             if not len(b):
                 continue
@@ -1749,34 +1762,36 @@ def _ivf_serve_broadcast(q: DataFrame, cells: DataFrame, cw: DataFrame,
             Qr = np.stack(b["_vec"].to_numpy()).astype("float64")
             Qn = Qr / np.maximum(
                 b["_norm"].to_numpy().astype("float64"), 1e-300)[:, None]
-            for i0 in range(0, len(qid), block):
-                i1 = min(i0 + block, len(qid))
-                # probe: RAW query dot centroid (the join tier's score),
-                # stable argsort on -score = score desc, cell_id asc
-                # (centroid columns are in ascending cell_id order)
-                P = Qr[i0:i1] @ C_.T
-                probe_cols = np.argsort(-P, axis=1, kind="stable")[:, :npb]
-                probed = cent_ids_[probe_cols]          # (rows, npb)
-                S = Qn[i0:i1] @ M_.T                    # (rows, n) cosines
-                mask = (ccell_[None, :, None]
-                        == probed[:, None, :]).any(axis=2)
-                if excl:
-                    mask &= cids_[None, :] != qid[i0:i1, None]
-                S[~mask] = -np.inf
-                # top-k by (cosine desc, match_id asc): stable argsort
-                # on -S with columns in ascending-id order
-                kk_eff = min(kk, n)
-                top = np.argsort(-S, axis=1, kind="stable")[:, :kk_eff]
-                sc = np.take_along_axis(S, top, axis=1)
-                rows, ranks = np.nonzero(np.isfinite(sc))
-                if not len(rows):
+            # probe: RAW query dot centroid (the join tier's score),
+            # stable argsort on -score = score desc, cell_id asc
+            # (centroid columns are in ascending cell_id order)
+            P = Qr @ C_.T
+            probe_cols = np.argsort(-P, axis=1, kind="stable")[:, :npb]
+            out_q, out_m, out_c, out_r = [], [], [], []
+            for j in range(len(qid)):
+                idx = np.concatenate([
+                    np.arange(starts_[c], ends_[c])
+                    for c in probe_cols[j]]) if npb else np.empty(0, "int64")
+                if excl and idx.size:
+                    idx = idx[cids_[idx] != qid[j]]
+                if not idx.size:
                     continue
-                yield pd.DataFrame({
-                    "query_id": qid[i0:i1][rows],
-                    "match_id": cids_[top[rows, ranks]],
-                    "cosine": sc[rows, ranks],
-                    "rank": (ranks + 1).astype("int32"),
-                })
+                sc = M_[idx] @ Qn[j]
+                # top-k by (cosine desc, match_id asc): candidates come
+                # cell-ordered, so a global lexsort does the tie-break
+                sel = np.lexsort((cids_[idx], -sc))[: min(kk, idx.size)]
+                out_q.append(np.full(len(sel), qid[j]))
+                out_m.append(cids_[idx][sel])
+                out_c.append(sc[sel])
+                out_r.append(np.arange(1, len(sel) + 1, dtype="int32"))
+            if not out_q:
+                continue
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "match_id": np.concatenate(out_m),
+                "cosine": np.concatenate(out_c),
+                "rank": np.concatenate(out_r),
+            })
 
     return q.select(F.col(id_col), "_vec", "_norm").mapInPandas(
         serve, "query_id long, match_id long, cosine double, rank int")
@@ -2003,17 +2018,26 @@ def ann_ivf_topk_indexed(
     cw = spark.table(f"{table}_centroids").select(
         "cell_id", _as_double(F.col("centroid")).alias("_centvec"))
     q = with_norm(queries, vec_col)
+    # The probe-selection window must NOT carry the query vectors: its
+    # exchange is |queries| x cells rows, and at the guard-raised
+    # ~sqrt(corpus) cell count a ~550-byte vector payload per row is the
+    # stage's whole cost (measured super-linear in the r10 sf10 probe).
+    # Rank (query_id, cell_id, score) alone — 24 bytes/row — and join
+    # the vectors back onto the n_probe survivors afterwards.
     probes = q.crossJoin(F.broadcast(cw)).select(
-        F.col(id_col).alias("query_id"), F.col("_vec").alias("_qvec"),
-        F.col("_norm").alias("_qnorm"), "cell_id",
+        F.col(id_col).alias("query_id"), "cell_id",
         dot(F.col("_vec"), F.col("_centvec")).alias("_cscore"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_cscore").desc(), F.col("cell_id").asc())
+    qv = q.select(F.col(id_col).alias("query_id"),
+                  F.col("_vec").alias("_qvec"),
+                  F.col("_norm").alias("_qnorm"))
     probed = (
         probes.withColumn("_pr", F.row_number().over(wq))
         .where(F.col("_pr") <= n_probe)
-        .select("query_id", "_qvec", "_qnorm", "cell_id")
+        .select("query_id", "cell_id")
+        .join(qv, "query_id")
     )
     # Serving is size-dispatched like the embedding-index read: the
     # candidate stream is |queries| x n_probe x cell occupancy rows, and

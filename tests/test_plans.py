@@ -999,9 +999,19 @@ def test_ivf_index_serving_matches_inline_and_exchange_free(
                 qi, "t_ivf_idx", k=5, n_probe=4)
             plan = explain_str(jdf, "simple")
             assert "Bucketed: true" in plan, plan
-            # probe window + probe-side cell_id shuffle + final top-k
-            # window; the cells side and the broadcast centroids add none
-            assert count_exchanges(jdf) == 3
+            # probe window + query-vector join-back + probe-side cell_id
+            # shuffle + final top-k window; the cells side and the
+            # broadcast centroids add none. The join-back exchange (r10)
+            # moves ONLY the query batch — the price of slimming the
+            # |queries| x cells probe-window exchange from ~550 to 24
+            # bytes/row (it no longer carries the query vectors); with
+            # broadcast enabled (production default) the join-back is a
+            # broadcast and this count drops back to 3.
+            assert count_exchanges(jdf) == 4
+            # the probe window's exchange must stay vector-free: no
+            # _qvec in any exchange above the first window
+            first_window = plan.index("Window")
+            assert "_qvec" not in plan[:first_window], plan
             assert key(jdf.collect()) == want
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

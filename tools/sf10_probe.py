@@ -81,6 +81,60 @@ def _append_flatness(spark, sf10_dir: str) -> dict:
     return out
 
 
+def _fixed_batch_reads(spark, sf1_dir: str, sf10_dir: str) -> dict:
+    """The production scaling question the bench shape can't answer: the
+    bench's 'batch' is half the corpus, so it grows 10x WITH the corpus.
+    Here the ingest/query batch is FIXED (15k vectors) while the corpus
+    grows 10x — per-ingest read cost should grow ~sqrt(corpus) for IVF
+    (n_probe * corpus/cells with cells ~ sqrt(corpus)) and stay bounded
+    by tables x probes x occupancy for the LSH embedding index."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from data_cube_spark.operators import similarity
+    from data_cube_spark.sources.star import load_tables
+
+    out: dict = {}
+    for sf, d in (("sf1", sf1_dir), ("sf10", sf10_dir)):
+        emb = load_tables(spark, d)["embeddings"]
+        corpus = emb.where(F.col("vec_id") % 2 == 0)
+        batch = (emb.where(F.col("vec_id") % 2 == 1)
+                 .limit(15_000).localCheckpoint())
+        tag = f"probe_fb_{sf}"
+        similarity.write_ivf_index(corpus, f"{tag}_ivf", n_cells=16,
+                                   n_buckets=16)
+        similarity.write_embedding_index(corpus, f"{tag}_emb",
+                                         n_buckets=32, n_tables=1,
+                                         probe_radius=1)
+        runs = {
+            "ivf_read": lambda: similarity.ann_ivf_topk_indexed(
+                batch, f"{tag}_ivf", k=5, n_probe=4).count(),
+            "emb_mp_read": lambda: similarity
+            .incremental_embedding_pairs_indexed(
+                batch, f"{tag}_emb", threshold=0.4).count(),
+        }
+        for name, fn in runs.items():
+            fn()  # warm
+            ts = sorted(_ln_time(fn) for _ in range(3))
+            out[f"{sf}.{name}"] = ts[1]
+        for t in (f"{tag}_ivf_cells", f"{tag}_ivf_centroids",
+                  f"{tag}_emb_buckets", f"{tag}_emb_vec"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for name in ("ivf_read", "emb_mp_read"):
+        out[f"ratio_{name}"] = round(
+            out[f"sf10.{name}"] / out[f"sf1.{name}"], 2)
+    return out
+
+
+def _ln_time(fn) -> float:
+    import time as _time
+
+    t0 = _time.perf_counter()
+    fn()
+    return round(_time.perf_counter() - t0, 3)
+
+
 def main() -> int:
     sf1 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, ".benchdata", "sf1")
@@ -99,7 +153,11 @@ def main() -> int:
     proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                           env=env, capture_output=True, text=True,
                           check=True)
-    bench = json.loads(proc.stdout.strip().splitlines()[-1])
+    # bench prints the FULL json first and repeats a compact summary
+    # (no "queries") as the last line for truncation tolerance — take
+    # the line that actually carries the per-query timings
+    bench = next(json.loads(ln) for ln in proc.stdout.splitlines()
+                 if ln.startswith("{") and '"queries"' in ln)
 
     with open(os.path.join(REPO, "BENCH_sf1.json")) as f:
         sf1_bench = json.load(f)
@@ -118,6 +176,7 @@ def main() -> int:
     spark = get_spark("sf10-probe")
     spark.sparkContext.setLogLevel("ERROR")
     flat = _append_flatness(spark, sf10)
+    fixed = _fixed_batch_reads(spark, sf1, sf10)
 
     out = {
         "metric": "sf10_probe",
@@ -127,6 +186,7 @@ def main() -> int:
         "queries_detail": bench.get("queries_detail"),
         "ratios_vs_sf1": ratios,
         "append_flatness": flat,
+        "fixed_batch_reads": fixed,
         "tail_policy": "10 worst sf0.1->sf1 ratios; linear ceiling = 10x",
     }
     path = os.path.join(REPO, "BENCH_sf10_probe.json")
