@@ -15,10 +15,10 @@ retrain warnings included).
 
 `indexes`/`compact` enumerate the CURRENT catalog: on a deployment
 with a persistent metastore (Hive/Glue) that is the standing index
-fleet; under the local in-memory catalog, tables registered by other
-processes are not visible — call ``main(["indexes"])`` in-process
-(``get_spark`` reuses the active session) or point the session at the
-shared metastore.
+fleet; under the local in-memory catalog, pass ``--warehouse [DIR]``
+to first re-attach every sidecar index found on disk (VERDICT r10 #6
+— ``attach_indexes``), so a fresh process sweeps indexes other
+sessions created.
 """
 
 from __future__ import annotations
@@ -41,6 +41,12 @@ def main(argv: list[str] | None = None) -> int:
         p = sub.add_parser(c, help=f"{c} the persisted-index fleet")
         p.add_argument("prefix", nargs="?", default=None,
                        help="filter by index base-name prefix")
+        p.add_argument("--warehouse", nargs="?", const=True, default=None,
+                       metavar="DIR",
+                       help="first re-attach sidecar indexes from DIR "
+                            "(default: the session's warehouse dir), so "
+                            "a fresh process sees other sessions' "
+                            "indexes")
     args = ap.parse_args(argv)
 
     from data_cube_spark.registry import ORACLE, QUERIES
@@ -61,7 +67,8 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("data-cube-maint")
         spark.sparkContext.setLogLevel("ERROR")
         if args.cmd == "indexes":
-            for idx in list_indexes(spark, args.prefix):
+            for idx in list_indexes(spark, args.prefix,
+                                    warehouse=args.warehouse):
                 flags = "".join(
                     f" {k}" for k in ("needs_rebuild", "needs_retrain")
                     if idx["health"].get(k))
@@ -70,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
                 for k, v in sorted(idx["health"].items()):
                     print(f"    {k}: {v}")
             return 0
-        sweep = compact_all(spark, args.prefix)
+        sweep = compact_all(spark, args.prefix, warehouse=args.warehouse)
         for name, n in sorted(sweep["removed"].items()):
             print(f"compacted {name}: {n} duplicate rows removed")
         for w in sweep["warnings"]:
@@ -116,4 +123,7 @@ def cli() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    # same surface as the console script (ADVICE r10): `python -m
+    # data_cube_spark | head` gets the same pipe manners as
+    # `data-cube-spark | head`
+    sys.exit(cli())

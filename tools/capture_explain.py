@@ -332,13 +332,19 @@ CURATED: dict[str, str] = {
     ),
     "incremental_embedding_pairs_indexed": (
         "Persisted EMBEDDING-index read path (the semantic member of "
-        "the index family): corpus hyperplane buckets scanned bucketed "
-        "on (_t, _b), candidate join corpus-side exchange-free; "
-        "candidates carry ids only. Verify is size-dispatched: below "
-        "the broadcast gate (this capture) the deduped id pairs are "
-        "scored by a broadcast-matrix einsum (ArrowEvalPython, 16-byte "
-        "pairs to Python); above it, vectors attach via equi-joins "
-        "(the _vec table bucketed on corpus_id) and the JVM array dot "
+        "the index family), served like the IVF cell-sliced broadcast "
+        "since r11: below the pack gate (corpus alone <= 256 MB — this "
+        "capture) the normalized corpus matrix plus per-table "
+        "bucket-sorted permutations broadcast once and each Arrow "
+        "batch of ingest vectors scores ONLY its probed buckets' rows "
+        "as per-bucket GEMMs inside one MapInPandas — candidate volume "
+        "is paid as BLAS flops, never materialized as join rows (the "
+        "r10 posting-join + pair-verify shape shuffled billions of "
+        "candidate rows through a dropDuplicates at the sf10 bench "
+        "shape: 271 s, now 8 s). Zero shuffles. Above the gate the "
+        "bucketed join tier serves: corpus buckets scanned bucketed on "
+        "(_t, _b), candidates carry ids only, vectors attach via "
+        "equi-joins (_vec bucketed on corpus_id), JVM array dot "
         "verifies."
     ),
     "ann_ivf_topk_indexed": (
@@ -352,12 +358,14 @@ CURATED: dict[str, str] = {
     ),
     "indexed_embedding_read_multiprobe": (
         "Multi-probe embedding-index read (probe_radius=1, ~5x fewer "
-        "stored tables at the same recall floor): the batch side's "
-        "bucket ids expand to every <=1-bit-flip probe with a JVM-side "
-        "XOR explode BEFORE the join — the corpus buckets table stays "
-        "exact-bucketed on (_t, _b) and exchange-free; plan shape is "
-        "identical to the exact-bucket read plus one Generate (and the "
-        "same size-dispatched verify)."
+        "stored tables at the same recall floor): in the broadcast "
+        "serve (this capture) the probe expansion is a numpy XOR over "
+        "the mask set inside the same MapInPandas — each query scores "
+        "its <=1-bit-flip buckets' rows per table, the corpus pack "
+        "stays exact-bucketed; plan shape is identical to the "
+        "exact-bucket serve (the r10 46.9x sf10 outlier, now "
+        "sub-linear). On the join tier the expansion is a JVM-side XOR "
+        "explode before the (_t, _b) join, corpus side exchange-free."
     ),
 }
 

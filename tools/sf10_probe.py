@@ -95,6 +95,8 @@ def _fixed_batch_reads(spark, sf1_dir: str, sf10_dir: str) -> dict:
     from data_cube_spark.operators import similarity
     from data_cube_spark.sources.star import load_tables
 
+    from data_cube_spark.operators import dedup
+
     out: dict = {}
     for sf, d in (("sf1", sf1_dir), ("sf10", sf10_dir)):
         emb = load_tables(spark, d)["embeddings"]
@@ -107,21 +109,41 @@ def _fixed_batch_reads(spark, sf1_dir: str, sf10_dir: str) -> dict:
         similarity.write_embedding_index(corpus, f"{tag}_emb",
                                          n_buckets=32, n_tables=1,
                                          probe_radius=1)
+        # document-index families (VERDICT r10 #4): same fixed-batch
+        # question for exact-fingerprint, prefix and minhash reads —
+        # the bench shape grows batch WITH corpus, production does not
+        docs = load_tables(spark, d)["documents"].select("doc_id", "text")
+        dcorpus = docs.where(F.col("doc_id") % 2 == 0)
+        dbatch = (docs.where(F.col("doc_id") % 2 == 1)
+                  .limit(2500).localCheckpoint())
+        dedup.write_fingerprint_index(dcorpus, f"{tag}_fp", n_buckets=32)
+        dedup.write_prefix_index(dcorpus, f"{tag}_pfx", n_buckets=32,
+                                 threshold=0.5)
+        dedup.write_minhash_index(dcorpus, f"{tag}_mh", n_buckets=32)
         runs = {
             "ivf_read": lambda: similarity.ann_ivf_topk_indexed(
                 batch, f"{tag}_ivf", k=5, n_probe=4).count(),
             "emb_mp_read": lambda: similarity
             .incremental_embedding_pairs_indexed(
                 batch, f"{tag}_emb", threshold=0.4).count(),
+            "exact_read": lambda: dedup.dedup_exact_indexed(
+                dbatch, f"{tag}_fp").count(),
+            "prefix_read": lambda: dedup.incremental_prefix_pairs_indexed(
+                dbatch, f"{tag}_pfx", threshold=0.5).count(),
+            "minhash_read": lambda: dedup.incremental_minhash_pairs_indexed(
+                dbatch, f"{tag}_mh", threshold=0.3).count(),
         }
         for name, fn in runs.items():
             fn()  # warm
             ts = sorted(_ln_time(fn) for _ in range(3))
             out[f"{sf}.{name}"] = ts[1]
         for t in (f"{tag}_ivf_cells", f"{tag}_ivf_centroids",
-                  f"{tag}_emb_buckets", f"{tag}_emb_vec"):
+                  f"{tag}_emb_buckets", f"{tag}_emb_vec",
+                  f"{tag}_fp_fp", f"{tag}_mh_sig", f"{tag}_mh_bands",
+                  f"{tag}_pfx_prefix", f"{tag}_pfx_df", f"{tag}_pfx_sets"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
-    for name in ("ivf_read", "emb_mp_read"):
+    for name in ("ivf_read", "emb_mp_read", "exact_read", "prefix_read",
+                 "minhash_read"):
         out[f"ratio_{name}"] = round(
             out[f"sf10.{name}"] / out[f"sf1.{name}"], 2)
     return out
