@@ -688,6 +688,7 @@ def test_cross_session_attach_and_sweep(spark, tmp_path):
     with ``compact_all`` (the appended duplicates are really removed),
     and serves the indexed read — the nightly-fleet-sweep contract for
     the metastore-less case."""
+    import os
     import subprocess
     import sys
 
@@ -710,9 +711,18 @@ def test_cross_session_attach_and_sweep(spark, tmp_path):
         "dedup.append_to_fingerprint_index(docs, 't_xsess')\n"
         "spark.stop()\n"
     )
+    # the writer must import the package from the repo even when it is
+    # not pip-installed: the script lives in tmp_path, so sys.path[0] is
+    # NOT the repo root — ship the package's parent dir via PYTHONPATH
+    import data_cube_spark
+
+    pkg_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(data_cube_spark.__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
     subprocess.run([sys.executable, str(script), wh,
-                    "/root/testdata/sf0.001"], check=True, cwd="/root/repo",
-                   timeout=600)
+                    "/root/testdata/sf0.001"], check=True, cwd=pkg_root,
+                   env=env, timeout=600, capture_output=True)
     try:
         attached = attach_indexes(spark, wh)
         assert "t_xsess_fp" in attached

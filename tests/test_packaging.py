@@ -63,10 +63,18 @@ def test_installed_distribution_if_present():
 
 def test_wheel_builds_installs_and_serves_cli(tmp_path):
     """VERDICT r10 #7: the distributable artifact itself, not just the
-    editable install — build a wheel offline (``pip wheel
-    --no-build-isolation``), install it into a CLEAN ``--target`` dir
-    (repo root never on sys.path), and run the installed console
-    script end-to-end from a neutral cwd."""
+    editable install — build a wheel offline, install it into a CLEAN
+    ``--target`` dir (repo root never on sys.path), and run the
+    installed console script end-to-end from a neutral cwd.
+
+    Builder dispatch: ``pip wheel --no-build-isolation`` when the
+    setuptools bdist_wheel toolchain is present (the ``wheel`` package,
+    or setuptools >= 70 which inlines it); otherwise the stdlib-only
+    PEP-427 builder (``tools/build_wheel.py``) — the sandbox has no
+    network, so a missing toolchain must not mean no artifact. Either
+    way the assertions below run against the REAL wheel: pip verifies
+    every RECORD sha256 on install, so a malformed archive fails here."""
+    import importlib.util
     import os
     import subprocess
     import sys
@@ -74,11 +82,23 @@ def test_wheel_builds_installs_and_serves_cli(tmp_path):
 
     wheel_dir = tmp_path / "dist"
     target = tmp_path / "site"
-    r = subprocess.run(
-        [sys.executable, "-m", "pip", "wheel", str(ROOT),
-         "--no-build-isolation", "--no-deps", "-w", str(wheel_dir)],
-        capture_output=True, text=True, timeout=600)
-    assert r.returncode == 0, r.stderr[-2000:]
+    has_bdist = importlib.util.find_spec("wheel") is not None
+    if not has_bdist:
+        import setuptools
+
+        has_bdist = int(setuptools.__version__.split(".")[0]) >= 70
+    if has_bdist:
+        r = subprocess.run(
+            [sys.executable, "-m", "pip", "wheel", str(ROOT),
+             "--no-build-isolation", "--no-deps", "-w", str(wheel_dir)],
+            capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+    else:
+        r = subprocess.run(
+            [sys.executable, str(ROOT / "tools" / "build_wheel.py"),
+             str(wheel_dir)],
+            capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
     whls = list(wheel_dir.glob("data_cube_spark-*.whl"))
     assert len(whls) == 1
     # the wheel carries the full package, not a stub
