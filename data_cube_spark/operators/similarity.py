@@ -1234,13 +1234,19 @@ def write_embedding_index(
         v.select(F.col(id_col).alias("corpus_id"), "_vec", "_norm"),
         f"{table}_vec", ["corpus_id"], n_buckets,
         path=None if path is None else os.path.join(path, "v"))
+    import uuid
+
     meta = {"n_planes": n_planes, "n_tables": n_tables, "dim": dim,
             "seed": seed, "n_buckets": n_buckets,
             "probe_radius": probe_radius,
             "target_cosine": target_cosine,
             "recall_floor": ("" if recall_floor is None
                              else f"{recall_floor:.6f}"),
-            "predicted_recall": f"{predicted:.6f}"}
+            "predicted_recall": f"{predicted:.6f}",
+            # distinguishes a REBUILD over the same name from the build
+            # the serve-pack cache saw (epoch resets on rebuild; the
+            # nonce does not repeat) — see _serve_fingerprint
+            "build_nonce": uuid.uuid4().hex}
     _set_index_meta(corpus.sparkSession, f"{table}_buckets", meta)
     _set_index_meta(corpus.sparkSession, f"{table}_vec", meta)
 
@@ -1379,9 +1385,66 @@ def _emb_pack_bytes(n_corpus: int, geo: dict) -> int:
         geo["n_tables"] * ((1 << geo["n_planes"]) + 1) * 8
 
 
+#: serve-pack cache: (applicationId, index table) -> (fingerprint,
+#: Broadcast). Bounded; evictions unpersist their broadcast.
+_SERVE_PACK_CACHE: dict = {}
+_SERVE_PACK_CACHE_MAX = 8
+
+
+def _serve_fingerprint(stored: dict, n_rows: int) -> tuple:
+    """Invalidation key for a cached broadcast serve pack. Sound under
+    the documented single-writer maintenance contract BECAUSE of the
+    fence: every append claims ``maintenance_epoch`` BEFORE its first
+    insert and every successful compaction advances it, so any
+    committed mutation of the corpus moves the epoch; a REBUILD
+    (write_*_index over the same name) resets the epoch but stamps a
+    fresh ``build_nonce``. Row count rides along as a belt for
+    pre-nonce indexes (written before r11, or attached from another
+    library's sidecar)."""
+    return (stored.get("build_nonce", ""),
+            str(stored.get("maintenance_epoch", "0")), int(n_rows))
+
+
+def _cached_pack(spark, table: str, fingerprint: tuple | None, build):
+    """Driver-side cache of a broadcast serve pack (the fix for the
+    r11 fixed-batch probe: the pack build — corpus collect, np.stack,
+    256 MB broadcast pickle — is O(corpus) ON THE DRIVER, and paying
+    it per read call made the per-batch serve cost linear in the
+    corpus even though the scoring itself is bucket/cell-sliced).
+    A standing ANN/near-dup service answers MANY ingest batches
+    against the same index epoch, so the pack ships once per epoch:
+    hit = same (build_nonce, maintenance_epoch, rows) fingerprint;
+    any append or compaction moves the fingerprint and the stale
+    broadcast is unpersisted. ``fingerprint=None`` (a caller outside
+    the indexed read paths) skips caching entirely."""
+    if fingerprint is None:
+        return spark.sparkContext.broadcast(build())
+    key = (spark.sparkContext.applicationId, table)
+    hit = _SERVE_PACK_CACHE.get(key)
+    if hit is not None and hit[0] == fingerprint:
+        return hit[1]
+    stale = [key] if hit is not None else []
+    # bounded: evict oldest-inserted beyond the cap (packs are pinned
+    # on executors until unpersisted)
+    while len(_SERVE_PACK_CACHE) - len(stale) >= _SERVE_PACK_CACHE_MAX:
+        stale.append(next(k for k in _SERVE_PACK_CACHE
+                          if k not in stale))
+    for k in stale:
+        _, old = _SERVE_PACK_CACHE.pop(k)
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — eviction is best-effort
+            pass
+    bc = spark.sparkContext.broadcast(build())
+    _SERVE_PACK_CACHE[key] = (fingerprint, bc)
+    return bc
+
+
 def _emb_serve_broadcast(batch: DataFrame, vc: DataFrame, geo: dict,
                          radius: int, threshold: float,
-                         id_col: str, vec_col: str) -> DataFrame:
+                         id_col: str, vec_col: str,
+                         fingerprint: tuple | None = None,
+                         cache_name: str = "") -> DataFrame:
     """Broadcast tier of :func:`incremental_embedding_pairs_indexed` —
     the LSH-bucket twin of the IVF cell-sliced serve
     (:func:`_ivf_serve_broadcast`): the persisted corpus ships to every
@@ -1405,41 +1468,49 @@ def _emb_serve_broadcast(batch: DataFrame, vc: DataFrame, geo: dict,
     import pandas as pd
 
     spark = batch.sparkSession
-    cpdf = vc.select("corpus_id", "_vec", "_norm").toPandas()
-    if not len(cpdf):
-        return spark.createDataFrame(
-            [], "batch_id long, corpus_id long, cosine double")
-    ids = cpdf["corpus_id"].to_numpy().astype("int64")
-    # re-appended duplicate rows (compaction pending) count once, like
-    # the join tier's candidate dropDuplicates
-    _, keep = np.unique(ids, return_index=True)
-    ids = ids[keep]
-    Mraw = np.stack(cpdf["_vec"].to_numpy()[keep]).astype("float64")
-    M = Mraw / np.maximum(
-        cpdf["_norm"].to_numpy()[keep].astype("float64"), 1e-300)[:, None]
     n_planes, n_tables = geo["n_planes"], geo["n_tables"]
-    planes = np.stack([
-        np.asarray(_hyperplanes(geo["dim"], n_planes, geo["seed"] + t))
-        for t in range(n_tables)])
-    mat = planes.reshape(n_tables * n_planes, geo["dim"]).T.copy()
-    weights = (1 << np.arange(n_planes)).astype("int64")
-    signs = (Mraw @ mat >= 0).reshape(len(ids), n_tables, n_planes)
-    cbuck = (signs * weights).sum(axis=2).astype("int64")  # (n, tables)
-    n_buckets = 1 << n_planes
-    perms, offs = [], []
-    for t in range(n_tables):
-        p = np.argsort(cbuck[:, t], kind="stable").astype("int32")
-        perms.append(p)
-        counts = np.bincount(cbuck[:, t], minlength=n_buckets)
-        offs.append(np.concatenate(
-            ([0], np.cumsum(counts))).astype("int64"))
+
+    def build():
+        cpdf = vc.select("corpus_id", "_vec", "_norm").toPandas()
+        if not len(cpdf):
+            return (np.empty(0, "int64"), None, None, None, [], [])
+        ids = cpdf["corpus_id"].to_numpy().astype("int64")
+        # re-appended duplicate rows (compaction pending) count once,
+        # like the join tier's candidate dropDuplicates
+        _, keep = np.unique(ids, return_index=True)
+        ids = ids[keep]
+        Mraw = np.stack(cpdf["_vec"].to_numpy()[keep]).astype("float64")
+        M = Mraw / np.maximum(
+            cpdf["_norm"].to_numpy()[keep].astype("float64"),
+            1e-300)[:, None]
+        planes = np.stack([
+            np.asarray(_hyperplanes(geo["dim"], n_planes, geo["seed"] + t))
+            for t in range(n_tables)])
+        mat = planes.reshape(n_tables * n_planes, geo["dim"]).T.copy()
+        weights = (1 << np.arange(n_planes)).astype("int64")
+        signs = (Mraw @ mat >= 0).reshape(len(ids), n_tables, n_planes)
+        cbuck = (signs * weights).sum(axis=2).astype("int64")
+        n_buckets = 1 << n_planes
+        perms, offs = [], []
+        for t in range(n_tables):
+            p = np.argsort(cbuck[:, t], kind="stable").astype("int32")
+            perms.append(p)
+            counts = np.bincount(cbuck[:, t], minlength=n_buckets)
+            offs.append(np.concatenate(
+                ([0], np.cumsum(counts))).astype("int64"))
+        return (ids, M, mat, weights, perms, offs)
+
+    # the pack is geometry+corpus only — radius/threshold are query-time
+    # knobs, so one cached pack serves every (radius, threshold) read
+    bc = _cached_pack(spark, cache_name, fingerprint, build)
     masks = np.asarray(_probe_masks(n_planes, radius), dtype="int64")
-    bc = spark.sparkContext.broadcast(
-        (ids, M, mat, weights, perms, offs, masks))
     th = float(threshold)
 
     def serve(batches):
-        ids_, M_, mat_, w_, perms_, offs_, masks_ = bc.value
+        ids_, M_, mat_, w_, perms_, offs_ = bc.value
+        masks_ = masks
+        if not len(ids_):
+            return
         tables_, planes_ = len(perms_), len(w_)
         for b in batches:
             if not len(b):
@@ -1483,8 +1554,27 @@ def _emb_serve_broadcast(batch: DataFrame, vc: DataFrame, geo: dict,
                                keep="first")
             yield res
 
-    return batch.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    src = batch.select(F.col(id_col), F.col(vec_col))
+    return _spread(src).mapInPandas(
         serve, "batch_id long, corpus_id long, cosine double")
+
+
+def _spread(src: DataFrame) -> DataFrame:
+    """Serving parallelism for the broadcast tiers comes ENTIRELY from
+    the streamed batch's partitioning — the corpus pack is on every
+    worker, so an under-partitioned batch (a ``limit``-collapsed ingest,
+    a single input file) would run the whole compute-bound scoring
+    stage on one core (measured: the r11 fixed-batch probe served 15k
+    queries x ~45k scored rows each on a single task — 13 s of GEMMs
+    on one core of 32). Round-robin the batch up to the session's
+    parallelism when it arrives in fewer partitions; the shuffled rows
+    are only the batch (the tier's contract), so the exchange is cheap
+    relative to the scoring it parallelizes."""
+    spark = src.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        return src.repartition(par)
+    return src
 
 
 def incremental_embedding_pairs_indexed(
@@ -1558,8 +1648,10 @@ def incremental_embedding_pairs_indexed(
     n_corpus = vc.count()
     if (n_corpus <= BROADCAST_MAX_ROWS
             and _emb_pack_bytes(n_corpus, geo) <= EMB_PACK_MAX_BYTES):
-        return _emb_serve_broadcast(batch, vc, geo, radius, threshold,
-                                    id_col, vec_col)
+        return _emb_serve_broadcast(
+            batch, vc, geo, radius, threshold, id_col, vec_col,
+            fingerprint=_serve_fingerprint(stored, n_corpus),
+            cache_name=f"{table}_vec")
     v_b = with_norm(batch, vec_col).select(
         F.col(id_col), "_vec", "_norm").localCheckpoint()
     buckets = _lsh_buckets_udf(geo["n_planes"], geo["n_tables"],
@@ -1868,7 +1960,9 @@ def ivf_topk(
 
 def _ivf_serve_broadcast(q: DataFrame, cells: DataFrame, cw: DataFrame,
                          id_col: str, k: int, n_probe: int,
-                         exclude_self: bool) -> DataFrame:
+                         exclude_self: bool,
+                         fingerprint: tuple | None = None,
+                         cache_name: str = "") -> DataFrame:
     """Broadcast tier of :func:`ann_ivf_topk_indexed`: the persisted
     index (centroids + cell assignments + normalized corpus matrix)
     ships to every worker once, and each Arrow batch of queries runs the
@@ -1882,26 +1976,33 @@ def _ivf_serve_broadcast(q: DataFrame, cells: DataFrame, cw: DataFrame,
     import pandas as pd
 
     spark = q.sparkSession
-    cpdf = cells.select("cell_id", "corpus_id", "_vec", "_norm").toPandas()
-    # corpus sorted by (cell_id, corpus_id): probed cells become
-    # CONTIGUOUS row ranges, so each query scores only its n_probe
-    # cells' rows — ~n_probe * corpus/cells dots per query instead of
-    # the full (batch x corpus) slab the r10 sf10 probe measured linear
-    # in the corpus (which defeats IVF's whole point computationally)
-    order = np.lexsort((cpdf["corpus_id"].to_numpy(),
-                        cpdf["cell_id"].to_numpy()))
-    cids = cpdf["corpus_id"].to_numpy()[order].astype("int64")
-    ccell = cpdf["cell_id"].to_numpy()[order].astype("int64")
-    M = np.stack(cpdf["_vec"].to_numpy()[order]).astype("float64")
-    M /= np.maximum(cpdf["_norm"].to_numpy()[order], 1e-300)[:, None]
-    cent = cw.toPandas()
-    corder = np.argsort(cent["cell_id"].to_numpy())
-    cent_ids = cent["cell_id"].to_numpy()[corder].astype("int64")
-    C = np.stack(cent["_centvec"].to_numpy()[corder]).astype("float64")
-    # per-centroid row ranges in the cell-sorted corpus (empty = 0-width)
-    starts = np.searchsorted(ccell, cent_ids, side="left")
-    ends = np.searchsorted(ccell, cent_ids, side="right")
-    bc = spark.sparkContext.broadcast((cids, M, cent_ids, C, starts, ends))
+
+    def build():
+        cpdf = cells.select(
+            "cell_id", "corpus_id", "_vec", "_norm").toPandas()
+        # corpus sorted by (cell_id, corpus_id): probed cells become
+        # CONTIGUOUS row ranges, so each query scores only its n_probe
+        # cells' rows — ~n_probe * corpus/cells dots per query instead
+        # of the full (batch x corpus) slab the r10 sf10 probe measured
+        # linear in the corpus (which defeats IVF's point)
+        order = np.lexsort((cpdf["corpus_id"].to_numpy(),
+                            cpdf["cell_id"].to_numpy()))
+        cids = cpdf["corpus_id"].to_numpy()[order].astype("int64")
+        ccell = cpdf["cell_id"].to_numpy()[order].astype("int64")
+        M = np.stack(cpdf["_vec"].to_numpy()[order]).astype("float64")
+        M /= np.maximum(cpdf["_norm"].to_numpy()[order], 1e-300)[:, None]
+        cent = cw.toPandas()
+        corder = np.argsort(cent["cell_id"].to_numpy())
+        cent_ids = cent["cell_id"].to_numpy()[corder].astype("int64")
+        C = np.stack(cent["_centvec"].to_numpy()[corder]).astype("float64")
+        # per-centroid row ranges in the cell-sorted corpus (0-width ok)
+        starts = np.searchsorted(ccell, cent_ids, side="left")
+        ends = np.searchsorted(ccell, cent_ids, side="right")
+        return (cids, M, cent_ids, C, starts, ends)
+
+    # pack = corpus + centroids only; k/n_probe/exclude_self are
+    # query-time knobs served off the same cached pack
+    bc = _cached_pack(spark, cache_name, fingerprint, build)
     npb, kk, excl = int(n_probe), int(k), bool(exclude_self)
 
     def serve(batches):
@@ -1944,7 +2045,7 @@ def _ivf_serve_broadcast(q: DataFrame, cells: DataFrame, cw: DataFrame,
                 "rank": np.concatenate(out_r),
             })
 
-    return q.select(F.col(id_col), "_vec", "_norm").mapInPandas(
+    return _spread(q.select(F.col(id_col), "_vec", "_norm")).mapInPandas(
         serve, "query_id long, match_id long, cosine double, rank int")
 
 
@@ -2031,9 +2132,13 @@ def write_ivf_index(
     if path is not None:
         w = w.option("path", os.path.join(path, "cent"))
     w.saveAsTable(f"{table}_centroids")
+    import uuid
+
     spark = corpus.sparkSession
     meta = {"n_cells": n_cells, "iters": iters, "n_buckets": n_buckets,
-            "cell_skew": round(_cell_occupancy_skew(spark, table), 4)}
+            "cell_skew": round(_cell_occupancy_skew(spark, table), 4),
+            # rebuild marker for the serve-pack cache (_serve_fingerprint)
+            "build_nonce": uuid.uuid4().hex}
     _set_index_meta(spark, f"{table}_cells", meta)
     _set_index_meta(spark, f"{table}_centroids", meta)
 
@@ -2172,7 +2277,7 @@ def ann_ivf_topk_indexed(
     from data_cube_spark.operators.dedup import _require_index_meta
 
     spark = queries.sparkSession
-    _require_index_meta(spark, f"{table}_cells", {})
+    stored = _require_index_meta(spark, f"{table}_cells", {})
     cw = spark.table(f"{table}_centroids").select(
         "cell_id", _as_double(F.col("centroid")).alias("_centvec"))
     # pin the query lineage before splitting it into probes and qv
@@ -2225,12 +2330,19 @@ def ann_ivf_topk_indexed(
     if id_is_long:
         qn = q.count()
         cn = cells.count() if qn > 0 else 0
-        if 0 < qn + cn <= BROADCAST_MAX_ROWS and qn > 0 and cn > 0:
+        # gate on the CORPUS alone (the r10 embedding-gate lesson,
+        # applied here in r11): only the corpus pack is broadcast — the
+        # query batch streams through mapInPandas — so a growing ingest
+        # batch must not push a broadcast-sized corpus onto the
+        # join tier
+        if 0 < cn <= BROADCAST_MAX_ROWS and qn > 0:
             head = cw.select("_centvec").head()
             dim = len(head["_centvec"]) if head is not None else None
-            if dim is not None and (qn + cn) * dim * 8 <= 256 * 1024 * 1024:
-                return _ivf_serve_broadcast(q, cells, cw, id_col, k,
-                                            n_probe, exclude_self)
+            if dim is not None and cn * dim * 8 <= 256 * 1024 * 1024:
+                return _ivf_serve_broadcast(
+                    q, cells, cw, id_col, k, n_probe, exclude_self,
+                    fingerprint=_serve_fingerprint(stored, cn),
+                    cache_name=f"{table}_cells")
     c = cells.select(
         "cell_id", F.col("corpus_id").alias("match_id"),
         F.col("_vec").alias("_cvec"), F.col("_norm").alias("_cnorm"))
