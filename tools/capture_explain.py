@@ -341,20 +341,29 @@ CURATED: dict[str, str] = {
         "is paid as BLAS flops, never materialized as join rows (the "
         "r10 posting-join + pair-verify shape shuffled billions of "
         "candidate rows through a dropDuplicates at the sf10 bench "
-        "shape: 271 s, now 8 s). Zero shuffles. Above the gate the "
-        "bucketed join tier serves: corpus buckets scanned bucketed on "
-        "(_t, _b), candidates carry ids only, vectors attach via "
-        "equi-joins (_vec bucketed on corpus_id), JVM array dot "
-        "verifies."
+        "shape: 271 s, now 8 s). The pack is CACHED per index epoch "
+        "(r11: append/compaction move the maintenance_epoch "
+        "fingerprint, rebuilds the build_nonce), so repeat serves skip "
+        "the O(corpus) driver collect+broadcast; the only exchange is "
+        "a round-robin of the BATCH when it arrives under-partitioned "
+        "— serving parallelism comes entirely from the batch side. "
+        "Above the gate the bucketed join tier serves: corpus buckets "
+        "scanned bucketed on (_t, _b), candidates carry ids only, "
+        "vectors attach via equi-joins (_vec bucketed on corpus_id), "
+        "JVM array dot verifies."
     ),
     "ann_ivf_topk_indexed": (
         "Persisted IVF index (ANN serving), broadcast tier (this "
         "capture): the stored centroids + cell assignments + normalized "
         "corpus matrix broadcast once, each Arrow batch of queries does "
         "probe selection, cell masking and top-k in one numpy pass — "
-        "zero joins/windows/shuffles. Above the gate (or non-long ids) "
-        "the join tier serves: centroids broadcast, cells scan bucketed "
-        "on cell_id, only the query batch shuffles."
+        "no joins or windows; the pack is cached per index epoch (r11) "
+        "and the only exchange is a round-robin of the query batch "
+        "when it arrives under-partitioned (the gate counts the CORPUS "
+        "alone — the batch streams, it is never broadcast). Above the "
+        "gate (or non-long ids) the join tier serves: centroids "
+        "broadcast, cells scan bucketed on cell_id, only the query "
+        "batch shuffles."
     ),
     "indexed_embedding_read_multiprobe": (
         "Multi-probe embedding-index read (probe_radius=1, ~5x fewer "
