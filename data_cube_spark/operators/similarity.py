@@ -19,6 +19,8 @@ are bit-deterministic for a given pair regardless of partitioning.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1385,10 +1387,15 @@ def _emb_pack_bytes(n_corpus: int, geo: dict) -> int:
         geo["n_tables"] * ((1 << geo["n_planes"]) + 1) * 8
 
 
-#: serve-pack cache: (applicationId, index table) -> (fingerprint,
-#: Broadcast). Bounded; evictions unpersist their broadcast.
+#: serve-pack cache: (applicationId, catalog.database, index table) ->
+#: (fingerprint, Broadcast). Bounded; evictions unpersist their
+#: broadcast. Guarded by a lock — Spark drivers commonly submit
+#: queries from several threads, and an unguarded miss/miss race would
+#: double-build packs (orphaning a broadcast) or double-pop an
+#: eviction key.
 _SERVE_PACK_CACHE: dict = {}
 _SERVE_PACK_CACHE_MAX = 8
+_SERVE_PACK_LOCK = threading.Lock()
 
 
 def _serve_fingerprint(stored: dict, n_rows: int) -> tuple:
@@ -1419,25 +1426,41 @@ def _cached_pack(spark, table: str, fingerprint: tuple | None, build):
     the indexed read paths) skips caching entirely."""
     if fingerprint is None:
         return spark.sparkContext.broadcast(build())
-    key = (spark.sparkContext.applicationId, table)
-    hit = _SERVE_PACK_CACHE.get(key)
-    if hit is not None and hit[0] == fingerprint:
-        return hit[1]
-    stale = [key] if hit is not None else []
-    # bounded: evict oldest-inserted beyond the cap (packs are pinned
-    # on executors until unpersisted)
-    while len(_SERVE_PACK_CACHE) - len(stale) >= _SERVE_PACK_CACHE_MAX:
-        stale.append(next(k for k in _SERVE_PACK_CACHE
-                          if k not in stale))
-    for k in stale:
-        _, old = _SERVE_PACK_CACHE.pop(k)
-        try:
-            old.unpersist()
-        except Exception:  # noqa: BLE001 — eviction is best-effort
-            pass
-    bc = spark.sparkContext.broadcast(build())
-    _SERVE_PACK_CACHE[key] = (fingerprint, bc)
-    return bc
+    # spark.table() resolves an unqualified name against the session's
+    # current catalog/database, so two same-named indexes in different
+    # databases must not share a cache slot (ADVICE r11)
+    try:
+        namespace = "%s.%s" % (spark.catalog.currentCatalog(),
+                               spark.catalog.currentDatabase())
+    except Exception:  # noqa: BLE001 — older catalogs; fall back flat
+        namespace = ""
+    key = (spark.sparkContext.applicationId, namespace, table)
+    # the lock spans lookup -> build -> insert: a miss/miss race on the
+    # SAME pack would otherwise build (and broadcast) it twice and
+    # orphan the loser; concurrent builds of different packs serialize,
+    # which is the cheap side of that trade (ADVICE r11)
+    with _SERVE_PACK_LOCK:
+        hit = _SERVE_PACK_CACHE.get(key)
+        if hit is not None and hit[0] == fingerprint:
+            return hit[1]
+        stale = [key] if hit is not None else []
+        # bounded: evict oldest-inserted beyond the cap (packs are
+        # pinned on executors until unpersisted)
+        while (len(_SERVE_PACK_CACHE) - len(stale)
+               >= _SERVE_PACK_CACHE_MAX):
+            stale.append(next(k for k in _SERVE_PACK_CACHE
+                              if k not in stale))
+        for k in stale:
+            entry = _SERVE_PACK_CACHE.pop(k, None)
+            if entry is None:
+                continue
+            try:
+                entry[1].unpersist()
+            except Exception:  # noqa: BLE001 — eviction is best-effort
+                pass
+        bc = spark.sparkContext.broadcast(build())
+        _SERVE_PACK_CACHE[key] = (fingerprint, bc)
+        return bc
 
 
 def _emb_serve_broadcast(batch: DataFrame, vc: DataFrame, geo: dict,
@@ -1559,6 +1582,13 @@ def _emb_serve_broadcast(batch: DataFrame, vc: DataFrame, geo: dict,
         serve, "batch_id long, corpus_id long, cosine double")
 
 
+#: below this optimizer size estimate a serve batch is scored where it
+#: sits — the GEMM work a sub-megabyte batch buys does not pay for a
+#: round-robin exchange (a 15k x 64-dim float64 batch is ~8 MB, well
+#: above it, so the measured r11 single-core case still spreads)
+_SPREAD_MIN_BYTES = 1 << 20
+
+
 def _spread(src: DataFrame) -> DataFrame:
     """Serving parallelism for the broadcast tiers comes ENTIRELY from
     the streamed batch's partitioning — the corpus pack is on every
@@ -1569,9 +1599,22 @@ def _spread(src: DataFrame) -> DataFrame:
     on one core of 32). Round-robin the batch up to the session's
     parallelism when it arrives in fewer partitions; the shuffled rows
     are only the batch (the tier's contract), so the exchange is cheap
-    relative to the scoring it parallelizes."""
+    relative to the scoring it parallelizes.
+
+    Two cost guards (ADVICE r11): a batch whose optimizer size
+    estimate is tiny is returned as-is — its scoring gain would not
+    pay for a shuffle, and the short-circuit also skips the
+    ``rdd.getNumPartitions()`` probe, which forces physical planning
+    of the batch plan on every serve call."""
     spark = src.sparkSession
     par = spark.sparkContext.defaultParallelism
+    try:
+        est = int(src._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats are advisory only
+        est = None
+    if est is not None and est <= _SPREAD_MIN_BYTES:
+        return src
     if src.rdd.getNumPartitions() < par:
         return src.repartition(par)
     return src

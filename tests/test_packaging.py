@@ -86,7 +86,10 @@ def test_wheel_builds_installs_and_serves_cli(tmp_path):
     if not has_bdist:
         import setuptools
 
-        has_bdist = int(setuptools.__version__.split(".")[0]) >= 70
+        # bdist_wheel was vendored into setuptools in 70.1, not 70.0
+        has_bdist = tuple(
+            int(x) for x in setuptools.__version__.split(".")[:2]
+        ) >= (70, 1)
     if has_bdist:
         r = subprocess.run(
             [sys.executable, "-m", "pip", "wheel", str(ROOT),
