@@ -273,6 +273,59 @@ EXTRA_BENCH = {
 }
 
 
+def _calibrate(spark) -> dict:
+    """Fixed environment microbenchmark stamped on every bench artifact
+    (VERDICT r11 #2/#3): each round runs in a fresh container whose
+    single-thread speed drifts ~15-25%, which made cross-round sf0.1
+    median comparisons uninterpretable ("regression or slower host?").
+    Three scalars, all code-and-data fixed so ONLY the environment
+    moves them: a pure-Python single-core loop (interpreter + clock
+    speed — the component the r11 sub-second drift tracked), a fixed
+    numpy GEMM (BLAS/CPU throughput), and a tiny fixed Spark
+    shuffle+agg job (JVM + scheduler + Python<->JVM path). Compare
+    rounds as raw medians AND medians divided by these scalars; a code
+    regression moves calibrated numbers, a slower host does not."""
+    import statistics
+    import time
+
+    import numpy as np
+
+    def py_loop():
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(2_000_000):
+            s += i * i
+        assert s > 0
+        return time.perf_counter() - t0
+
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal((1024, 1024))
+    b = rng.standard_normal((1024, 1024))
+    (a @ b).sum()  # warm the BLAS pool outside the timed draws
+
+    def gemm():
+        t0 = time.perf_counter()
+        (a @ b).sum()
+        return time.perf_counter() - t0
+
+    def spark_job():
+        t0 = time.perf_counter()
+        (spark.range(0, 2_000_000, 1, 32)
+         .selectExpr("id % 97 AS k", "id AS v")
+         .groupBy("k").sum("v").count())
+        return time.perf_counter() - t0
+
+    spark_job()  # warm (codegen + exchange reuse off the timed path)
+    return {
+        "python_loop_sec": round(statistics.median(
+            py_loop() for _ in range(5)), 4),
+        "gemm_1024_sec": round(statistics.median(
+            gemm() for _ in range(7)), 4),
+        "spark_fixed_job_sec": round(statistics.median(
+            spark_job() for _ in range(5)), 4),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from data_cube_spark.registry import QUERIES
@@ -346,6 +399,9 @@ def main() -> None:
             except Exception:
                 pass
 
+    calibration = _calibrate(spark)
+    print(f"# calibration: {calibration}", file=sys.stderr)
+
     times: dict[str, float] = {}
     detail: dict[str, dict | None] = {}
     total = 0.0
@@ -404,6 +460,7 @@ def main() -> None:
         "draws_policy": {"threshold_sec": REPEAT_THRESHOLD_SEC,
                          "n_draws": N_DRAWS},
         "sf": float(sf) if sf else None,
+        "calibration": calibration,
     }
     print(json.dumps({**summary, "queries": times,
                       "queries_detail": detail}))

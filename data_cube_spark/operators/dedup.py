@@ -208,15 +208,90 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _overlap_floor(threshold: float) -> Column:
+    """Minimum set overlap ``α`` a pair must reach for ``J >= t``:
+    ``o/(|a|+|b|-o) >= t  ⟺  o >= t(|a|+|b|)/(1+t)``, so
+    ``α = ceil(t(|a|+|b|)/(1+t))``. The epsilon keeps float rounding
+    from bumping an exactly-integral floor up by one and pruning a
+    borderline TRUTH pair; erring low only admits extra candidates,
+    which exact verification drops."""
+    return F.ceil(
+        (F.lit(float(threshold)) * (F.col("_pa") + F.col("_pb")))
+        / F.lit(1.0 + float(threshold)) - F.lit(1e-9))
+
+
+def _ppjoin_candidates(joined: DataFrame, left_id: str, right_id: str,
+                       threshold: float) -> DataFrame:
+    """PPJoin positional filtering (Xiao et al., "Efficient Similarity
+    Joins for Near Duplicate Detection", WWW'08) over prefix×prefix
+    join rows ``(left_id, right_id, _i, _j, _pa, _pb)`` — ``_i``/``_j``
+    are the matched shingle's 1-based ranks in each document's shared
+    global order, ``_pa``/``_pb`` the set sizes. Replaces the plain
+    ``.distinct()`` candidate step: the r11 sf10 profile measured a
+    1200:1 candidate:pair explosion (17.6M candidates for 14k truth
+    pairs) that positions prune BEFORE the distinct shuffle and the
+    set-fetch verification join.
+
+    Two exact (recall-lossless) prunes against the overlap floor
+    ``α = ceil(t(|a|+|b|)/(1+t))`` (:func:`_overlap_floor`):
+
+    - ROW level, valid at ANY common token ``w`` at positions
+      ``(i, j)``: common tokens strictly before ``w`` in the shared
+      order number at most ``min(i-1, j-1)`` (each occupies a position
+      below ``i`` on one side and below ``j`` on the other), tokens
+      after at most ``min(|a|-i, |b|-j)``, so
+      ``overlap <= 1 + min(i-1, j-1) + min(|a|-i, |b|-j)``.
+    - PAIR level, the classic PPJoin bound at the order-EARLIEST common
+      prefix token: that token attains ``min(i)`` and ``min(j)``
+      simultaneously (positions are monotone in the shared order on
+      both sides) and no common token precedes it (it would be in both
+      prefixes — a contradiction), so
+      ``overlap <= 1 + min(|a|-i0, |b|-j0)``.
+    - PAIR level, the count bound at the order-LATEST common prefix
+      token (positions ``i1 = max(i)``, ``j1 = max(j)``, ``c`` common
+      prefix tokens): every common token NOT among the ``c`` counted
+      ones would, were it at positions ``<= i1`` and ``<= j1``, sit
+      inside both prefixes and be counted — contradiction — so it lies
+      strictly after the latest token on both sides and
+      ``overlap <= c + min(|a|-i1, |b|-j1)``. (Duplicate postings from
+      a not-yet-compacted re-append can only OVERcount ``c`` — a looser
+      bound, extra candidates, never a lost pair.)
+
+    Applying the row filter first stays exact for the pair bounds: if
+    any of a pair's rows failed the row bound, that pair's overlap
+    provably cannot reach ``α``, so whatever the surviving rows' stats
+    decide about it is moot."""
+    alpha = _overlap_floor(threshold)
+    rows = joined.where(
+        F.lit(1) + F.least(F.col("_i") - 1, F.col("_j") - 1)
+        + F.least(F.col("_pa") - F.col("_i"), F.col("_pb") - F.col("_j"))
+        >= alpha)
+    return (
+        rows.groupBy(left_id, right_id)
+        .agg(F.min("_i").alias("_i0"), F.min("_j").alias("_j0"),
+             F.max("_i").alias("_i1"), F.max("_j").alias("_j1"),
+             F.count(F.lit(1)).alias("_c"),
+             F.min("_pa").alias("_pa"), F.min("_pb").alias("_pb"))
+        .where((F.lit(1) + F.least(F.col("_pa") - F.col("_i0"),
+                                   F.col("_pb") - F.col("_j0"))
+                >= alpha)
+               & (F.col("_c") + F.least(F.col("_pa") - F.col("_i1"),
+                                        F.col("_pb") - F.col("_j1"))
+                  >= alpha))
+        .select(left_id, right_id)
+    )
+
+
 def prefix_filter_candidates(
     sh: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs from the PREFIX FILTER over a
     distinct (id, shingle) table: join only each document's
     ``|d| − ceil(t·|d|) + 1`` globally-rarest shingles, plus the
-    ``t·|a| <= |b| <= |a|/t`` size filter. Superset of all pairs with
-    ``J >= t`` (prefix-filter theorem); exposed separately so tests can
-    measure the candidate bound directly."""
+    ``t·|a| <= |b| <= |a|/t`` size filter, pruned by the PPJoin
+    positional bounds (:func:`_ppjoin_candidates`). Superset of all
+    pairs with ``J >= t`` (prefix-filter theorem); exposed separately
+    so tests can measure the candidate bound directly."""
     from pyspark.sql import Window
 
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
@@ -229,20 +304,19 @@ def prefix_filter_candidates(
         .join(sizes, id_col)
         .where(F.col("_pos")
                <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
-        .select(id_col, "shingle", "_sz")
+        .select(id_col, "shingle", "_sz", "_pos")
     )
     a = pre.select(F.col(id_col).alias("id_a"), "shingle",
-                   F.col("_sz").alias("_pa"))
+                   F.col("_sz").alias("_pa"), F.col("_pos").alias("_i"))
     b = pre.select(F.col(id_col).alias("id_b"), "shingle",
-                   F.col("_sz").alias("_pb"))
-    return (
+                   F.col("_sz").alias("_pb"), F.col("_pos").alias("_j"))
+    joined = (
         a.join(b, "shingle")
         .where((F.col("id_a") < F.col("id_b"))
                & (F.lit(threshold) * F.col("_pa") <= F.col("_pb"))
                & (F.lit(threshold) * F.col("_pb") <= F.col("_pa")))
-        .select("id_a", "id_b")
-        .distinct()
     )
+    return _ppjoin_candidates(joined, "id_a", "id_b", threshold)
 
 
 def jaccard_pairs_prefix_rs(
@@ -288,20 +362,21 @@ def jaccard_pairs_prefix_rs(
             .where(F.col("_pos")
                    <= F.col("_sz")
                    - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
-            .select(id_col, "shingle", "_sz")
+            .select(id_col, "shingle", "_sz", "_pos")
         )
 
     a = _prefix(sh_l).select(F.col(id_col).alias("batch_id"), "shingle",
-                             F.col("_sz").alias("_pa"))
+                             F.col("_sz").alias("_pa"),
+                             F.col("_pos").alias("_i"))
     b = _prefix(sh_r).select(F.col(id_col).alias("corpus_id"), "shingle",
-                             F.col("_sz").alias("_pb"))
-    cands = (
+                             F.col("_sz").alias("_pb"),
+                             F.col("_pos").alias("_j"))
+    joined = (
         a.join(b, "shingle")
         .where((F.lit(threshold) * F.col("_pa") <= F.col("_pb"))
                & (F.lit(threshold) * F.col("_pb") <= F.col("_pa")))
-        .select("batch_id", "corpus_id")
-        .distinct()
     )
+    cands = _ppjoin_candidates(joined, "batch_id", "corpus_id", threshold)
     set_l = sh_l.groupBy(id_col).agg(
         F.array_sort(F.collect_set("shingle")).alias("_set_a"))
     set_r = sh_r.groupBy(id_col).agg(
@@ -485,7 +560,11 @@ _INDEX_PROP_PREFIX = "spark_graft.index."
 #: change bumps the constant so today's binaries fail loudly instead of
 #: misreading tomorrow's tables. An ABSENT stamp means the index
 #: predates versioning (implicitly version 0) and stays readable.
-INDEX_FORMAT_VERSION = 1
+#: v2 (r12): prefix indexes store each posting's rank in the frozen
+#: order (``_pos``) so reads can PPJoin-position-prune; v1 prefix
+#: indexes (no ``_pos`` column) stay readable on the legacy
+#: distinct path, and appends to them never migrate the layout.
+INDEX_FORMAT_VERSION = 2
 
 
 def _check_format_version(table: str, stored: dict) -> None:
@@ -921,9 +1000,11 @@ def write_prefix_index(
     bucketed catalog tables:
 
     - ``<table>_prefix``: the corpus prefix postings (corpus_id,
-      shingle, _sz), bucketed + sorted on ``shingle`` — the candidate
-      equi-join key, so per-batch joins read the corpus side
-      pre-partitioned and shuffle only the batch;
+      shingle, _sz, _pos — format v2 stores each posting's 1-based rank
+      in the frozen order so reads can PPJoin-position-prune), bucketed
+      + sorted on ``shingle`` — the candidate equi-join key, so
+      per-batch joins read the corpus side pre-partitioned and shuffle
+      only the batch;
     - ``<table>_df``: corpus document frequencies (the GLOBAL shingle
       order both sides must share; a batch shingle absent from the
       corpus gets df 0 — rarest-first, a conservative longer prefix,
@@ -967,7 +1048,7 @@ def write_prefix_index(
         .join(sizes, id_col)
         .where(F.col("_pos")
                <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
-        .select(F.col(id_col).alias("corpus_id"), "shingle", "_sz")
+        .select(F.col(id_col).alias("corpus_id"), "shingle", "_sz", "_pos")
     )
 
     def _p(sub):
@@ -1011,7 +1092,11 @@ def incremental_prefix_pairs_indexed(
     """:func:`jaccard_pairs_prefix_rs` against a PERSISTED
     :func:`write_prefix_index` — per ingest batch only the batch is
     shingled/prefixed/shuffled; the corpus postings come off disk
-    pre-partitioned on the shingle join key. EXACT: returns every
+    pre-partitioned on the shingle join key. Against a format-v2 index
+    (postings carry their frozen-order rank) the candidate step is
+    PPJoin-position-pruned (:func:`_ppjoin_candidates` — the r11 sf10
+    profile measured 1200:1 candidates:pairs without it); a v1 index
+    falls back to the legacy distinct, still exact. EXACT: returns every
     (batch_id, corpus_id, jaccard) with jaccard >= threshold (which must
     be >= the index's stored threshold — longer stored prefixes are a
     candidate superset for any higher query threshold; ENFORCED against
@@ -1047,26 +1132,55 @@ def incremental_prefix_pairs_indexed(
         .where(F.col("_pos")
                <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
         .select(F.col(id_col).alias("batch_id"), "shingle",
-                F.col("_sz").alias("_pa"))
+                F.col("_sz").alias("_pa"), F.col("_pos").alias("_i"))
     )
-    pre_c = spark.table(f"{table}_prefix").select(
-        "corpus_id", "shingle", F.col("_sz").alias("_pb"))
-    cands = (
+    pc = spark.table(f"{table}_prefix")
+    # format v2 stores each posting's rank in the frozen order; a v1
+    # index (no _pos column) stays readable on the legacy distinct
+    # path — positions only PRUNE, they never change the exact result
+    positional = "_pos" in pc.columns
+    if positional:
+        pre_c = pc.select("corpus_id", "shingle",
+                          F.col("_sz").alias("_pb"),
+                          F.col("_pos").alias("_j"))
+    else:
+        pre_c = pc.select("corpus_id", "shingle",
+                          F.col("_sz").alias("_pb"))
+    joined = (
         pre_b.join(pre_c, "shingle")
         .where((F.lit(threshold) * F.col("_pa") <= F.col("_pb"))
                & (F.lit(threshold) * F.col("_pb") <= F.col("_pa")))
-        .select("batch_id", "corpus_id")
-        .distinct()
     )
+    if positional:
+        cands = _ppjoin_candidates(joined, "batch_id", "corpus_id",
+                                   threshold)
+    else:
+        cands = joined.select("batch_id", "corpus_id").distinct()
     set_b = sh_b.groupBy(id_col).agg(
-        F.array_sort(F.collect_set("shingle")).alias("_set_a"))
+        F.array_sort(F.collect_set("shingle")).alias("_set_a")
+    ).select(F.col(id_col).alias("batch_id"), "_set_a")
     set_c = spark.table(f"{table}_sets").select(
         "corpus_id", F.col("_set").alias("_set_b"))
+    # Verify-join strategy (r12): the candidate stream itself is 16-byte
+    # id pairs — cheap to shuffle — but whichever SET side attaches
+    # first rides every later shuffle as ~0.5 KB arrays (measured 5+ GB
+    # of array traffic at the sf10 bench shape). When the batch's
+    # shingle volume fits the standard 256 MB broadcast gate, join the
+    # bucketed corpus sets FIRST (candidates shuffle as bare ids into
+    # the corpus buckets, corpus side exchange-free) and map-side
+    # broadcast the batch sets — no set array ever crosses a shuffle.
+    # The gate uses the hashed-shingle size (8 B each; string shingles
+    # estimated at 32 B) over the checkpointed batch shingles, which
+    # downstream materializes anyway.
+    per = 8 if hash_shingles else 32
+    small_batch = sh_b.count() * per <= 256 * 1024 * 1024
+    if small_batch:
+        verified = (cands.join(set_c, "corpus_id")
+                    .join(F.broadcast(set_b), "batch_id"))
+    else:
+        verified = cands.join(set_b, "batch_id").join(set_c, "corpus_id")
     return (
-        cands
-        .join(set_b.select(F.col(id_col).alias("batch_id"), "_set_a"),
-              "batch_id")
-        .join(set_c, "corpus_id")
+        verified
         .select(
             "batch_id", "corpus_id",
             F.size(F.array_intersect("_set_a", "_set_b")).alias("_inter"),
@@ -1158,13 +1272,15 @@ def append_prefix_index(
         .join(sizes, id_col)
         .where(F.col("_pos")
                <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
-        .select(F.col(id_col).alias("corpus_id"), "shingle", "_sz")
+        .select(F.col(id_col).alias("corpus_id"), "shingle", "_sz", "_pos")
     )
     # fence: claim the epoch BEFORE the first insert, re-check after
     # (ADVICE r10 — see _bump_epoch)
     members = [f"{table}_{m}" for m in ("prefix", "df", "sets")]
     claims = _bump_epoch(spark, *members)
-    # select in the TARGET's column order: insertInto matches by position
+    # select in the TARGET's column order: insertInto matches by
+    # position, and a v1 target (no stored _pos) simply drops the
+    # computed ranks — appends never migrate an index's format
     (prefix.select(*spark.table(f"{table}_prefix").columns)
      .write.insertInto(f"{table}_prefix"))
     sets = sh.groupBy(id_col).agg(

@@ -682,6 +682,18 @@ def bucketed_near_pairs(
         .applyInPandas(kernel, "id_a long, id_b long")
         .dropDuplicates(["id_a", "id_b"])
     )
+    return _verify_pair_cosines(v, cand, id_col, threshold)
+
+
+def _verify_pair_cosines(v: DataFrame, cand: DataFrame, id_col: str,
+                         threshold: float) -> DataFrame:
+    """Exact JVM-side cosine re-verification shared by the candidate
+    tiers: the (id_a, id_b) candidate stream picks up both vectors via
+    two id-joins and is thresholded on the SAME JVM double-dot every
+    tier emits — so emitted cosines are bit-identical across tiers and
+    float disagreement in a kernel's pre-threshold can only add a
+    candidate this filter then drops. ``v`` is the
+    (id, _vec, _norm) corpus projection."""
     va = v.select(F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"),
                   F.col("_norm").alias("_na"))
     vb = v.select(F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"),
@@ -695,6 +707,177 @@ def bucketed_near_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def broadcast_self_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 10,
+    dim: int = 64,
+    seed: int = 42,
+    corpus_rows: int | None = None,
+    max_bucket_rows: int = 1024,
+    max_candidate_rows: int | None = None,
+    pre_cap: int | None = None,
+) -> DataFrame:
+    """LSH near-pairs with a BROADCAST bucket-sliced pack — the r12
+    middle tier of :func:`near_pairs`, between the exact blocked matmul
+    (whose O(n²·d) flops are the binding constraint past ~65k rows, not
+    data movement) and the bucketed join tier (whose banded shuffle is
+    ``n × tables`` rows). Candidate semantics are IDENTICAL to
+    :func:`bucketed_near_pairs` — pairs co-bucketed in >= 1 hash table
+    under the same deterministic hyperplane geometry and the same
+    :func:`effective_planes` occupancy guard, so the recall model and
+    every plan/threshold knob carry over unchanged — but the physical
+    strategy is the serve-pack one (:func:`_emb_serve_broadcast`): the
+    corpus ships to every worker ONCE as (ids, normalized matrix,
+    per-table bucket-sorted permutation + offsets), and each Arrow
+    batch of corpus rows scores ONLY its own buckets' rows as
+    per-bucket GEMMs. Zero shuffle beyond reading the corpus; candidate
+    volume is paid as BLAS flops instead of materialized join rows.
+
+    ``pre_cap`` keeps the emitted stream linear like the other tiers,
+    and STRONGER: a query's candidates across all tables are visible in
+    one kernel batch (the pack is complete), so the per-node top-cap is
+    over its full co-bucketed candidate union — a superset of the
+    node's global top-``pre_cap`` (every globally-kept edge is
+    co-bucketed somewhere by construction of the candidate set), hence
+    :func:`cap_pair_degree` over this stream returns exactly the capped
+    graph it returns over the full above-threshold stream, as with the
+    other tiers. Stream bound: <= pre_cap · n rows.
+
+    Emitted candidates are re-verified JVM-side
+    (:func:`_verify_pair_cosines` — the kernel thresholds with 1e-9
+    slack), so output cosines are bit-identical to the other tiers'."""
+    import numpy as np
+    import pandas as pd
+
+    _require_integral_id(df, id_col, "broadcast_self_near_pairs")
+    # same pre-submit sizing guard as the join tier: candidates here are
+    # GEMM flops instead of join rows, but the volume arithmetic (and a
+    # caller's max_candidate_rows budget) is identical
+    _lsh_candidate_guard("broadcast_self_near_pairs", corpus_rows,
+                         n_planes, n_tables, max_bucket_rows,
+                         max_candidate_rows)
+    if pre_cap is not None and pre_cap < 1:
+        raise ValueError("pre_cap must be >= 1")
+    n_planes = effective_planes(n_planes, corpus_rows, max_bucket_rows)
+    spark = df.sparkSession
+    v = with_norm(df, vec_col).select(F.col(id_col), "_vec", "_norm")
+
+    def build():
+        pdf = v.toPandas()
+        if not len(pdf):
+            return (np.empty(0, "int64"), None, None, None, [], [])
+        ids = pdf[id_col].to_numpy().astype("int64")
+        order = np.argsort(ids)
+        ids = ids[order]
+        Mraw = np.stack(pdf["_vec"].to_numpy()[order]).astype("float64")
+        M = Mraw / np.maximum(
+            pdf["_norm"].to_numpy()[order].astype("float64"),
+            1e-300)[:, None]
+        planes = np.stack([
+            np.asarray(_hyperplanes(dim, n_planes, seed + t))
+            for t in range(n_tables)])
+        mat = planes.reshape(n_tables * n_planes, dim).T.copy()
+        weights = (1 << np.arange(n_planes)).astype("int64")
+        # sign-packing from the RAW vectors — bit-identical to
+        # _lsh_buckets_udf, so candidates match the join tier exactly
+        signs = (Mraw @ mat >= 0).reshape(len(ids), n_tables, n_planes)
+        cbuck = (signs * weights).sum(axis=2).astype("int64")
+        n_buckets = 1 << n_planes
+        perms, offs = [], []
+        for t in range(n_tables):
+            p = np.argsort(cbuck[:, t], kind="stable").astype("int32")
+            perms.append(p)
+            counts = np.bincount(cbuck[:, t], minlength=n_buckets)
+            offs.append(np.concatenate(
+                ([0], np.cumsum(counts))).astype("int64"))
+        return (ids, M, mat, weights, perms, offs)
+
+    bc = spark.sparkContext.broadcast(build())
+    thr = float(threshold) - 1e-9
+    cap = pre_cap
+
+    def gen(batches):
+        ids_, M_, mat_, w_, perms_, offs_ = bc.value
+        if not len(ids_):
+            return
+        n_t, n_p = len(perms_), len(w_)
+        for b in batches:
+            if not len(b):
+                continue
+            qid = b[id_col].to_numpy().astype("int64")
+            X = np.stack(b["_vec"].to_numpy()).astype("float64")
+            Qn = X / np.maximum(
+                b["_norm"].to_numpy().astype("float64"), 1e-300)[:, None]
+            qsigns = (X @ mat_ >= 0).reshape(len(qid), n_t, n_p)
+            qbuck = (qsigns * w_).sum(axis=2).astype("int64")
+            acc_q, acc_c, acc_s = [], [], []
+            for t in range(n_t):
+                buck = qbuck[:, t]
+                order_q = np.argsort(buck, kind="stable")
+                qb = buck[order_q]
+                ub, ustart = np.unique(qb, return_index=True)
+                bounds = np.append(ustart, len(qb))
+                pt, ot = perms_[t], offs_[t]
+                for g, bkt in enumerate(ub):
+                    s, e = ot[bkt], ot[bkt + 1]
+                    if e - s < 1:
+                        continue
+                    qg = order_q[bounds[g]:bounds[g + 1]]
+                    rows = pt[s:e]
+                    S = Qn[qg] @ M_[rows].T  # (queries, occupancy)
+                    ii, jj = np.nonzero(S >= thr)
+                    if not ii.size:
+                        continue
+                    cand_ids = ids_[rows[jj]]
+                    keep = cand_ids != qid[qg[ii]]  # mask self
+                    if not keep.any():
+                        continue
+                    acc_q.append(qg[ii][keep])
+                    acc_c.append(cand_ids[keep])
+                    acc_s.append(S[ii, jj][keep])
+            if not acc_q:
+                continue
+            q_ = np.concatenate(acc_q)
+            c_ = np.concatenate(acc_c)
+            s_ = np.concatenate(acc_s)
+            # dedupe (query, candidate) across tables FIRST — grouped by
+            # (q, c) with score desc inside each run, so the survivor of
+            # a cross-table duplicate is its best score and a duplicate
+            # can never eat a slot of the per-query cap below (the same
+            # pair's GEMM score may differ in the last ulp between
+            # tables, which would break adjacency under a score sort)
+            o1 = np.lexsort((-s_, c_, q_))
+            q_, c_, s_ = q_[o1], c_[o1], s_[o1]
+            dup = np.r_[False, (q_[1:] == q_[:-1]) & (c_[1:] == c_[:-1])]
+            q_, c_, s_ = q_[~dup], c_[~dup], s_[~dup]
+            if cap is not None:
+                # per-query top-cap in the cap_pair_degree order
+                # (score desc, candidate id asc)
+                o2 = np.lexsort((c_, -s_, q_))
+                q_, c_, s_ = q_[o2], c_[o2], s_[o2]
+                idx = np.arange(len(q_))
+                run_start = np.where(np.r_[True, q_[1:] != q_[:-1]],
+                                     idx, 0)
+                np.maximum.accumulate(run_start, out=run_start)
+                kp = (idx - run_start) < cap
+                q_, c_ = q_[kp], c_[kp]
+            a = qid[q_]
+            yield pd.DataFrame({
+                "id_a": np.minimum(a, c_),
+                "id_b": np.maximum(a, c_),
+            })
+
+    cand = (
+        _spread(v).mapInPandas(gen, "id_a long, id_b long")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_pair_cosines(v, cand, id_col, threshold)
 
 
 def blocked_near_pairs(
@@ -816,6 +999,16 @@ def blocked_near_pairs(
     return out
 
 
+#: exact-tier flops ceiling for :func:`near_pairs` (r12): the blocked
+#: matmul is O(n²·d) FLOPS no matter how well it avoids data movement —
+#: at d=64 this ceiling is ~2.7e11 flops (a few seconds at full local
+#: parallelism), while the pre-r12 gate (256 MB of vectors ≈ 4M rows)
+#: would have admitted ~1e15 flops: hours of GEMM sold as "the exact
+#: tier". Past the ceiling the bucket-sliced self-serve tier takes over
+#: with the same recall model as the bucketed join tier.
+BLOCKED_EXACT_MAX_ROWS = 65_536
+
+
 #: below this row count the whole pair computation runs on the driver:
 #: one numpy matmul beats a distributed job's fixed overhead by ~10x, and
 #: the LocalRelation result makes downstream re-evaluation (components
@@ -882,8 +1075,17 @@ def near_pairs(
 
     - corpus below :data:`DRIVER_PAIRS_MAX_ROWS` → :func:`driver_near_pairs`
       (exact, one driver matmul, LocalRelation result);
-    - corpus within the broadcast gate → :func:`blocked_near_pairs`
-      (exact, join-free, shuffle-free matmul blocks);
+    - corpus up to :data:`BLOCKED_EXACT_MAX_ROWS` (and matrix within the
+      256 MB broadcast gate) → :func:`blocked_near_pairs` (exact,
+      join-free, shuffle-free matmul blocks — O(n²·d) flops, affordable
+      only below that ceiling);
+    - corpus beyond the exact-flops ceiling but whose bucket-sliced
+      pack fits the broadcast gate → :func:`broadcast_self_near_pairs`
+      (r12: the serve-pack physical strategy applied to the self-join —
+      same candidate semantics and occupancy-guarded recall model as
+      the bucketed tier, zero shuffle, per-bucket GEMMs instead of
+      materialized join rows; the quadratic exact matmul was the
+      12x-at-sf10 scale wall behind ``semantic_dedup_keep``);
     - larger → :func:`bucketed_near_pairs` (bucket-local numpy verify,
       occupancy-guarded planes, approximate; ``max_degree`` doubles as
       the in-kernel pre-cap so the emitted pair stream is already
@@ -951,15 +1153,35 @@ def near_pairs(
     small = (
         corpus_rows is not None
         and corpus_rows > DRIVER_PAIRS_MAX_ROWS
-        and corpus_rows <= BROADCAST_MAX_ROWS
+        and corpus_rows <= BLOCKED_EXACT_MAX_ROWS
         and corpus_rows * dim * 8 <= 256 * 1024 * 1024
+    )
+    # past the exact-flops ceiling, serve the self-join from a
+    # broadcast bucket-sliced pack while it fits the same 256 MB gate
+    # every broadcast pack obeys (geometry after the occupancy guard,
+    # since planes size the per-table offset arrays)
+    pack_geo = {
+        "dim": dim, "seed": lsh_kwargs.get("seed", 42),
+        "n_tables": lsh_kwargs.get("n_tables", 10),
+        "n_planes": effective_planes(
+            lsh_kwargs.get("n_planes", 4), corpus_rows,
+            lsh_kwargs.get("max_bucket_rows", 1024)),
+    }
+    packed = (
+        corpus_rows is not None
+        and not small
+        and corpus_rows > DRIVER_PAIRS_MAX_ROWS
+        and corpus_rows <= BROADCAST_MAX_ROWS
+        and _emb_pack_bytes(corpus_rows, pack_geo) <= EMB_PACK_MAX_BYTES
     )
     if max_pairs is not None and corpus_rows is not None:
         plan = near_pairs_plan(corpus_rows, dim=dim, threshold=threshold,
                                edge_budget=max_pairs)
         est_stream = plan["est_random_pairs"]
         if max_degree is not None and corpus_rows > DRIVER_PAIRS_MAX_ROWS:
-            if small:  # blocked tier, per-row global top-cap
+            if small or packed:
+                # blocked / packed tiers: per-row top-cap over the
+                # row's full candidate view -> <= k rows per node
                 est_stream = min(est_stream, max_degree * corpus_rows)
             else:  # bucketed tier, per-bucket top-cap in every table
                 n_tab = lsh_kwargs.get("n_tables", 10)
@@ -984,6 +1206,13 @@ def near_pairs(
         # instead of the Θ(n²·density) above-threshold stream
         out = blocked_near_pairs(df, threshold, id_col=id_col,
                                  vec_col=vec_col, pre_cap=max_degree)
+    elif packed:
+        # serve-pack self-join: same candidate set and recall model as
+        # the bucketed tier, zero shuffle, per-bucket GEMMs
+        out = broadcast_self_near_pairs(df, threshold, id_col=id_col,
+                                        vec_col=vec_col, dim=dim,
+                                        corpus_rows=corpus_rows,
+                                        pre_cap=max_degree, **lsh_kwargs)
     else:
         # bucket-local verification: vectors cross the wire once per
         # banded row (not once per candidate), and max_degree doubles

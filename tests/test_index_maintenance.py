@@ -60,6 +60,96 @@ def test_append_prefix_index_read_equals_rebuild(spark, tables, tmp_path):
               *[f"t_apx_rb{s}" for s in PFX_TABLES])
 
 
+def test_prefix_v1_index_read_and_append_fallback(spark, tables, tmp_path):
+    """Format-v2 migration contract: a v1 prefix index (postings
+    without the ``_pos`` rank column) written by an older library
+    stays fully serviceable — reads take the legacy distinct path with
+    the SAME exact pairs, and appends keep working without migrating
+    the layout (the computed ranks are dropped by insertInto's
+    positional select)."""
+    from data_cube_spark.operators.dedup import _index_meta, _set_index_meta
+    from data_cube_spark.sources.ingest import write_bucketed
+
+    docs = tables["documents"]
+    corpus = docs.where(F.col("doc_id") % 3 == 0)
+    extra = docs.where(F.col("doc_id") % 3 == 1)
+    batch = docs.where(F.col("doc_id") % 3 == 2)
+    try:
+        dedup.write_prefix_index(corpus, "t_v1pfx", n_buckets=4,
+                                 threshold=0.4, path=str(tmp_path / "a"))
+        # downgrade the postings member to the v1 shape: no _pos
+        # column, format_version 1 (managed rewrite, same bucketing)
+        meta = _index_meta(spark, "t_v1pfx_prefix")
+        v1 = (spark.table("t_v1pfx_prefix")
+              .select("corpus_id", "shingle", "_sz").localCheckpoint())
+        spark.sql("DROP TABLE t_v1pfx_prefix")
+        write_bucketed(v1, "t_v1pfx_prefix", ["shingle"], 4)
+        _set_index_meta(spark, "t_v1pfx_prefix",
+                        {**meta, "format_version": "1"})
+        assert "_pos" not in spark.table("t_v1pfx_prefix").columns
+        got = sorted(map(tuple, dedup.incremental_prefix_pairs_indexed(
+            batch, "t_v1pfx", threshold=0.4).collect()))
+        inline = sorted(map(tuple, dedup.jaccard_pairs_prefix_rs(
+            batch, corpus, threshold=0.4).collect()))
+        assert got == inline and len(got) > 0
+        # appends to the v1 layout still work and reads stay exact
+        dedup.append_prefix_index(extra, "t_v1pfx")
+        assert "_pos" not in spark.table("t_v1pfx_prefix").columns
+        got2 = sorted(map(tuple, dedup.incremental_prefix_pairs_indexed(
+            batch, "t_v1pfx", threshold=0.4).collect()))
+        inline2 = sorted(map(tuple, dedup.jaccard_pairs_prefix_rs(
+            batch, corpus.unionByName(extra), threshold=0.4).collect()))
+        assert got2 == inline2
+        dedup.check_prefix_consistency(spark, "t_v1pfx")
+    finally:
+        _drop(spark, *[f"t_v1pfx{s}" for s in PFX_TABLES])
+
+
+def test_ppjoin_positional_filter_prunes_candidates(spark):
+    """The r12 scale fix is observable at the kernel level: candidate
+    rows whose positional overlap bound cannot reach the threshold are
+    pruned (the legacy size filter alone keeps every one of these),
+    boundary cases with an exactly-integral overlap floor are KEPT
+    (the epsilon guard), and the layered row-then-pair filter kills a
+    pair whose only early match failed the row bound. Exactness over
+    arbitrary corpora is the Hypothesis property's job; this pins the
+    PRUNING itself. All at t=0.5, where alpha = ceil((pa+pb)/3)."""
+    rows = [
+        # pruned at ROW level: i=1,j=6 -> 1+min(0,5)+min(9,4)=5 < 7
+        (1, 10, 1, 6, 10, 10),
+        # kept: first-position match, bound 10 >= 7
+        (2, 20, 1, 1, 10, 10),
+        # kept at the exact pair-bound boundary: 1+min(6,10)=7 >= 7
+        (3, 30, 2, 2, 8, 12),
+        # kept at an exactly-integral alpha=4 (epsilon guard): bound 4
+        (4, 40, 3, 3, 6, 6),
+        # pruned at ROW level with asymmetric positions: 1+1+1=3 < 4
+        (5, 50, 5, 2, 6, 6),
+        # pruned at PAIR level: the early row (i=1,j=6) fails the row
+        # bound (5 < 7), the late row (i=6,j=6) passes it (10 >= 7)
+        # but the surviving min positions give 1+min(4,4)=5 < 7
+        (7, 70, 1, 6, 10, 10),
+        (7, 70, 6, 6, 10, 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "batch_id long, corpus_id long, _i int, _j int, "
+              "_pa long, _pb long")
+    got = {(r.batch_id, r.corpus_id)
+           for r in dedup._ppjoin_candidates(
+               df, "batch_id", "corpus_id", 0.5).collect()}
+    assert got == {(2, 20), (3, 30), (4, 40)}
+    # end-to-end: a genuine near-dup (10-element sets sharing 9)
+    # always survives the positional filters
+    sh = spark.createDataFrame(
+        [(1, f"s{i}") for i in range(10)]
+        + [(2, f"s{i}") for i in range(9)] + [(2, "t0")],
+        "doc_id long, shingle string")
+    survivors = {(r.id_a, r.id_b)
+                 for r in dedup.prefix_filter_candidates(
+                     sh, "doc_id", 0.5).collect()}
+    assert survivors == {(1, 2)}
+
+
 def test_append_prefix_drift_counters_and_health(spark, tables, tmp_path):
     """Drift counters accumulate across appends, needs_rebuild flips
     past PREFIX_DF_DRIFT_BOUND, list_indexes surfaces the health dict,

@@ -529,6 +529,90 @@ def test_bucketed_near_pairs_pre_cap_linear_stream(spark):
     assert again == pairs(pre)
 
 
+def test_broadcast_self_near_pairs_matches_bucketed_tier(spark, tables):
+    """The r12 serve-pack self-join tier is a physical-strategy change
+    only: at identical hyperplane geometry its candidate set (pairs
+    co-bucketed in >= 1 table) and JVM-exact verification match
+    bucketed_near_pairs pair-for-pair, cosine-for-cosine."""
+    from data_cube_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    kw = dict(threshold=0.35, n_planes=4, n_tables=48, corpus_rows=n)
+    old = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in similarity.bucketed_near_pairs(emb, **kw).collect()}
+    new = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in similarity.broadcast_self_near_pairs(
+               emb, **kw).collect()}
+    assert set(old) == set(new) and len(new) > 0
+    assert all(abs(old[p] - new[p]) < 1e-9 for p in new)
+    with pytest.raises(ValueError, match="pre_cap"):
+        similarity.broadcast_self_near_pairs(emb, threshold=0.35,
+                                             pre_cap=0)
+    with pytest.raises(ValueError, match="candidate budget exceeded"):
+        similarity.broadcast_self_near_pairs(
+            emb, threshold=0.35, n_planes=4, n_tables=48,
+            corpus_rows=1_000_000, max_candidate_rows=1_000_000)
+
+
+def test_broadcast_self_near_pairs_pre_cap_stream(spark):
+    """pre_cap in the packed tier: stream bounded by pre_cap*n, never
+    invents a pair, and capping the pre-capped stream loses NO globally
+    top-k edge (here the kernel sees each node's FULL co-bucketed
+    candidate union in one batch, so cap_pair_degree over the pre-capped
+    stream equals capping the full stream exactly)."""
+    from data_cube_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    k = 3
+    kw = dict(threshold=0.2, n_planes=3, n_tables=24, corpus_rows=n)
+    full = similarity.broadcast_self_near_pairs(emb, **kw).localCheckpoint()
+    pre = similarity.broadcast_self_near_pairs(
+        emb, pre_cap=k, **kw).localCheckpoint()
+    n_full, n_pre = full.count(), pre.count()
+    assert 0 < n_pre < n_full  # the cap bites at this density
+    assert n_pre <= k * n
+    pairs = lambda df: {(r["id_a"], r["id_b"]) for r in df.collect()}
+    assert pairs(pre) <= pairs(full)
+    capped_full = pairs(similarity.cap_pair_degree(full, k))
+    capped_pre = pairs(similarity.cap_pair_degree(pre, k))
+    assert capped_full <= capped_pre
+    # deterministic under input repartitioning (content-defined buckets)
+    again = pairs(similarity.broadcast_self_near_pairs(
+        emb.repartition(7), pre_cap=k, **kw))
+    assert again == pairs(pre)
+
+
+def test_near_pairs_routes_packed_tier(spark, tables, monkeypatch):
+    """Dispatch (r12): past the exact-flops ceiling but within the
+    broadcast pack gate the self-join is served from the pack, with
+    max_degree threaded through as the kernel pre-cap; the exact
+    blocked tier keeps corpora at or below the ceiling."""
+    from data_cube_spark.operators import similarity
+
+    seen = {}
+
+    def fake(df, threshold, **kwargs):
+        seen.update(kwargs)
+        return similarity.driver_near_pairs(df, threshold)
+
+    monkeypatch.setattr(similarity, "broadcast_self_near_pairs", fake)
+    similarity.near_pairs(tables["embeddings"], threshold=0.35,
+                          corpus_rows=200_000, max_degree=7).collect()
+    assert seen["pre_cap"] == 7 and seen["corpus_rows"] == 200_000
+    # at the ceiling the exact blocked tier still owns the corpus
+    seen.clear()
+    called = {}
+    monkeypatch.setattr(
+        similarity, "blocked_near_pairs",
+        lambda df, t, **kw: called.update(kw)
+        or similarity.driver_near_pairs(df, t))
+    similarity.near_pairs(tables["embeddings"], threshold=0.35,
+                          corpus_rows=65_536, max_degree=5).collect()
+    assert not seen and called["pre_cap"] == 5
+
+
 def test_simhash_plan_and_candidate_guard(spark):
     """simhash joins the family's pre-submit sizing convention: the plan
     arithmetic (uniform collision model + pigeonhole guarantee) and the
