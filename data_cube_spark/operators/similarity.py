@@ -747,7 +747,10 @@ def broadcast_self_near_pairs(
     co-bucketed somewhere by construction of the candidate set), hence
     :func:`cap_pair_degree` over this stream returns exactly the capped
     graph it returns over the full above-threshold stream, as with the
-    other tiers. Stream bound: <= pre_cap · n rows.
+    other tiers. Stream bound: <= pre_cap · n rows plus fp32 boundary
+    ties (the kernel nominates on float32 scores, so the cap keeps
+    everything within a 1e-4 margin of the cap-th score and the exact
+    downstream cap decides).
 
     Emitted candidates are re-verified JVM-side
     (:func:`_verify_pair_cosines` — the kernel thresholds with 1e-9
@@ -784,8 +787,8 @@ def broadcast_self_near_pairs(
             for t in range(n_tables)])
         mat = planes.reshape(n_tables * n_planes, dim).T.copy()
         weights = (1 << np.arange(n_planes)).astype("int64")
-        # sign-packing from the RAW vectors — bit-identical to
-        # _lsh_buckets_udf, so candidates match the join tier exactly
+        # sign-packing from the RAW vectors in float64 — bit-identical
+        # to _lsh_buckets_udf, so candidates match the join tier exactly
         signs = (Mraw @ mat >= 0).reshape(len(ids), n_tables, n_planes)
         cbuck = (signs * weights).sum(axis=2).astype("int64")
         n_buckets = 1 << n_planes
@@ -796,10 +799,16 @@ def broadcast_self_near_pairs(
             counts = np.bincount(cbuck[:, t], minlength=n_buckets)
             offs.append(np.concatenate(
                 ([0], np.cumsum(counts))).astype("int64"))
-        return (ids, M, mat, weights, perms, offs)
+        # the scoring matrix ships float32: the kernel only nominates
+        # candidates (threshold slack 1e-4 >> fp32 rounding at d=64;
+        # the JVM-exact verify decides), and halving the bytes halves
+        # both the broadcast and the kernel's memory traffic
+        return (ids, M.astype("float32"), mat, weights, perms, offs)
 
     bc = spark.sparkContext.broadcast(build())
-    thr = float(threshold) - 1e-9
+    # fp32 nomination slack: ~1e-6 relative rounding at d=64, padded
+    # three orders of magnitude; the JVM-exact verify drops overshoot
+    thr = float(threshold) - 1e-4
     cap = pre_cap
 
     def gen(batches):
@@ -812,8 +821,11 @@ def broadcast_self_near_pairs(
                 continue
             qid = b[id_col].to_numpy().astype("int64")
             X = np.stack(b["_vec"].to_numpy()).astype("float64")
-            Qn = X / np.maximum(
-                b["_norm"].to_numpy().astype("float64"), 1e-300)[:, None]
+            Qn = (X / np.maximum(
+                b["_norm"].to_numpy().astype("float64"),
+                1e-300)[:, None]).astype("float32")
+            # bucket signs stay float64 on the raw vectors —
+            # bit-identical to _lsh_buckets_udf / the index writers
             qsigns = (X @ mat_ >= 0).reshape(len(qid), n_t, n_p)
             qbuck = (qsigns * w_).sum(axis=2).astype("int64")
             acc_q, acc_c, acc_s = [], [], []
@@ -858,14 +870,19 @@ def broadcast_self_near_pairs(
             q_, c_, s_ = q_[~dup], c_[~dup], s_[~dup]
             if cap is not None:
                 # per-query top-cap in the cap_pair_degree order
-                # (score desc, candidate id asc)
+                # (score desc, candidate id asc), WIDENED by a tie
+                # margin: ranks come from fp32 nomination scores, so a
+                # true top-cap edge could sit one ulp below rank cap —
+                # everything within 1e-4 of the cap-th score is kept
+                # and the downstream exact-cosine cap decides
                 o2 = np.lexsort((c_, -s_, q_))
                 q_, c_, s_ = q_[o2], c_[o2], s_[o2]
                 idx = np.arange(len(q_))
                 run_start = np.where(np.r_[True, q_[1:] != q_[:-1]],
                                      idx, 0)
                 np.maximum.accumulate(run_start, out=run_start)
-                kp = (idx - run_start) < cap
+                kth = s_[np.minimum(run_start + cap - 1, idx)]
+                kp = ((idx - run_start) < cap) | (s_ >= kth - 1e-4)
                 q_, c_ = q_[kp], c_[kp]
             a = qid[q_]
             yield pd.DataFrame({
