@@ -59,17 +59,26 @@ def contamination_overlap(
     scored (they cannot be contaminated under this definition).
     """
     c_sh = shingle_table(corpus, text_col, id_col, k, hashed=True)
-    b_sh = benchmark_shingles(benchmark, text_col, id_col, k)
+    b_sh = benchmark_shingles(benchmark, text_col, id_col, k).withColumn(
+        "_hit", F.lit(1))
     if broadcast_benchmark:
         b_sh = F.broadcast(b_sh)
-    sizes = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (c_sh.join(b_sh, "shingle", "left_semi")
-            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_overlap")))
+    # ONE pass over the corpus shingles (r12, from the sf10 phase
+    # profile: this operator was 63 s of pipeline_pretraining's 79 s,
+    # and more than half of that was shingling the corpus TWICE — once
+    # under the size aggregate and once under a semi-join'd hit
+    # aggregate — then shuffling both aggregates into a join). The
+    # semi join becomes a broadcast left join against a marker column,
+    # so size and overlap come out of the SAME map-side-combined
+    # aggregate: one shingle pass, one shuffle of (doc_id, counts),
+    # zero aggregate-vs-aggregate joins. Row multiplicity through the
+    # marker join is exactly the semi-join-per-row semantics, so
+    # counts are unchanged.
     frac = F.col("n_overlap").cast("double") / F.col("n_shingles")
-    return (sizes.join(hits, id_col, "left")
-            .select(F.col(id_col),
-                    F.col("n_shingles"),
-                    F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"))
+    return (c_sh.join(b_sh, "shingle", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_overlap"))
             .withColumn("contamination_frac", frac)
             .withColumn("contaminated",
                         (frac >= F.lit(threshold)).cast("int")))

@@ -166,14 +166,27 @@ def ngram_jaccard_pairs(
     sh = shingle_table(df, text_col, id_col, k, hashed=hash_shingles)
     if block_cols:
         sh = sh.join(df.select(id_col, *block_cols), id_col)
-    if max_df is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        sh = sh.join(freq.where(F.col("_df") <= max_df).select("shingle"), "shingle")
     if cache:
         # lazy localCheckpoint, not persist(): materializes on first use,
         # blocks free with the frame (persist entries accumulate across
-        # calls in a long-lived session — ADVICE r3)
+        # calls in a long-lived session — ADVICE r3). Before the df
+        # pass, so the frequency aggregate and the capped stream share
+        # one shingling (r12, same profile finding as the incremental
+        # twin).
         sh = sh.localCheckpoint(eager=False)
+    if max_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        # broadcast anti-join against the small heavy-hitter stop set
+        # when it fits; fall back to the kept-vocab inner join (see
+        # incremental_ngram_pairs)
+        stop = (freq.where(F.col("_df") > max_df)
+                .select("shingle").localCheckpoint())
+        if stop.count() <= STOP_SHINGLE_BROADCAST_MAX_ROWS:
+            sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
+        else:
+            sh = sh.join(
+                freq.where(F.col("_df") <= max_df).select("shingle"),
+                "shingle").localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col, *(block_cols or [])).agg(F.count(F.lit(1)).alias("_sz"))
 
     a = sh.select(
@@ -471,6 +484,13 @@ def jaccard_pairs_prefix(
 
 # -- incremental dedup: new batch vs standing corpus ------------------------
 
+#: stop-shingle sets (df > max_df heavy hitters) small enough to ship
+#: as a broadcast anti-join filter instead of shuffle-joining the
+#: shingle streams against the kept vocabulary: 2M hashed shingles is
+#: ~16 MB — the same order as a dimension broadcast.
+STOP_SHINGLE_BROADCAST_MAX_ROWS = 2_000_000
+
+
 def incremental_ngram_pairs(
     batch: DataFrame,
     corpus: DataFrame,
@@ -497,20 +517,38 @@ def incremental_ngram_pairs(
     ``jaccard >= threshold``."""
     sh_b = shingle_table(batch, text_col, id_col, k, hashed=hash_shingles)
     sh_c = shingle_table(corpus, text_col, id_col, k, hashed=hash_shingles)
+    if cache:
+        # lazy localCheckpoint, not persist() — see ngram_jaccard_pairs.
+        # Checkpoint BEFORE the df pass (r12, from the sf10 phase
+        # profile): the frequency aggregate and the capped streams both
+        # read the shingles, and an uncheckpointed plan re-ran the
+        # regex shingling of both sides per consumer (~35 s of the
+        # 128 s sf10 entry).
+        sh_b = sh_b.localCheckpoint(eager=False)
+        sh_c = sh_c.localCheckpoint(eager=False)
     if max_df is not None:
         freq = (
             sh_b.unionByName(sh_c)
             .groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") <= max_df)
-            .select("shingle")
         )
-        sh_b = sh_b.join(freq, "shingle")
-        sh_c = sh_c.join(freq, "shingle")
-    if cache:
-        # lazy localCheckpoint, not persist() — see ngram_jaccard_pairs
-        sh_b = sh_b.localCheckpoint(eager=False)
-        sh_c = sh_c.localCheckpoint(eager=False)
+        # the df cap DROPS a small heavy-hitter set and KEEPS nearly
+        # the whole vocabulary, so filter with a broadcast anti-join
+        # against the stop set instead of shuffle-joining both shingle
+        # streams against the multi-million-row kept vocab (the other
+        # big slice of the 128 s profile). Stop-set size is
+        # data-dependent — counting it costs one job over the agg the
+        # cap needs anyway, and an oversized stop set falls back to
+        # the kept-vocab inner join unchanged.
+        stop = (freq.where(F.col("_df") > max_df)
+                .select("shingle").localCheckpoint())
+        if stop.count() <= STOP_SHINGLE_BROADCAST_MAX_ROWS:
+            sh_b = sh_b.join(F.broadcast(stop), "shingle", "left_anti")
+            sh_c = sh_c.join(F.broadcast(stop), "shingle", "left_anti")
+        else:
+            keep = freq.where(F.col("_df") <= max_df).select("shingle")
+            sh_b = sh_b.join(keep, "shingle").localCheckpoint(eager=False)
+            sh_c = sh_c.join(keep, "shingle").localCheckpoint(eager=False)
     sz_b = sh_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz_a")).select(
         F.col(id_col).alias("batch_id"), "_sz_a")
     sz_c = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz_b")).select(
