@@ -151,7 +151,16 @@ def q_bucketed_join_copartition(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             write_bucketed(df, name, [key], n_buckets=8,
                            path=os.path.join(base, name))
-        j = spark.table(f"{tag}_lineitem").join(
+        # merge hint (r12): the co-located sort-merge join IS this
+        # query's contract — both sides were bucketed on the key so the
+        # join runs with zero exchanges at ANY scale. Without the hint
+        # Catalyst sizes the 2-column orders scan by its compressed
+        # parquet footprint and at sf10 flips it to a broadcast whose
+        # DESERIALIZED build side (millions of rows) blows the driver
+        # ("Not enough memory to build and broadcast", measured in the
+        # dedicated sf10 session). Pinning merge restores the layout's
+        # whole point: the join shuffle was paid once at write time.
+        j = spark.table(f"{tag}_lineitem").hint("merge").join(
             spark.table(f"{tag}_orders"),
             F.col("l_orderkey") == F.col("o_orderkey"))
         out = j.groupBy("o_orderpriority").agg(

@@ -44,6 +44,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Pin worker-side BLAS to one thread (r12): the numpy kernels in
+        # mapInPandas/applyInPandas run at full TASK parallelism already,
+        # and an unpinned OpenBLAS spawns ncpu threads PER WORKER —
+        # 32 tasks x 32 BLAS threads oversubscribes the box ~32x and made
+        # the GEMM-heavy tiers' timings swing 4x run-to-run (caught by
+        # the bench calibration scalars: python_loop flat while gemm
+        # flapped). executorEnv reaches the forked Python workers in
+        # local mode too, and leaves DRIVER-side numpy (the driver
+        # near-pair tier, small) free to use the full pool.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
