@@ -16,6 +16,35 @@ import time
 REPEAT_THRESHOLD_SEC = 1.0
 N_DRAWS = 3
 
+#: queries whose hot path is numpy GEMM inside Arrow workers — their
+#: round-over-round drift tracks the calibration block's BLAS scalar,
+#: not the Spark/JVM scalar (VERDICT r12 #2: the artifacts carried the
+#: calibration but made the reader do the normalization arithmetic).
+#: Everything else normalizes by the fixed Spark job.
+GEMM_FAMILY = {
+    "semantic_dedup_keep", "embedding_components", "ann_cosine_topk",
+    "contrastive_negatives", "indexed_embedding_read",
+    "indexed_embedding_read_mp", "indexed_ivf_read",
+}
+
+
+def _normalize(times: dict, calibration: dict) -> dict:
+    """Per-query calibration-normalized timings: raw seconds divided by
+    the family's environment scalar (GEMM family by ``gemm_1024_sec``,
+    everything else by ``spark_fixed_job_sec``) — dimensionless
+    multiples of a fixed-code microbenchmark, so a slower container
+    moves raw numbers but not these. The gemm scalar measures the
+    UNPINNED driver BLAS and carries more run-to-run spread than the
+    Spark scalar; treat single-query gemm-normalized deltas under ~2x
+    as noise unless the raw delta agrees."""
+    spark_s = calibration.get("spark_fixed_job_sec") or None
+    gemm_s = calibration.get("gemm_1024_sec") or None
+    out = {}
+    for q, sec in times.items():
+        scalar = gemm_s if q in GEMM_FAMILY else spark_s
+        out[q] = round(sec / scalar, 2) if (sec and scalar) else None
+    return out
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
@@ -84,7 +113,6 @@ BENCH_QUERIES = [
     "quantiles_by_type",
     "heavy_hitters_sources",
     "skew_aware_user_join",
-    "bucketed_join_copartition",
     "weighted_sample_docs",
     "token_budget_sample_docs",
     "scd2_temporal_revenue",
@@ -186,6 +214,60 @@ def _build_disk_indexes(spark, sf_dir) -> None:
     _DISK_INDEX[sf_dir] = tag
 
 
+def _build_bucketed_tables(spark, sf_dir) -> None:
+    """One-time bucketed layout write for the co-located join entry —
+    ingest, not a query (r13, VERDICT r12 #1): the registry's
+    ``bucketed_join_copartition`` necessarily writes its tables per call
+    (the oracle needs a self-contained query), which conflated a
+    one-time LAYOUT job with the read path it exists to serve and put a
+    write-dominated 11.4x on the sf10 artifact. The bench now writes the
+    tables here, untimed — exactly the contract ``save_cube(bucket_by)``
+    documents: the fact shuffle is paid once at write time."""
+    import tempfile
+
+    from data_cube_spark.sources.ingest import write_bucketed
+    from data_cube_spark.sources.star import load_tables
+
+    t = load_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="sg_bench_bkt_")
+    tag = os.path.basename(base).lower()
+    write_bucketed(t["orders"].select("o_orderkey", "o_orderpriority"),
+                   f"{tag}_orders", ["o_orderkey"], n_buckets=8,
+                   path=os.path.join(base, "orders"))
+    write_bucketed(
+        t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
+        f"{tag}_lineitem", ["l_orderkey"], n_buckets=8,
+        path=os.path.join(base, "lineitem"))
+    _BUCKETED_TABLES[sf_dir] = tag
+
+
+_BUCKETED_TABLES: dict = {}
+
+
+def _bucketed_join_read(spark, sf_dir):
+    """READ path of the bucketed co-located join (the recurring cost at
+    100 TB): both sides come off disk hash-partitioned on the join key
+    through read_bucketed — which pins merge when Catalyst's
+    compressed-bytes estimate would mis-size a broadcast (the un-hinted
+    sf10 plan OOM'd the driver) — so the join needs zero exchanges; the
+    only shuffle is the tiny by-priority aggregate. Same result set as
+    the registry's oracle-checked ``bucketed_join_copartition``."""
+    from pyspark.sql import functions as F
+
+    from data_cube_spark.registry._shared import _rev_expr
+    from data_cube_spark.sources.ingest import read_bucketed
+
+    tag = _BUCKETED_TABLES[sf_dir]
+    rev = _rev_expr()
+    j = read_bucketed(spark, f"{tag}_lineitem").join(
+        read_bucketed(spark, f"{tag}_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"))
+    return j.groupBy("o_orderpriority").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("o_orderkey").alias("n_orders"))
+
+
 def _indexed_minhash_read(spark, sf_dir):
     """Per-ingest read path against the PERSISTED bucketed LSH index:
     only the batch is shingled/signed/shuffled; the corpus bands come off
@@ -262,6 +344,7 @@ def _indexed_ivf_read(spark, sf_dir):
 #: benched alongside the registry queries; keys land in the same
 #: "queries" dict of the output JSON
 EXTRA_BENCH = {
+    "bucketed_join_read": _bucketed_join_read,
     "minhash_dedup_pairs": _production_minhash,
     "incremental_minhash_pairs": _production_incremental_minhash,
     "indexed_minhash_read": _indexed_minhash_read,
@@ -356,6 +439,9 @@ def main() -> None:
     # persisted index trio (bucketed catalog tables) — written once per
     # refresh cadence in production, so built here outside the timed set
     _build_disk_indexes(spark, sf_dir)
+    # bucketed join layout — the write is ingest, the timed entry is the
+    # read path (r13)
+    _build_bucketed_tables(spark, sf_dir)
     # fork the full Python-worker pool and import numpy in every worker
     # BEFORE the timed region: the first heavy Arrow stage otherwise
     # pays ~cores worker forks + numpy/BLAS init inside one query's
@@ -393,6 +479,10 @@ def main() -> None:
                 QUERIES[name](spark, tiny).count()
             except Exception:
                 pass
+        try:
+            _build_bucketed_tables(spark, tiny)
+        except Exception:
+            pass
         for fn in EXTRA_BENCH.values():
             try:
                 fn(spark, tiny).count()
@@ -419,7 +509,8 @@ def main() -> None:
     for name, fn in bench_fns.items():
         t0 = time.perf_counter()
         try:
-            n = fn(spark, sf_dir).count()
+            df = fn(spark, sf_dir)
+            n = df.count()
         except Exception as ex:  # one broken query must not zero the round
             times[name] = None
             detail[name] = None
@@ -446,23 +537,47 @@ def main() -> None:
         med = round(statistics.median(draws), 3)
         times[name] = med
         detail[name] = {"first": first, "median": med, "draws": len(draws)}
+        # plan fingerprint (VERDICT r12 #8): join-strategy/shuffle counts
+        # ride the artifact so a plan regression (e.g. a mis-sized
+        # broadcast flip) shows up in the bench DIFF, not a dedicated
+        # session OOM. Computed on the already-planned frame — no extra
+        # jobs; queries that return a localCheckpoint scan fingerprint
+        # as a bare scan, which is itself a stable shape.
+        try:
+            from data_cube_spark.plans import plan_report
+
+            detail[name]["plan"] = plan_report(df)
+        except Exception:  # noqa: BLE001 — fingerprints are advisory
+            pass
         total += med
         extra = (f" median {med:.3f}s of {draws}"
                  if len(draws) > 1 else "")
         print(f"# {name}: {first:.3f}s ({n} rows){extra}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    normalized = _normalize(times, calibration)
+    spark_s = calibration.get("spark_fixed_job_sec")
     summary = {
         "metric": "headline_queries_total_sec",
         "value": round(total, 3),
         "unit": "sec",
+        # total / fixed-Spark-job: the host-drift-corrected headline —
+        # compare THIS across rounds, raw seconds across same-host runs
+        "value_normalized_spark_jobs": (
+            round(total / spark_s, 1) if spark_s else None),
         "ingest_sec": ingest_sec,
         "draws_policy": {"threshold_sec": REPEAT_THRESHOLD_SEC,
                          "n_draws": N_DRAWS},
         "sf": float(sf) if sf else None,
         "calibration": calibration,
+        "normalization": {
+            "rule": "raw_sec / gemm_1024_sec for GEMM_FAMILY, "
+                    "raw_sec / spark_fixed_job_sec otherwise",
+            "gemm_family": sorted(GEMM_FAMILY & set(times)),
+        },
     }
     print(json.dumps({**summary, "queries": times,
+                      "queries_normalized": normalized,
                       "queries_detail": detail}))
     # the per-query JSON above can run long enough for tail-truncating
     # log captures to cut it mid-object (VERDICT r6 #4: BENCH_r06.json

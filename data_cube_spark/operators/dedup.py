@@ -162,6 +162,14 @@ def ngram_jaccard_pairs(
     swaps string join keys for 8-byte hashes; ``cache`` materializes the
     (reused-3×) shingle table via lazy localCheckpoint instead of
     recomputing its lineage per use.
+
+    NOT fully lazy when ``max_df`` is set (r12): choosing between the
+    broadcast-anti-join and kept-vocab strategies needs the stop set's
+    size, so the call runs the shingling + frequency aggregate (and
+    stores the checkpoint) at PLAN-CONSTRUCTION time — one Spark job as
+    a side effect of building the DataFrame. Callers composing plans
+    without executing them should defer the call, or pass
+    ``max_df=None``.
     """
     sh = shingle_table(df, text_col, id_col, k, hashed=hash_shingles)
     if block_cols:
@@ -181,7 +189,7 @@ def ngram_jaccard_pairs(
         # incremental_ngram_pairs)
         stop = (freq.where(F.col("_df") > max_df)
                 .select("shingle").localCheckpoint())
-        if stop.count() <= STOP_SHINGLE_BROADCAST_MAX_ROWS:
+        if _stop_set_fits(stop.count(), hash_shingles):
             sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
         else:
             sh = sh.join(
@@ -486,9 +494,24 @@ def jaccard_pairs_prefix(
 
 #: stop-shingle sets (df > max_df heavy hitters) small enough to ship
 #: as a broadcast anti-join filter instead of shuffle-joining the
-#: shingle streams against the kept vocabulary: 2M hashed shingles is
-#: ~16 MB — the same order as a dimension broadcast.
-STOP_SHINGLE_BROADCAST_MAX_ROWS = 2_000_000
+#: shingle streams against the kept vocabulary: ~16 MB of KEYS — 2M
+#: hashed shingles at 8 B each. The gate compares estimated BYTES, not
+#: rows (ADVICE r12): with ``hash_shingles=False`` the keys are
+#: ~32 B strings plus JVM object overhead, so the same row count is
+#: ~4-10x the broadcast weight — :func:`_stop_set_fits` scales the row
+#: cap by the per-key width exactly like the verify-join gate does.
+STOP_SHINGLE_BROADCAST_MAX_BYTES = 16 * 1024 * 1024
+
+#: byte-widths the broadcast gates assume per shingle key: 8 B hashed
+#: (bigint), 32 B estimated for raw string shingles (k=3 word shingles
+#: average ~20-25 chars; 32 errs toward refusing the broadcast).
+SHINGLE_KEY_BYTES = {True: 8, False: 32}
+
+
+def _stop_set_fits(n_rows: int, hash_shingles: bool) -> bool:
+    """Byte-scaled broadcast gate for the stop-shingle anti-join set."""
+    return (n_rows * SHINGLE_KEY_BYTES[bool(hash_shingles)]
+            <= STOP_SHINGLE_BROADCAST_MAX_BYTES)
 
 
 def incremental_ngram_pairs(
@@ -514,7 +537,12 @@ def incremental_ngram_pairs(
     caps document frequency computed over BOTH sides, dropping stop
     shingles before the join — the same boundedness contract as the
     self-join variant. Returns (batch_id, corpus_id, jaccard) with
-    ``jaccard >= threshold``."""
+    ``jaccard >= threshold``.
+
+    NOT fully lazy when ``max_df`` is set: the broadcast-vs-kept-vocab
+    strategy choice counts the stop set at plan-construction time (one
+    Spark job over both sides' shingles, checkpoint stored) — see
+    :func:`ngram_jaccard_pairs`."""
     sh_b = shingle_table(batch, text_col, id_col, k, hashed=hash_shingles)
     sh_c = shingle_table(corpus, text_col, id_col, k, hashed=hash_shingles)
     if cache:
@@ -542,7 +570,7 @@ def incremental_ngram_pairs(
         # the kept-vocab inner join unchanged.
         stop = (freq.where(F.col("_df") > max_df)
                 .select("shingle").localCheckpoint())
-        if stop.count() <= STOP_SHINGLE_BROADCAST_MAX_ROWS:
+        if _stop_set_fits(stop.count(), hash_shingles):
             sh_b = sh_b.join(F.broadcast(stop), "shingle", "left_anti")
             sh_c = sh_c.join(F.broadcast(stop), "shingle", "left_anti")
         else:
@@ -1140,7 +1168,13 @@ def incremental_prefix_pairs_indexed(
     candidate superset for any higher query threshold; ENFORCED against
     the stamped metadata), property-tested equal to the inline exact
     operator. ``k``/``hash_shingles`` must equal the writer's (also
-    enforced)."""
+    enforced).
+
+    NOT fully lazy: picking the verify-join side (broadcast the batch
+    sets vs shuffle them) sizes the batch's shingle volume with one
+    ``count()`` at plan-construction time — a per-ingest metadata-scale
+    job over the checkpointed batch shingles, which the returned plan
+    materializes anyway."""
     from pyspark.sql import Window
 
     spark = batch.sparkSession

@@ -1025,6 +1025,11 @@ def blocked_near_pairs(
 #: with the same recall model as the bucketed join tier.
 BLOCKED_EXACT_MAX_ROWS = 65_536
 
+#: one-time-per-process flag for the exact→approximate reroute warning
+#: (ADVICE r12): sizes the r12 flop cap moved out of the exact tier get
+#: a single loud UserWarning instead of a silent recall-model change.
+_WARNED_EXACT_REROUTE = False
+
 
 #: below this row count the whole pair computation runs on the driver:
 #: one numpy matmul beats a distributed job's fixed overhead by ~10x, and
@@ -1084,6 +1089,7 @@ def near_pairs(
     max_degree: int | None = None,
     max_pairs: int | None = None,
     uncapped: bool = False,
+    exact: bool | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Size-dispatched embedding near-pair source — the production entry
@@ -1141,7 +1147,23 @@ def near_pairs(
     unbudgeted call, the corpus is counted first (one cheap job) so the
     unknown-size case cannot bypass the gate; the count feeds ONLY the
     gate — tier dispatch still treats the size as unknown (bucketed
-    tier), so plans are unchanged."""
+    tier), so plans are unchanged.
+
+    ``exact`` surfaces the r12 flop-cap semantics change (ADVICE r12):
+    corpora in (:data:`BLOCKED_EXACT_MAX_ROWS`, memory-gate] used to be
+    served EXACTLY by the blocked matmul and are now rerouted to the
+    approximate packed/bucketed tiers (recall model
+    ``1-(1-p^b)^tables`` per pair at the stored geometry).
+
+    - ``exact=True`` is informed consent to the O(n²·d) flops: the
+      blocked exact tier serves any corpus whose normalized matrix
+      still fits the 256 MB collect/broadcast gate (that one is a
+      memory bound, not a cost knob — beyond it the call REFUSES with
+      the approximate remedies).
+    - ``exact=False`` opts into the approximate tiers silently.
+    - ``exact=None`` (default) keeps the size dispatch and emits a
+      ONE-TIME ``UserWarning`` when a corpus the pre-r12 dispatch
+      served exactly lands on an approximate tier."""
     from data_cube_spark.model import BROADCAST_MAX_ROWS
 
     gate_rows = corpus_rows
@@ -1167,12 +1189,45 @@ def near_pairs(
             f"max_pairs budget, or pass uncapped=True to accept the "
             f"quadratic edge set explicitly."
         )
+    matrix_fits = (corpus_rows is not None
+                   and corpus_rows * dim * 8 <= 256 * 1024 * 1024)
+    if exact and not matrix_fits:
+        raise ValueError(
+            f"near_pairs(exact=True) over "
+            f"{'unknown rows' if corpus_rows is None else f'{corpus_rows:,} rows'}"
+            f" at dim {dim}: the exact tier collects the normalized "
+            f"matrix and needs it under the 256 MB gate "
+            f"(pass corpus_rows if the corpus actually fits). For "
+            f"larger corpora use the approximate tiers (exact=False / "
+            f"default dispatch) or shard the corpus."
+        )
     small = (
         corpus_rows is not None
         and corpus_rows > DRIVER_PAIRS_MAX_ROWS
-        and corpus_rows <= BLOCKED_EXACT_MAX_ROWS
-        and corpus_rows * dim * 8 <= 256 * 1024 * 1024
+        # exact=True is informed consent to the O(n²·d) flops past the
+        # default ceiling; the 256 MB matrix gate still applies (memory)
+        and (corpus_rows <= BLOCKED_EXACT_MAX_ROWS or bool(exact))
+        and matrix_fits
     )
+    if (exact is None and matrix_fits and not small
+            and corpus_rows is not None
+            and corpus_rows > BLOCKED_EXACT_MAX_ROWS):
+        # the pre-r12 dispatch served this corpus exactly; say so once
+        # instead of silently trading recall (ADVICE r12)
+        global _WARNED_EXACT_REROUTE
+        if not _WARNED_EXACT_REROUTE:
+            _WARNED_EXACT_REROUTE = True
+            import warnings
+
+            warnings.warn(
+                f"near_pairs: corpus of {corpus_rows:,} rows exceeds the "
+                f"exact-tier flop ceiling ({BLOCKED_EXACT_MAX_ROWS:,} "
+                f"rows, r12) and is served by an APPROXIMATE LSH tier "
+                f"(per-pair recall 1-(1-p^planes)^tables at the call's "
+                f"geometry). Pre-r12 versions served this size exactly. "
+                f"Pass exact=True to accept the O(n²·d) exact cost, or "
+                f"exact=False to silence this warning.",
+                stacklevel=2)
     # past the exact-flops ceiling, serve the self-join from a
     # broadcast bucket-sliced pack while it fits the same 256 MB gate
     # every broadcast pack obeys (geometry after the occupancy guard,
@@ -1851,12 +1906,22 @@ def _spread(src: DataFrame) -> DataFrame:
     estimate is tiny is returned as-is — its scoring gain would not
     pay for a shuffle, and the short-circuit also skips the
     ``rdd.getNumPartitions()`` probe, which forces physical planning
-    of the batch plan on every serve call."""
+    of the batch plan on every serve call.
+
+    The estimate is trusted only when the optimized plan is a LEAF
+    (file scan / LocalRelation — sizes there are actual bytes, not
+    guesses): above a leaf, size-only estimation scales by column
+    ratios and selectivity heuristics that can report a genuinely
+    large single-partition batch as tiny, which would silently
+    reintroduce the single-core serving regression this function
+    exists to fix (ADVICE r12). Non-leaf plans fall through to the
+    partition-count probe."""
     spark = src.sparkSession
     par = spark.sparkContext.defaultParallelism
     try:
-        est = int(src._jdf.queryExecution().optimizedPlan()
-                  .stats().sizeInBytes())
+        plan = src._jdf.queryExecution().optimizedPlan()
+        est = (int(plan.stats().sizeInBytes())
+               if plan.children().isEmpty() else None)
     except Exception:  # noqa: BLE001 — stats are advisory only
         est = None
     if est is not None and est <= _SPREAD_MIN_BYTES:

@@ -151,17 +151,21 @@ def q_bucketed_join_copartition(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             write_bucketed(df, name, [key], n_buckets=8,
                            path=os.path.join(base, name))
-        # merge hint (r12): the co-located sort-merge join IS this
-        # query's contract — both sides were bucketed on the key so the
-        # join runs with zero exchanges at ANY scale. Without the hint
-        # Catalyst sizes the 2-column orders scan by its compressed
-        # parquet footprint and at sf10 flips it to a broadcast whose
-        # DESERIALIZED build side (millions of rows) blows the driver
-        # ("Not enough memory to build and broadcast", measured in the
-        # dedicated sf10 session). Pinning merge restores the layout's
-        # whole point: the join shuffle was paid once at write time.
-        j = spark.table(f"{tag}_lineitem").hint("merge").join(
-            spark.table(f"{tag}_orders"),
+        # read through the shared guard (r13, lifted from the r12
+        # per-query hint): Catalyst sizes the 2-column orders scan by
+        # its compressed parquet footprint and at sf10 flipped it to a
+        # broadcast whose DESERIALIZED build side (millions of rows)
+        # blew the driver. read_bucketed pins merge whenever the
+        # DECOMPRESSED estimate exceeds the broadcast threshold, so the
+        # join runs the zero-exchange sort-merge the layout paid for —
+        # at sf0.01 both sides are genuinely broadcast-small and stay
+        # un-hinted (plan pinned either way by
+        # tests/test_plans.py::test_bucketed_join_has_zero_exchanges and
+        # tests/test_sources.py::test_read_bucketed_guards_missized_broadcast).
+        from data_cube_spark.sources.ingest import read_bucketed
+
+        j = read_bucketed(spark, f"{tag}_lineitem").join(
+            read_bucketed(spark, f"{tag}_orders"),
             F.col("l_orderkey") == F.col("o_orderkey"))
         out = j.groupBy("o_orderpriority").agg(
             F.sum(_rev_expr()).cast("double").alias("revenue"),

@@ -91,6 +91,89 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def read_bucketed(
+    spark: SparkSession,
+    table: str,
+    guard_broadcast: bool = True,
+) -> DataFrame:
+    """Read back a table the library wrote bucketed, guarded against
+    Catalyst's compressed-bytes broadcast mis-sizing.
+
+    The hazard (measured, r12 sf10): Catalyst sizes a parquet scan by
+    its COMPRESSED file bytes, and a narrow bucketed table — an int key
+    plus a dictionary-encoded attribute — compresses far below the
+    broadcast threshold while its DESERIALIZED build side is millions
+    of rows; the planner then picks a broadcast join that blows the
+    driver ("Not enough memory to build and broadcast") and, even when
+    it survives, throws away the bucket layout the write paid a shuffle
+    for. The guard estimates the DECOMPRESSED size from the parquet row
+    count (a metadata-only job — no data scanned) times the schema's
+    per-row width; when that estimate exceeds the session's
+    ``autoBroadcastJoinThreshold``, the returned frame carries a
+    ``merge`` hint, so joins against it plan the exchange-free
+    sort-merge the bucket layout exists for. Genuinely small bucketed
+    tables stay un-hinted (still broadcast-able), and an explicit
+    ``F.broadcast`` on the OTHER join side always outranks the merge
+    hint — star joins that broadcast a dim into a guarded fact keep
+    their broadcast plan.
+
+    The row-count job makes this read NOT fully lazy — a deliberate
+    trade on a path that is read-once-per-session (``load_cube``) or
+    once per ingest batch. ``guard_broadcast=False`` opts out."""
+    df = spark.table(table)
+    if not guard_broadcast:
+        return df
+    thr = _broadcast_threshold_bytes(spark)
+    if thr <= 0:
+        return df  # auto-broadcast disabled: nothing to mis-size
+    if df.count() * est_row_bytes(df.schema) > thr:
+        df = df.hint("merge")
+    return df
+
+
+#: per-field deserialized byte widths mirroring Catalyst's
+#: ``DataType.defaultSize`` (string 20, fixed types their width);
+#: variable-width containers get a conservative 40-byte floor — erring
+#: LARGE only pins merge on a table that was borderline-broadcastable,
+#: never broadcasts one that was not.
+_TYPE_WIDTH = {
+    "boolean": 1, "byte": 1, "tinyint": 1, "short": 2, "smallint": 2,
+    "int": 4, "integer": 4, "date": 4, "float": 4, "long": 8,
+    "bigint": 8, "double": 8, "timestamp": 8, "timestamp_ntz": 8,
+    "string": 20,
+}
+
+
+def est_row_bytes(schema) -> int:
+    """Estimated DESERIALIZED bytes per row for ``schema`` (plus an
+    8-byte row header) — the quantity broadcast builds actually
+    allocate, as opposed to the compressed scan bytes Catalyst sizes
+    file relations by."""
+    total = 8
+    for f in schema.fields:
+        s = f.dataType.simpleString()
+        if s.startswith("decimal"):
+            total += 16
+        else:
+            total += _TYPE_WIDTH.get(s, 40)
+    return total
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (handles the
+    '10MB'/'10485760b'/plain-int spellings; -1 = disabled)."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                             "10MB")).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if raw.endswith("b") and raw[:-1] and raw[-2] in units:
+        return int(raw[:-2]) * units[raw[-2]]
+    if raw and raw[-1] in units:
+        return int(raw[:-1]) * units[raw[-1]]
+    if raw.endswith("b"):
+        return int(raw[:-1])
+    return int(raw)
+
+
 def write_range_layout(
     df: DataFrame,
     path: str,

@@ -113,6 +113,18 @@ def load_cube(
     joins/aggregations on the bucket keys are exchange-free in this
     session too. Without ``fact_table`` the fact falls back to a plain
     parquet read — correct, but the bucket layout goes unused.
+
+    The bucketed fact comes back through
+    :func:`~data_cube_spark.sources.ingest.read_bucketed`: Catalyst
+    sizes parquet scans by COMPRESSED bytes, and a narrow fact that
+    compresses under the broadcast threshold would otherwise be picked
+    as a broadcast build side whose deserialized rows blow the driver
+    (the r12 sf10 failure) — the guard pins ``merge`` on the fact when
+    its decompressed estimate exceeds the threshold, which both
+    prevents the OOM and keeps the zero-exchange plan the bucket
+    layout was paid for. Dims broadcast with an explicit
+    ``F.broadcast`` still broadcast — hint precedence favors the
+    explicit side.
     """
     with open(f"{path}/cube.json") as f:
         meta = json.load(f)
@@ -136,7 +148,9 @@ def load_cube(
             f"INTO {int(bucks['n_buckets'])} BUCKETS "
             f"LOCATION '{path}/fact'"
         )
-        fact_df = spark.table(fact_table)
+        from data_cube_spark.sources.ingest import read_bucketed
+
+        fact_df = read_bucketed(spark, fact_table)
     else:
         fact_df = spark.read.parquet(f"{path}/fact")
     fact = Fact(fact_df, meta["id_vars"], measures)

@@ -1055,3 +1055,53 @@ def test_ivf_index_serving_matches_inline_and_exchange_free(
                   "t_ivf_app_cells", "t_ivf_app_centroids",
                   "t_plain_cells"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bench_extra_plan_fingerprints(spark):
+    """Fingerprint-drift gate for the bench artifact's plan column
+    (VERDICT r12 #8): BENCH_r*.json now carries per-query
+    ``plan_report`` fingerprints so a join-strategy regression (e.g. the
+    compressed-bytes broadcast flip that OOM'd the un-hinted sf10
+    bucketed join) shows up in the artifact diff. This pins the
+    EXTRA_BENCH read paths' fingerprints at sf0.001 — exchanges exactly,
+    nested-loop joins at zero — so drift fails HERE first, with the
+    plan in the message. Broadcast-vs-merge on bucketed_join_read is
+    scale-dependent by design (read_bucketed guards by deserialized
+    size); its cross-scale flip is pinned by
+    test_sources.py::test_read_bucketed_guards_missized_broadcast."""
+    import bench
+    from data_cube_spark.plans import explain_str, plan_report
+
+    sf = "/root/testdata/sf0.001"
+    bench._build_disk_indexes(spark, sf)
+    bench._build_bucketed_tables(spark, sf)
+    expected_exchanges = {
+        "bucketed_join_read": 1,        # the tiny by-priority agg only
+        "minhash_dedup_pairs": 1,
+        "incremental_minhash_pairs": 1,
+        "indexed_minhash_read": 1,      # batch-side only; corpus bucketed
+        "indexed_exact_read": 0,        # anti-join into bucketed postings
+        "indexed_prefix_read": 3,       # batch prefix rank + cands + agg
+        "indexed_embedding_read": 1,
+        "indexed_embedding_read_mp": 1,
+        "indexed_ivf_read": 1,
+    }
+    tag = bench._DISK_INDEX[sf]
+    btag = bench._BUCKETED_TABLES[sf]
+    try:
+        assert set(expected_exchanges) == set(bench.EXTRA_BENCH), (
+            "EXTRA_BENCH changed — re-pin the fingerprints")
+        for name, fn in bench.EXTRA_BENCH.items():
+            df = fn(spark, sf)
+            rep = plan_report(df)
+            assert rep["nested_loop_joins"] == 0, (
+                name, rep, explain_str(df, "simple"))
+            assert rep["exchanges"] == expected_exchanges[name], (
+                name, rep, explain_str(df, "simple"))
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith((tag, btag)):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        bench._DISK_INDEX.pop(sf, None)
+        bench._BUCKETED_TABLES.pop(sf, None)
+        bench._SIG_INDEX.pop(sf, None)

@@ -362,3 +362,71 @@ def test_read_source_orc_round_trip(spark, tables, tmp_path):
     assert sorted(back.columns) == sorted(ev.columns)
     from data_cube_spark.plans import pushed_filters
     assert "user_id" in pushed_filters(back.where(F.col("user_id") < 10))
+
+
+def test_read_bucketed_guards_missized_broadcast(spark, tables, tmp_path):
+    """The r12 sf10 failure in miniature: a narrow bucketed table whose
+    COMPRESSED parquet bytes sit under the broadcast threshold while its
+    DESERIALIZED rows sit over it. Un-guarded, Catalyst picks a
+    broadcast join (sized from file bytes — at sf10 that build blew the
+    driver and threw away the bucket layout); read through
+    read_bucketed, the scan carries a merge hint and the join plans the
+    zero-exchange sort-merge the layout paid for. An explicit
+    F.broadcast on the other side still outranks the guard (star joins
+    keep their dim broadcasts), and a genuinely broadcast-small table
+    stays un-hinted."""
+    import glob as _glob
+    import os
+
+    from data_cube_spark.plans import count_exchanges, explain_str
+    from data_cube_spark.sources.ingest import (
+        est_row_bytes,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    write_bucketed(tables["lineitem"].select("l_orderkey", "l_quantity"),
+                   "t_rb_li", ["l_orderkey"], n_buckets=4,
+                   path=str(tmp_path / "li"))
+    write_bucketed(tables["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"),
+        "t_rb_o", ["l_orderkey"], n_buckets=4, path=str(tmp_path / "o"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # pick a threshold BETWEEN the compressed footprint and the
+        # deserialized estimate — the exact regime that mis-sized sf10
+        comp = sum(os.path.getsize(p) for p in
+                   _glob.glob(str(tmp_path / "o" / "*.parquet")))
+        o = spark.table("t_rb_o")
+        deser = o.count() * est_row_bytes(o.schema)
+        assert comp < deser, "fixture must compress below its row bytes"
+        thr = (comp + deser) // 2
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
+
+        unguarded = spark.table("t_rb_li").join(o, "l_orderkey")
+        assert "BroadcastHashJoin" in explain_str(unguarded, "simple"), (
+            "fixture no longer reproduces the compressed-bytes "
+            "mis-sizing:\n" + explain_str(unguarded, "simple"))
+
+        li_g = read_bucketed(spark, "t_rb_li")
+        o_g = read_bucketed(spark, "t_rb_o")
+        guarded = li_g.join(o_g, "l_orderkey")
+        plan = explain_str(guarded, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert count_exchanges(guarded) == 0, plan
+
+        # explicit dim broadcast outranks the merge hint
+        dim = spark.createDataFrame(
+            [("1-URGENT", 1), ("2-HIGH", 2)], "o_orderpriority string, rank int")
+        star = o_g.join(F.broadcast(dim), "o_orderpriority")
+        assert "BroadcastHashJoin" in explain_str(star, "simple")
+
+        # genuinely small table stays un-hinted under the default 10MB
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        small = read_bucketed(spark, "t_rb_o")
+        j2 = spark.table("t_rb_li").join(small, "l_orderkey")
+        assert "BroadcastHashJoin" in explain_str(j2, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_rb_li")
+        spark.sql("DROP TABLE IF EXISTS t_rb_o")
