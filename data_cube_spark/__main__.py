@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None) -> int:
                             "(default: the session's warehouse dir), so "
                             "a fresh process sees other sessions' "
                             "indexes")
+        p.add_argument("--refreeze", action="store_true",
+                       help="act on prefix-index drift instead of "
+                            "warning: re-freeze the shingle order from "
+                            "the index's own _sets member")
     args = ap.parse_args(argv)
 
     from data_cube_spark.registry import ORACLE, QUERIES
@@ -77,9 +81,12 @@ def main(argv: list[str] | None = None) -> int:
                 for k, v in sorted(idx["health"].items()):
                     print(f"    {k}: {v}")
             return 0
-        sweep = compact_all(spark, args.prefix, warehouse=args.warehouse)
+        sweep = compact_all(spark, args.prefix, warehouse=args.warehouse,
+                            refreeze_prefix=args.refreeze)
         for name, n in sorted(sweep["removed"].items()):
             print(f"compacted {name}: {n} duplicate rows removed")
+        for name, ver in sorted(sweep["refrozen"].items()):
+            print(f"refroze {name}: order {ver}")
         for w in sweep["warnings"]:
             print(f"WARNING: {w}")
         return 0

@@ -1436,6 +1436,88 @@ def compact_prefix_index(spark, table: str) -> int:
     return removed
 
 
+def refreeze_prefix_index(spark, table: str) -> dict:
+    """Re-freeze a :func:`write_prefix_index`'s global shingle order
+    from its own GROWN corpus — the maintenance action the drift
+    monitor recommends (drift past :data:`PREFIX_DF_DRIFT_BOUND` means
+    the frozen "rarest-first" ranking no longer reflects true document
+    frequencies, so prefixes admit more candidates than a fresh order
+    would; exactness is never at stake — the prefix theorem holds for
+    ANY shared total order).
+
+    Rebuilds ``_df`` (the order) and ``_prefix`` (the postings, with
+    fresh ``_pos`` ranks) entirely from the index's ``_sets`` member —
+    no raw corpus needed, so a nightly sweep can re-freeze without the
+    ingest pipeline's inputs. ``_sets`` itself is untouched (it is
+    order-independent). Counters re-stamp to a fresh freeze
+    (``base_docs`` = current corpus, ``appended_* = 0``, new
+    ``order_version``) and the format stamp upgrades to the current
+    layout (the rewrite emits ``_pos``, so a v1 index comes out v2+).
+
+    Same single-writer fence as :func:`_compact_index_table`: member
+    epochs are snapshotted, the new order/postings are materialized,
+    epochs re-checked BEFORE the overwrite (an interleaved append's
+    rows would be missing from the materialized snapshot), and a
+    successful overwrite advances every member's epoch so a straddling
+    append fails its own post-insert check. Returns the fresh
+    ``{base_docs, order_version, df_drift}``."""
+    from pyspark.sql import Window
+
+    from data_cube_spark.sources.ingest import write_bucketed
+
+    stored = _index_meta(spark, f"{table}_prefix")
+    _check_format_version(f"{table}_prefix", stored)
+    n_docs = check_prefix_consistency(spark, table)
+    threshold = float(stored["threshold"])
+    n_buckets = int(stored["n_buckets"])
+    members = [f"{table}_{m}" for m in ("prefix", "df", "sets")]
+    epoch0 = {m: _read_epoch(_index_meta(spark, m)) for m in members}
+    # dropDuplicates: not-yet-compacted re-appended set rows must not
+    # double-count document frequencies
+    sh = (spark.table(f"{table}_sets")
+          .select("corpus_id", F.explode("_set").alias("shingle"))
+          .dropDuplicates()
+          .localCheckpoint())
+    freq = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+            .localCheckpoint())
+    sizes = sh.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("_sz"))
+    w = Window.partitionBy("corpus_id").orderBy(F.col("_df").asc(),
+                                                F.col("shingle").asc())
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sizes, "corpus_id")
+        .where(F.col("_pos")
+               <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+        .select("corpus_id", "shingle", "_sz", "_pos")
+        .localCheckpoint())
+    for m in members:
+        e1 = _read_epoch(_index_meta(spark, m))
+        if e1 != epoch0[m]:
+            raise ValueError(
+                f"maintenance_epoch on {m} advanced {epoch0[m]} -> {e1} "
+                f"while the re-freeze was materializing — a concurrent "
+                f"writer interleaved (single-writer contract); its rows "
+                f"would be missing from the new order. Nothing was "
+                f"modified; retry the re-freeze after it finishes."
+            )
+    for member, df, keys in ((f"{table}_prefix", prefix, ["shingle"]),
+                             (f"{table}_df", freq, ["shingle"])):
+        loc, external = _table_layout(spark, member)
+        write_bucketed(df, member, keys, n_buckets,
+                       path=loc if external else None)
+    meta = {k: v for k, v in stored.items()
+            if k not in ("format_version", "maintenance_epoch")}
+    meta.update({"order_version": f"v{n_docs}x{freq.count()}",
+                 "base_docs": n_docs, "appended_docs": 0,
+                 "appended_postings": 0, "unseen_postings": 0})
+    for m in members:
+        _set_index_meta(spark, m,
+                        {**meta, "maintenance_epoch": epoch0[m] + 1})
+    return {"base_docs": n_docs, "order_version": meta["order_version"],
+            "df_drift": 0.0}
+
+
 def incremental_minhash_pairs(
     batch: DataFrame,
     corpus_signatures: DataFrame,

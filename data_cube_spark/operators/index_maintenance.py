@@ -275,7 +275,8 @@ def list_indexes(spark, prefix: str | None = None,
 
 
 def compact_all(spark, prefix: str | None = None,
-                warehouse: str | bool | None = None) -> dict:
+                warehouse: str | bool | None = None,
+                refreeze_prefix: bool = False) -> dict:
     """Run every compactable index's own in-place compaction (the
     nightly-cadence sweep): re-distincts each member table preserving
     bucketing, location and metadata, exactly as the per-kind helpers
@@ -300,7 +301,18 @@ def compact_all(spark, prefix: str | None = None,
     to a warning. ``warehouse`` (``True`` or a directory) first
     re-attaches sidecar indexes from disk so a fresh session's nightly
     sweep covers the fleet, not just its own catalog (VERDICT r10 #6,
-    via :func:`attach_indexes`)."""
+    via :func:`attach_indexes`).
+
+    ``refreeze_prefix=True`` turns the monitor into the operator for
+    prefix indexes (r13): instead of WARNING that a drifted index needs
+    its order re-frozen, the sweep runs
+    :func:`~data_cube_spark.operators.dedup.refreeze_prefix_index`
+    right there — the re-freeze needs only the index's own ``_sets``
+    member, so the nightly job can do it without the ingest pipeline's
+    raw inputs. Re-frozen indexes are reported under ``"refrozen"``
+    ({name: new order_version}) instead of warned about; a re-freeze
+    that loses the single-writer race is downgraded to the warning
+    path (same contract as a conflicted compaction)."""
     from data_cube_spark.operators import similarity
     from data_cube_spark.operators.dedup import (
         compact_fingerprint_index,
@@ -318,6 +330,7 @@ def compact_all(spark, prefix: str | None = None,
     from data_cube_spark.operators.dedup import _index_meta
 
     removed: dict[str, int] = {}
+    refrozen: dict[str, str] = {}
     warns: list[str] = []
     for idx in list_indexes(spark, prefix, warehouse=warehouse):
         if not idx["compactable"] or not idx["complete"]:
@@ -353,6 +366,21 @@ def compact_all(spark, prefix: str | None = None,
         spec = INDEX_KINDS[idx["kind"]]
         h = _health(idx["kind"],
                     _index_meta(spark, idx["name"] + spec["suffixes"][0]))
+        if h.get("needs_rebuild") and refreeze_prefix:
+            from data_cube_spark.operators.dedup import (
+                refreeze_prefix_index,
+            )
+
+            try:
+                res = refreeze_prefix_index(spark, idx["name"])
+            except ValueError as exc:
+                warns.append(
+                    f"{idx['name']} ({idx['kind']}): re-freeze skipped — "
+                    f"{exc}")
+            else:
+                refrozen[idx["name"]] = res["order_version"]
+                h = _health(idx["kind"], _index_meta(
+                    spark, idx["name"] + spec["suffixes"][0]))
         if h.get("needs_rebuild"):
             warns.append(
                 f"{idx['name']} ({idx['kind']}): frozen shingle-order drift "
@@ -367,4 +395,4 @@ def compact_all(spark, prefix: str | None = None,
                 f"write_ivf_index.")
     for w in warns:
         _warnings.warn(w, stacklevel=2)
-    return {"removed": removed, "warnings": warns}
+    return {"removed": removed, "refrozen": refrozen, "warnings": warns}

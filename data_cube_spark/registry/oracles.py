@@ -1046,7 +1046,8 @@ ORACLE: dict[str, str] = {
     """,
     "prefix_stream_ingest": """
       SELECT doc_id, md5(text) AS text_hash, TRUE AS stream_eq_batch,
-             TRUE AS sets_eq_rebuild, TRUE AS consistency_ok
+             TRUE AS sets_eq_rebuild, TRUE AS consistency_ok,
+             TRUE AS refrozen_eq_rebuild
       FROM documents WHERE doc_id % 2 = 1
     """,
     "embedding_near_pairs_lsh": """

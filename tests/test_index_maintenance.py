@@ -1035,3 +1035,58 @@ def test_concurrent_appends_across_processes_never_lose_rows(
         assert int(stored["appended_docs"]) == len(want) - n_base
     finally:
         _drop(spark, *[f"t_prace{s}" for s in PFX_TABLES])
+
+
+def test_refreeze_prefix_index_acts_on_drift(spark, tables, tmp_path):
+    """The drift monitor's missing arm (VERDICT r12 #5): past
+    PREFIX_DF_DRIFT_BOUND the sweep used to only WARN; with
+    refreeze_prefix=True it re-freezes the shingle order from the
+    index's own _sets member — no raw corpus needed — and the index
+    comes out indistinguishable from a from-scratch rebuild: identical
+    _df order, identical postings INCLUDING the _pos ranks the PPJoin
+    pruning reads, counters reset, health clean, reads exact."""
+    import warnings as _w
+
+    docs = tables["documents"].limit(60)
+    corpus = docs.where(F.col("doc_id") % 3 == 0)
+    extra = docs.where(F.col("doc_id") % 3 > 0)
+    probe = docs.where(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    try:
+        dedup.write_prefix_index(corpus, "t_rfz", n_buckets=4,
+                                 threshold=0.5, path=str(tmp_path / "a"))
+        stats = dedup.append_prefix_index(extra, "t_rfz")
+        assert stats["needs_rebuild"]  # ~2x growth, far past the bound
+        old_order = dedup._index_meta(spark, "t_rfz_prefix")["order_version"]
+        with _w.catch_warnings():
+            _w.simplefilter("error")  # any warning = the monitor failed to act
+            sweep = compact_all(spark, prefix="t_rfz", refreeze_prefix=True)
+        assert sweep["refrozen"]["t_rfz"] != old_order
+        assert not sweep["warnings"]
+        meta = dedup._index_meta(spark, "t_rfz_prefix")
+        assert meta["order_version"] == sweep["refrozen"]["t_rfz"]
+        assert int(meta["appended_docs"]) == 0
+        assert int(meta["base_docs"]) == corpus.count() + extra.count()
+        idx = {i["name"]: i for i in list_indexes(spark, prefix="t_rfz")}
+        assert idx["t_rfz"]["health"]["df_drift"] == 0.0
+        assert not idx["t_rfz"]["health"]["needs_rebuild"]
+        # refrozen == rebuilt, member for member (order AND positions)
+        dedup.write_prefix_index(corpus.unionByName(extra), "t_rfz_rb",
+                                 n_buckets=4, threshold=0.5,
+                                 path=str(tmp_path / "b"))
+        for member in ("_df", "_prefix", "_sets"):
+            a = spark.table(f"t_rfz{member}")
+            b = spark.table(f"t_rfz_rb{member}")
+            assert a.exceptAll(b).count() == 0, member
+            assert b.exceptAll(a).count() == 0, member
+        # and the indexed read over the refrozen index stays exact
+        got = dedup.incremental_prefix_pairs_indexed(
+            probe, "t_rfz", threshold=0.5)
+        want = dedup.jaccard_pairs_prefix_rs(
+            probe, corpus.unionByName(extra).select("doc_id", "text"),
+            threshold=0.5)
+        g = {(r[0], r[1]) for r in got.collect()}
+        w = {(r[0], r[1]) for r in want.collect()}
+        assert g == w
+    finally:
+        _drop(spark, *[f"t_rfz{s}" for s in PFX_TABLES],
+              *[f"t_rfz_rb{s}" for s in PFX_TABLES])
