@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_cube_spark.operators.text import fingerprint, normalized, tokens
+from data_cube_spark.operators.text import fingerprint, norm_tokens
 
 
 # -- exact / canonical ------------------------------------------------------
@@ -98,7 +98,7 @@ def shingles(col: str | Column, k: int = 3) -> Column:
     """Distinct k-word shingles of the normalized text (single-expression
     form; prefer :func:`shingle_table`, which materializes the token array
     once per row instead of k+1 times — measured ~2× faster)."""
-    return shingle_array(tokens(normalized(col)), k)
+    return shingle_array(norm_tokens(col), k)
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
@@ -131,7 +131,7 @@ def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     tokenize runs once per row, not once per shifted slice."""
     out = (
         _spread(df, id_col)
-        .select(F.col(id_col), tokens(normalized(text_col)).alias("_toks"))
+        .select(F.col(id_col), norm_tokens(text_col).alias("_toks"))
         .select(F.col(id_col), F.explode(shingle_array(F.col("_toks"), k)).alias("shingle"))
         .where(F.col("shingle") != "")
     )
@@ -2065,7 +2065,8 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     exploded token table — all JVM expressions, one shuffle on doc id."""
     tok = (
         _spread(df, id_col)
-        .select(F.col(id_col), F.explode(F.array_distinct(tokens(normalized(text_col)))).alias("tok"))
+        .select(F.col(id_col),
+                F.explode(F.array_distinct(norm_tokens(text_col))).alias("tok"))
         .where(F.col("tok") != "")
         .select(F.col(id_col), F.xxhash64("tok").alias("h"))
     )

@@ -102,14 +102,34 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def normalized(col: str | Column) -> Column:
-    """Canonical text normalization shared by fingerprint + dedup: lowercase,
-    strip non-alphanumerics, collapse whitespace."""
+def norm_tokens(col: str | Column) -> Column:
+    """Token array of the canonical normalization (lowercase, strip
+    non-alphanumerics, whitespace-delimited) in ONE cheap pass: split on
+    whitespace FIRST, strip each short token, drop the ones that were
+    all punctuation. Provably the same token sequence as splitting the
+    old ``normalized()`` string — punctuation removal never introduces
+    a split, so cleaning per whitespace-chunk commutes with splitting —
+    and measured r13 at sf10 (250k docs, ~250 MB of text, 32 cores):
+    the old whole-text negated-class ``regexp_replace`` cost **16.2 s**
+    (Matcher.replaceAll allocation churn dominates every shingle-path
+    profile), the per-token strip **1.0 s**. NULL in, NULL out (split
+    of NULL propagates)."""
     c = F.col(col) if isinstance(col, str) else col
-    c = F.lower(c)
-    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
-    c = F.regexp_replace(c, r"\s+", " ")
-    return F.trim(c)
+    return F.filter(
+        F.transform(F.split(F.trim(F.lower(c)), r"\s+"),
+                    lambda t: F.regexp_replace(t, r"[^a-z0-9]", "")),
+        lambda t: t != "")
+
+
+def normalized(col: str | Column) -> Column:
+    """Canonical text normalization shared by fingerprint + dedup:
+    lowercase, strip non-alphanumerics, collapse whitespace — the
+    single-space join of :func:`norm_tokens` (r13: rebuilt on the
+    per-token strip; byte-identical output, ~15x cheaper). NULL guard
+    because ``concat_ws`` maps a NULL array to ''."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNull(), F.lit(None)).otherwise(
+        F.concat_ws(" ", norm_tokens(c)))
 
 
 def fingerprint(col: str | Column) -> Column:
