@@ -1075,8 +1075,11 @@ def test_bench_extra_plan_fingerprints(spark):
     sf = "/root/testdata/sf0.001"
     bench._build_disk_indexes(spark, sf)
     bench._build_bucketed_tables(spark, sf)
+    bench._build_layouts(spark, sf)
     expected_exchanges = {
         "bucketed_join_read": 1,        # the tiny by-priority agg only
+        "zorder_read": 1,               # footer-pruned scan + one agg
+        "dpp_read": 3,                  # busy-day agg + broadcast + agg
         "minhash_dedup_pairs": 1,
         "incremental_minhash_pairs": 1,
         "indexed_minhash_read": 1,      # batch-side only; corpus bucketed
@@ -1098,6 +1101,10 @@ def test_bench_extra_plan_fingerprints(spark):
                 name, rep, explain_str(df, "simple"))
             assert rep["exchanges"] == expected_exchanges[name], (
                 name, rep, explain_str(df, "simple"))
+        # the DPP read must actually plan dynamic pruning — the whole
+        # point of the hive layout at 100 TB
+        assert plan_report(
+            bench.EXTRA_BENCH["dpp_read"](spark, sf))["dynamic_pruning"]
     finally:
         for t in spark.catalog.listTables():
             if t.name.startswith((tag, btag)):
@@ -1105,3 +1112,8 @@ def test_bench_extra_plan_fingerprints(spark):
         bench._DISK_INDEX.pop(sf, None)
         bench._BUCKETED_TABLES.pop(sf, None)
         bench._SIG_INDEX.pop(sf, None)
+        base = bench._LAYOUTS.pop(sf, None)
+        if base:
+            import shutil
+
+            shutil.rmtree(base, ignore_errors=True)

@@ -33,11 +33,14 @@ def subset() -> list[str]:
     with open(os.path.join(REPO, "BENCH_sf1.json")) as f:
         sf1 = json.load(f)["queries"]
     expensive = [q for q, _ in sorted(sf1.items(), key=lambda kv: -kv[1])]
-    # r13: the write-conflated registry entry left the timed set; its
-    # read path is the standing bench name (legacy artifacts still carry
-    # the old name, so map it when the subset derives from them)
-    expensive = ["bucketed_join_read" if q == "bucketed_join_copartition"
-                 else q for q in expensive]
+    # r13: the write-conflated registry entries left the timed set;
+    # their read paths are the standing bench names (legacy artifacts
+    # still carry the old names, so map them when the subset derives
+    # from them)
+    renames = {"bucketed_join_copartition": "bucketed_join_read",
+               "zorder_layout_prune": "zorder_read",
+               "dpp_partition_prune": "dpp_read"}
+    expensive = [renames.get(q, q) for q in expensive]
     out = list(TAIL_QUERIES)
     for q in expensive:
         if len(out) >= len(TAIL_QUERIES) + 10:
