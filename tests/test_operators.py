@@ -2182,3 +2182,52 @@ def test_norm_tokens_equals_legacy_normalization(spark, tables):
         .select("doc_id", F.xxhash64("shingle").alias("shingle")))
     assert a.exceptAll(legacy).count() == 0
     assert legacy.exceptAll(a).count() == 0
+
+
+def test_near_pairs_exact_flag_and_reroute_warning(spark, tables, monkeypatch):
+    """ADVICE r12 (medium): the r12 flop cap silently rerouted corpora
+    in (BLOCKED_EXACT_MAX_ROWS, memory-gate] from the exact blocked
+    matmul to the approximate LSH tiers. The surface added in r13:
+    exact=True is informed consent to the O(n^2 d) flops (served
+    exactly past the cap, refused past the 256 MB memory gate or with
+    unknown size), exact=False opts into approximation silently, and
+    the default warns ONCE per process when a previously-exact size
+    reroutes. Tier constants are shrunk so the dispatch logic — not
+    data volume — is under test."""
+    import warnings as _w
+
+    from data_cube_spark.operators import similarity as sim
+
+    emb = tables["embeddings"].limit(60).localCheckpoint()
+    n = emb.count()
+    truth = sorted(map(tuple, sim.driver_near_pairs(
+        emb, 0.3).collect()))
+    # place the corpus ABOVE the driver and flop tiers but inside memory
+    monkeypatch.setattr(sim, "DRIVER_PAIRS_MAX_ROWS", 10)
+    monkeypatch.setattr(sim, "BLOCKED_EXACT_MAX_ROWS", 20)
+    # exact=True: served EXACTLY by the blocked tier despite > flop cap
+    got = sorted(map(tuple, sim.near_pairs(
+        emb, 0.3, corpus_rows=n, exact=True).collect()))
+    assert got == truth and len(got) > 0
+    # exact=True with unknown size refuses (the collect gate needs rows)
+    with pytest.raises(ValueError, match="exact=True"):
+        sim.near_pairs(emb, 0.3, exact=True)
+    # exact=True past the memory gate refuses with the remedy
+    # (600k rows x 64 dims x 8 B = 307 MB > the 256 MB collect gate,
+    # while staying under the separate uncapped-Θ(n²) gate)
+    with pytest.raises(ValueError, match="256 MB"):
+        sim.near_pairs(emb, 0.3, corpus_rows=600_000, exact=True)
+    # default dispatch on a previously-exact size warns ONCE
+    monkeypatch.setattr(sim, "_WARNED_EXACT_REROUTE", False)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        sim.near_pairs(emb, 0.3, corpus_rows=n)
+        sim.near_pairs(emb, 0.3, corpus_rows=n)
+    msgs = [str(r.message) for r in rec if "APPROXIMATE" in str(r.message)]
+    assert len(msgs) == 1 and "exact=True" in msgs[0]
+    # exact=False opts in silently
+    monkeypatch.setattr(sim, "_WARNED_EXACT_REROUTE", False)
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        sim.near_pairs(emb, 0.3, corpus_rows=n, exact=False)
+    assert not [r for r in rec2 if "APPROXIMATE" in str(r.message)]
