@@ -298,6 +298,17 @@ class Hierarchy:
 #: shipping hundreds of millions of keys to every executor (OOM, not a slow
 #: plan). ~4M keys × ~16 B ≈ the 64 MB autoBroadcastJoinThreshold the
 #: session sets, so the gate and the auto-threshold agree in spirit.
+#:
+#: Interaction with the guarded reads (ADVICE r13): a fact read through
+#: ``sources.ingest.read_guarded``/``read_bucketed`` may carry a pinned
+#: ``merge`` hint, which outranks AQE's AUTO broadcast of the other side
+#: — so an un-hinted above-gate dimension joining a guarded fact plans
+#: sort-merge even if AQE would have judged it runtime-small. That is
+#: the intended precedence: the guard exists because Catalyst's
+#: compressed-bytes sizing mis-judged "small" once (r12 driver OOM), and
+#: a sort-merge on a bucketed fact is exchange-free anyway. Explicit
+#: ``F.broadcast`` hints (every below-gate dim) still outrank the merge
+#: pin, so star joins keep their broadcast plans.
 BROADCAST_MAX_ROWS = 4_000_000
 
 #: row gate for the reference-parity DRIVER-side export conveniences

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_cube_spark.operators.text import fingerprint, norm_tokens
+from data_cube_spark.sources.ingest import read_guarded
 
 
 # -- exact / canonical ------------------------------------------------------
@@ -1044,7 +1045,7 @@ def dedup_exact_indexed(
     h = (fingerprint(text_col) if canonical
          else F.md5(F.encode(F.col(text_col), "UTF-8")))
     hashed = batch.withColumn("_fp", h)
-    idx = spark.table(f"{table}_fp").select(
+    idx = read_guarded(spark, f"{table}_fp").select(
         F.col("content_hash").alias("_fp"))
     return hashed.join(idx, "_fp", "left_anti").drop("_fp")
 
@@ -1190,7 +1191,7 @@ def incremental_prefix_pairs_indexed(
         )
     sh_b = shingle_table(batch, text_col, id_col, k,
                          hashed=hash_shingles).localCheckpoint(eager=False)
-    freq = spark.table(f"{table}_df")
+    freq = read_guarded(spark, f"{table}_df")
     sizes = sh_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(),
                                            F.col("shingle").asc())
@@ -1206,7 +1207,7 @@ def incremental_prefix_pairs_indexed(
         .select(F.col(id_col).alias("batch_id"), "shingle",
                 F.col("_sz").alias("_pa"), F.col("_pos").alias("_i"))
     )
-    pc = spark.table(f"{table}_prefix")
+    pc = read_guarded(spark, f"{table}_prefix")
     # format v2 stores each posting's rank in the frozen order; a v1
     # index (no _pos column) stays readable on the legacy distinct
     # path — positions only PRUNE, they never change the exact result
@@ -1231,7 +1232,7 @@ def incremental_prefix_pairs_indexed(
     set_b = sh_b.groupBy(id_col).agg(
         F.array_sort(F.collect_set("shingle")).alias("_set_a")
     ).select(F.col(id_col).alias("batch_id"), "_set_a")
-    set_c = spark.table(f"{table}_sets").select(
+    set_c = read_guarded(spark, f"{table}_sets").select(
         "corpus_id", F.col("_set").alias("_set_b"))
     # Verify-join strategy (r12): the candidate stream itself is 16-byte
     # id pairs — cheap to shuffle — but whichever SET side attaches
@@ -1330,7 +1331,7 @@ def append_prefix_index(
     threshold = float(stored["threshold"])
     sh = shingle_table(new_docs, text_col, id_col, k,
                        hashed=hashed).localCheckpoint()
-    freq = spark.table(f"{table}_df")  # the FROZEN order — read-only
+    freq = read_guarded(spark, f"{table}_df")  # the FROZEN order — read-only
     ranked = (
         sh.join(freq, "shingle", "left")
         .withColumn("_df", F.coalesce("_df", F.lit(0)))
@@ -1474,7 +1475,7 @@ def refreeze_prefix_index(spark, table: str) -> dict:
     epoch0 = {m: _read_epoch(_index_meta(spark, m)) for m in members}
     # dropDuplicates: not-yet-compacted re-appended set rows must not
     # double-count document frequencies
-    sh = (spark.table(f"{table}_sets")
+    sh = (read_guarded(spark, f"{table}_sets")
           .select("corpus_id", F.explode("_set").alias("shingle"))
           .dropDuplicates()
           .localCheckpoint())
@@ -1701,8 +1702,8 @@ def incremental_minhash_pairs_indexed(
     rows = num_hashes // bands
     sig_b = minhash_signatures(batch, text_col, id_col, num_hashes,
                                k).localCheckpoint()
-    corpus_bands = spark.table(f"{table}_bands")
-    corpus_sigs = spark.table(f"{table}_sig").select(
+    corpus_bands = read_guarded(spark, f"{table}_bands")
+    corpus_sigs = read_guarded(spark, f"{table}_sig").select(
         "corpus_id", F.col("signature").alias("_sig_b"))
     return _incremental_pairs_core(sig_b, corpus_bands, corpus_sigs,
                                    id_col, threshold, num_hashes, bands,

@@ -24,6 +24,8 @@ import threading
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_cube_spark.sources.ingest import read_guarded
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -1160,7 +1162,13 @@ def near_pairs(
       still fits the 256 MB collect/broadcast gate (that one is a
       memory bound, not a cost knob — beyond it the call REFUSES with
       the approximate remedies).
-    - ``exact=False`` opts into the approximate tiers silently.
+    - ``exact=False`` FORCES the approximate packed/bucketed tiers
+      (r14: previously it only silenced the reroute warning — now it
+      also reroutes a below-ceiling corpus, so the same physical tier
+      can be pinned across data scales and the sf1→sf10 bench ratios
+      compare like with like; VERDICT r13 #2). The driver micro-tier
+      (≤ :data:`DRIVER_PAIRS_MAX_ROWS` rows, a LocalRelation matmul)
+      is exempt — at that size there is no scale story to normalize.
     - ``exact=None`` (default) keeps the size dispatch and emits a
       ONE-TIME ``UserWarning`` when a corpus the pre-r12 dispatch
       served exactly lands on an approximate tier."""
@@ -1205,8 +1213,11 @@ def near_pairs(
         corpus_rows is not None
         and corpus_rows > DRIVER_PAIRS_MAX_ROWS
         # exact=True is informed consent to the O(n²·d) flops past the
-        # default ceiling; the 256 MB matrix gate still applies (memory)
-        and (corpus_rows <= BLOCKED_EXACT_MAX_ROWS or bool(exact))
+        # default ceiling (the 256 MB matrix gate still applies —
+        # memory); exact=False forces the approximate tiers even below
+        # the ceiling (tier pinning across scales, VERDICT r13 #2)
+        and (bool(exact) if exact is not None
+             else corpus_rows <= BLOCKED_EXACT_MAX_ROWS)
         and matrix_fits
     )
     if (exact is None and matrix_fits and not small
@@ -1308,6 +1319,43 @@ def near_pairs(
 #: a job. Mirrors the all-pairs verifier gate: refuse with the remedy
 #: in the message rather than melt a cluster.
 UNCAPPED_PAIRS_GATE_ROWS = 1_000_000
+
+
+def near_pairs_tier(
+    corpus_rows: int,
+    dim: int = 64,
+    exact: bool | None = None,
+    **lsh_kwargs,
+) -> str:
+    """The physical tier :func:`near_pairs` would dispatch this corpus
+    to — ``"driver"`` | ``"blocked_exact"`` | ``"broadcast_packed"`` |
+    ``"bucketed_lsh"`` — without running anything. Mirrors the dispatch
+    predicates exactly (same constants, same pack-byte gate), so bench
+    tooling can stamp ``same_tier`` on cross-scale ratios and force a
+    matching tier for the like-for-like twin instead of comparing a
+    blocked matmul at sf1 against a packed LSH at sf10 (VERDICT r13 #2:
+    the ``embedding_components`` 12.84× "regression" was exactly this
+    denominator artifact)."""
+    from data_cube_spark.model import BROADCAST_MAX_ROWS
+
+    if corpus_rows <= DRIVER_PAIRS_MAX_ROWS:
+        return "driver"
+    matrix_fits = corpus_rows * dim * 8 <= 256 * 1024 * 1024
+    small = (bool(exact) if exact is not None
+             else corpus_rows <= BLOCKED_EXACT_MAX_ROWS) and matrix_fits
+    if small:
+        return "blocked_exact"
+    pack_geo = {
+        "dim": dim, "seed": lsh_kwargs.get("seed", 42),
+        "n_tables": lsh_kwargs.get("n_tables", 10),
+        "n_planes": effective_planes(
+            lsh_kwargs.get("n_planes", 4), corpus_rows,
+            lsh_kwargs.get("max_bucket_rows", 1024)),
+    }
+    if (corpus_rows <= BROADCAST_MAX_ROWS
+            and _emb_pack_bytes(corpus_rows, pack_geo) <= EMB_PACK_MAX_BYTES):
+        return "broadcast_packed"
+    return "bucketed_lsh"
 
 
 def near_pairs_plan(
@@ -1998,7 +2046,7 @@ def incremental_embedding_pairs_indexed(
     _check_index_recall(spark, f"{table}_buckets", min_recall, radius)
     from data_cube_spark.model import BROADCAST_MAX_ROWS
 
-    vc = spark.table(f"{table}_vec")
+    vc = read_guarded(spark, f"{table}_vec")
     n_corpus = vc.count()
     if (n_corpus <= BROADCAST_MAX_ROWS
             and _emb_pack_bytes(n_corpus, geo) <= EMB_PACK_MAX_BYTES):
@@ -2022,7 +2070,7 @@ def incremental_embedding_pairs_indexed(
             F.explode(F.array(*[F.col("_b").bitwiseXOR(F.lit(m))
                                 for m in masks])).alias("_b"))
     cands = (
-        bb.join(spark.table(f"{table}_buckets"), ["_t", "_b"])
+        bb.join(read_guarded(spark, f"{table}_buckets"), ["_t", "_b"])
         .select("batch_id", "corpus_id")
         .dropDuplicates()
     )
@@ -2520,7 +2568,7 @@ def _cell_occupancy_skew(spark, table: str) -> float:
     """max/mean rows per cell over ``<table>_cells`` — one cell_id-only
     columnar aggregation (the observability half of the retrain
     trigger; VERDICT r7 #4)."""
-    occ = (spark.table(f"{table}_cells").groupBy("cell_id")
+    occ = (read_guarded(spark, f"{table}_cells").groupBy("cell_id")
            .agg(F.count(F.lit(1)).alias("_n"))
            .agg(F.max("_n").alias("_mx"), F.avg("_n").alias("_avg"))
            .head())
@@ -2555,7 +2603,7 @@ def append_to_ivf_index(
 
     spark = new_vecs.sparkSession
     stored = _require_index_meta(spark, f"{table}_cells", {})
-    cents = spark.table(f"{table}_centroids")
+    cents = read_guarded(spark, f"{table}_centroids")
     assigned = ivf_assign(new_vecs, cents, id_col, vec_col).join(
         new_vecs.select(id_col, vec_col), id_col)
     cells = with_norm(assigned, vec_col).select(
@@ -2632,7 +2680,7 @@ def ann_ivf_topk_indexed(
 
     spark = queries.sparkSession
     stored = _require_index_meta(spark, f"{table}_cells", {})
-    cw = spark.table(f"{table}_centroids").select(
+    cw = read_guarded(spark, f"{table}_centroids").select(
         "cell_id", _as_double(F.col("centroid")).alias("_centvec"))
     # pin the query lineage before splitting it into probes and qv
     # (ADVICE r10); unique query ids remain the caller's contract —
@@ -2674,7 +2722,7 @@ def ann_ivf_topk_indexed(
 
     from data_cube_spark.model import BROADCAST_MAX_ROWS
 
-    cells = spark.table(f"{table}_cells")
+    cells = read_guarded(spark, f"{table}_cells")
     # Gate ordering: schema check first (free), then the two count jobs,
     # then dim — head() last and None-guarded, so an empty centroid table
     # (or a non-long id) falls through to the join tier without paying

@@ -338,6 +338,19 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMANTIC_DEDUP_MAX_DEGREE = 8
 
 
+def _pairs_exact_override() -> bool | None:
+    """Bench-tooling tier pin (VERDICT r13 #2): ``SPARK_GRAFT_PAIRS_EXACT``
+    = ``true``/``false`` forces the near_pairs exact flag for the two
+    size-dispatched registry queries, so ``tools/sf10_bench.py`` can
+    time an sf1 denominator on the SAME physical tier sf10 dispatches
+    to. Unset (the default, and the only state the driver/oracle gate
+    ever sees) keeps the size dispatch."""
+    import os
+
+    v = os.environ.get("SPARK_GRAFT_PAIRS_EXACT", "").strip().lower()
+    return {"true": True, "false": False}.get(v)
+
+
 def q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the DEGREE-CAPPED embedding near-dup
     graph (cosine >= 0.35, each node's 8 strongest edges kept —
@@ -352,7 +365,8 @@ def q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.near_pairs(t["embeddings"], threshold=0.35,
                                   n_planes=4, n_tables=48,
                                   corpus_rows=parquet_rows(sf_dir, "embeddings"),
-                                  max_degree=SEMANTIC_DEDUP_MAX_DEGREE)
+                                  max_degree=SEMANTIC_DEDUP_MAX_DEGREE,
+                                  exact=_pairs_exact_override())
     comp = dedup.connected_components(pairs)
     return comp.select(F.col("id").alias("vec_id"),
                        F.col("component").cast("bigint").alias("component"))
@@ -371,7 +385,8 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.near_pairs(emb, threshold=0.35,
                                   n_planes=4, n_tables=48,
                                   corpus_rows=parquet_rows(sf_dir, "embeddings"),
-                                  max_degree=SEMANTIC_DEDUP_MAX_DEGREE)
+                                  max_degree=SEMANTIC_DEDUP_MAX_DEGREE,
+                                  exact=_pairs_exact_override())
     kept = dedup.dedup_clusters(emb.select("vec_id", "label"), pairs,
                                 id_col="vec_id")
     return kept.select("vec_id", F.col("label").cast("int").alias("label"))

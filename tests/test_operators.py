@@ -2231,3 +2231,44 @@ def test_near_pairs_exact_flag_and_reroute_warning(spark, tables, monkeypatch):
         _w.simplefilter("always")
         sim.near_pairs(emb, 0.3, corpus_rows=n, exact=False)
     assert not [r for r in rec2 if "APPROXIMATE" in str(r.message)]
+
+
+def test_near_pairs_tier_predictor_and_forced_approx(spark, tables,
+                                                     monkeypatch):
+    """VERDICT r13 #2: bench tooling needs (a) a way to PREDICT the
+    near_pairs physical tier so cross-scale ratios can be stamped
+    same_tier, and (b) exact=False as a tier FORCE — a below-flop-
+    ceiling corpus must reroute to the approximate tiers so an sf1
+    denominator can be timed on the same physical operator as the sf10
+    numerator (the embedding_components 12.84x denominator artifact)."""
+    from data_cube_spark.operators import similarity as sim
+
+    # predictor mirrors the dispatch constants at real scales: the
+    # registry geometry (4 planes, 48 tables) at sf1/sf10 embeddings
+    assert sim.near_pairs_tier(20_000, n_planes=4, n_tables=48) \
+        == "blocked_exact"
+    assert sim.near_pairs_tier(200_000, n_planes=4, n_tables=48) \
+        == "broadcast_packed"
+    # the force: exact=False lands the sf1 corpus on the sf10 tier
+    assert sim.near_pairs_tier(20_000, n_planes=4, n_tables=48,
+                               exact=False) == "broadcast_packed"
+    assert sim.near_pairs_tier(100) == "driver"
+    assert sim.near_pairs_tier(5_000_000) == "bucketed_lsh"
+
+    # dispatch honors the force end-to-end: with shrunken tier
+    # constants, a corpus the default dispatch serves on the blocked
+    # exact tier must NOT touch it under exact=False
+    emb = tables["embeddings"].limit(60).localCheckpoint()
+    n = emb.count()
+    monkeypatch.setattr(sim, "DRIVER_PAIRS_MAX_ROWS", 10)
+
+    def _boom(*a, **k):
+        raise AssertionError("exact tier used despite exact=False")
+
+    monkeypatch.setattr(sim, "blocked_near_pairs", _boom)
+    got = sim.near_pairs(emb, 0.3, corpus_rows=n, exact=False,
+                         n_planes=2, n_tables=8)
+    assert got.count() >= 0  # runs on an approximate tier
+    # and exact=True still forces the blocked tier (the consent path)
+    with pytest.raises(AssertionError, match="exact tier used"):
+        sim.near_pairs(emb, 0.3, corpus_rows=n, exact=True).count()

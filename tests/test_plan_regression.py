@@ -211,3 +211,57 @@ def test_skip_list_stays_minimal():
     assert set(SKIP) <= set(QUERIES)
     assert all(SKIP.values())
     assert len(SKIP) <= 6
+
+
+#: Exact plan fingerprints for the TOP-10 most expensive registry
+#: queries by committed r13 sf0.1 median (VERDICT r13 #8): a plan
+#: regression in the hot set — a broadcast silently degrading to
+#: sort-merge, a new shuffle appearing in a pipeline stage — must fail
+#: HERE, in the per-commit suite, not in a dedicated bench session.
+#: Captured at sf0.001 / 8 shuffle partitions (the suite's fixture
+#: config); counts are static-planner (pre-AQE), so they are
+#: deterministic for fixed data + config. If a change to an operator
+#: legitimately alters one of these plans, re-capture and update the
+#: entry IN THE SAME COMMIT with a note on why the new plan is at
+#: least as good. ``embedding_components`` pins all-zeros because its
+#: registry entry returns a localCheckpoint (the iterative component
+#: propagation runs at build) — the pin still catches a regression
+#: that would surface recomputation into the returned plan.
+HOT_SET_FINGERPRINTS = {
+    "pipeline_pretraining": {"exchanges": 16, "broadcast_joins": 14,
+                             "sort_merge_joins": 0, "nested_loop_joins": 0},
+    "semantic_dedup_keep": {"exchanges": 2, "broadcast_joins": 0,
+                            "sort_merge_joins": 1, "nested_loop_joins": 0},
+    "incremental_dedup_keep": {"exchanges": 4, "broadcast_joins": 8,
+                               "sort_merge_joins": 0, "nested_loop_joins": 0},
+    "ngram_jaccard_pairs": {"exchanges": 9, "broadcast_joins": 4,
+                            "sort_merge_joins": 3, "nested_loop_joins": 0},
+    "embedding_components": {"exchanges": 0, "broadcast_joins": 0,
+                             "sort_merge_joins": 0, "nested_loop_joins": 0},
+    "tpch_q5_local_supplier": {"exchanges": 3, "broadcast_joins": 27,
+                               "sort_merge_joins": 0, "nested_loop_joins": 0},
+    "pipeline_clean_corpus": {"exchanges": 3, "broadcast_joins": 5,
+                              "sort_merge_joins": 0, "nested_loop_joins": 0},
+    "drill_across_month": {"exchanges": 6, "broadcast_joins": 5,
+                           "sort_merge_joins": 1, "nested_loop_joins": 0},
+    "quantile_bins": {"exchanges": 2, "broadcast_joins": 1,
+                      "sort_merge_joins": 0, "nested_loop_joins": 0},
+    "tpch_q3_shipping_priority": {"exchanges": 2, "broadcast_joins": 16,
+                                  "sort_merge_joins": 0,
+                                  "nested_loop_joins": 0},
+}
+
+
+@pytest.mark.parametrize("name", sorted(HOT_SET_FINGERPRINTS))
+def test_hot_set_plan_fingerprint_pinned(spark, name):
+    from data_cube_spark.plans import plan_report
+
+    spark.catalog.clearCache()
+    df = QUERIES[name](spark, SF)
+    got = {k: v for k, v in plan_report(df).items()
+           if k in HOT_SET_FINGERPRINTS[name]}
+    assert got == HOT_SET_FINGERPRINTS[name], (
+        f"{name}: hot-set plan fingerprint drifted — if the new plan is "
+        f"intentional and at least as good, update HOT_SET_FINGERPRINTS "
+        f"in this commit.\nexpected {HOT_SET_FINGERPRINTS[name]}\n"
+        f"got      {got}")

@@ -430,3 +430,126 @@ def test_read_bucketed_guards_missized_broadcast(spark, tables, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_rb_li")
         spark.sql("DROP TABLE IF EXISTS t_rb_o")
+
+
+def test_read_guarded_bands_shaped_member(spark, tmp_path):
+    """VERDICT r13 #1 done-bar, half one: a ``_bands``-shaped index
+    member (narrow all-long rows — band hash + band id + corpus id —
+    the dictionary-friendly shape that compresses far below its
+    deserialized build size) read through the shared guard pins merge
+    when the measured deserialized size tops the broadcast threshold,
+    while the raw ``spark.table`` read reproduces the r12 mis-sizing
+    (Catalyst broadcasts it off compressed file bytes)."""
+    import glob as _glob
+    import os
+
+    from data_cube_spark.plans import explain_str
+    from data_cube_spark.sources.ingest import (
+        read_guarded,
+        table_stats,
+        write_bucketed,
+    )
+
+    bands = spark.range(40_000).select(
+        F.col("id").alias("corpus_id"),
+        (F.col("id") % 7).alias("_t"),
+        (F.col("id") % 997).alias("_b"),
+    )
+    write_bucketed(bands, "t_rg_bands", ["corpus_id"], n_buckets=4,
+                   path=str(tmp_path / "bands"))
+    probe = spark.range(200_000).select(F.col("id").alias("corpus_id"),
+                                        (F.col("id") % 5).alias("x"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        comp = sum(os.path.getsize(p) for p in
+                   _glob.glob(str(tmp_path / "bands" / "*.parquet")))
+        n, row_b = table_stats(spark, "t_rg_bands")
+        assert n == 40_000
+        deser = n * row_b
+        assert comp < deser, "fixture must compress below its row bytes"
+        thr = int((comp + deser) // 2)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
+
+        raw = probe.join(spark.table("t_rg_bands"), "corpus_id")
+        assert "BroadcastHashJoin" in explain_str(raw, "simple"), (
+            "fixture no longer reproduces the compressed-bytes "
+            "mis-sizing:\n" + explain_str(raw, "simple"))
+
+        guarded = probe.join(read_guarded(spark, "t_rg_bands"),
+                             "corpus_id")
+        assert "SortMergeJoin" in explain_str(guarded, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_rg_bands")
+
+
+def test_read_guarded_sets_shaped_member_array_aware(spark, tmp_path):
+    """VERDICT r13 #1 done-bar, half two: a ``_sets``-shaped member
+    (array<string> shingle sets) whose STATIC schema estimate — the 40 B
+    container floor ADVICE r13 flagged as erring SMALL, not large —
+    would still let it broadcast; the measured stats price the actual
+    per-element string bytes and the guard pins merge."""
+    from data_cube_spark.plans import explain_str
+    from data_cube_spark.sources.ingest import (
+        est_row_bytes,
+        read_guarded,
+        table_stats,
+        write_bucketed,
+    )
+
+    sets = spark.range(3_000).select(
+        F.col("id").alias("corpus_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.concat(F.lit("shingle_"),
+                               (F.col("id") * 64 + i).cast("string")),
+        ).alias("_set"),
+    )
+    write_bucketed(sets, "t_rg_sets", ["corpus_id"], n_buckets=4,
+                   path=str(tmp_path / "sets"))
+    probe = spark.range(100_000).select(F.col("id").alias("corpus_id"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        n, row_b = table_stats(spark, "t_rg_sets")
+        static_b = est_row_bytes(spark.table("t_rg_sets").schema)
+        # the whole point: the static floor underestimates arrays 10x+
+        assert row_b > 10 * static_b, (n, row_b, static_b)
+        # threshold ABOVE the static estimate (static guard would not
+        # pin) but BELOW the measured deserialized size (it must pin)
+        thr = int((n * static_b + n * row_b) // 2)
+        assert n * static_b < thr < n * row_b
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
+
+        guarded = probe.join(read_guarded(spark, "t_rg_sets"),
+                             "corpus_id")
+        assert "SortMergeJoin" in explain_str(guarded, "simple"), (
+            explain_str(guarded, "simple"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_rg_sets")
+
+
+def test_table_stats_cached_and_append_refreshes(spark, tmp_path):
+    """The guard's sizing job runs once per (session, table, on-disk
+    bytes): repeated calls return the SAME cached tuple (no re-count per
+    query — VERDICT r13 #1), and an append changes the on-disk bytes so
+    the stats refresh without any explicit invalidation hook."""
+    from data_cube_spark.sources.ingest import table_stats, write_bucketed
+
+    df = spark.range(1_000).select(F.col("id").alias("k"),
+                                   (F.col("id") % 9).alias("v"))
+    write_bucketed(df, "t_ts_cache", ["k"], n_buckets=2,
+                   path=str(tmp_path / "tsc"))
+    try:
+        first = table_stats(spark, "t_ts_cache")
+        again = table_stats(spark, "t_ts_cache")
+        assert again is first, "second call must hit the cache"
+        assert first[0] == 1_000
+
+        more = spark.range(1_000, 1_500).select(
+            F.col("id").alias("k"), (F.col("id") % 9).alias("v"))
+        more.write.insertInto("t_ts_cache")
+        refreshed = table_stats(spark, "t_ts_cache")
+        assert refreshed[0] == 1_500, "append must refresh the stats"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ts_cache")

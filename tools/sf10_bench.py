@@ -28,6 +28,32 @@ sys.path.insert(0, REPO)
 
 from tools.sf10_probe import TAIL_QUERIES  # noqa: E402
 
+#: r14 family rotation (VERDICT r13 #6): the subset had never measured
+#: the funnel / cohort / sessionization / interval-overlap / SCD2
+#: families at sf10 — rotate ~5 per round on top of the standing
+#: worst-ratio core so sf10 evidence accumulates the way driver
+#: evidence does. Next rotation candidates: scd2_merge_rebuild,
+#: vocab_overlap_sources, corpus_snapshot_diff, salted_join_agg,
+#: window_moving_avg.
+ROTATION_QUERIES = [
+    "funnel_conversion",
+    "cohort_retention",
+    "events_sessionize",
+    "interval_overlap_sessions",
+    "scd2_temporal_revenue",
+]
+
+#: queries whose physical plan tier is size-dispatched by
+#: ``similarity.near_pairs`` — the sf1/sf10 ratio for these is only
+#: meaningful when both scales land on the SAME tier (VERDICT r13 #2:
+#: ``embedding_components``' 12.84× was a blocked-matmul denominator
+#: under a packed-LSH numerator). Each maps to the corpus table whose
+#: row count drives the dispatch.
+TIER_DISPATCHED = {
+    "embedding_components": "embeddings",
+    "semantic_dedup_keep": "embeddings",
+}
+
 
 def subset() -> list[str]:
     with open(os.path.join(REPO, "BENCH_sf1.json")) as f:
@@ -47,18 +73,31 @@ def subset() -> list[str]:
             break
         if q not in out:
             out.append(q)
+    for q in ROTATION_QUERIES:
+        if q not in out:
+            out.append(q)
     return out
+
+
+def _tier(sf_dir: str, table: str) -> str:
+    """The near_pairs tier the registry call dispatches to at this
+    scale (registry geometry: n_planes=4, n_tables=48, max_degree set)."""
+    from data_cube_spark.operators.similarity import near_pairs_tier
+    from data_cube_spark.sources.star import parquet_rows
+
+    rows = parquet_rows(sf_dir, table)
+    return near_pairs_tier(rows, n_planes=4, n_tables=48)
 
 
 def main() -> int:
     sf10 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, ".benchdata", "sf10")
-    sf1 = os.path.join(REPO, ".benchdata", "sf1")
+    sf1_dir = os.path.join(REPO, ".benchdata", "sf1")
     if not (os.path.isdir(sf10) and os.listdir(sf10)):
         print(f"# synthesizing sf10 at {sf10} (untimed)", file=sys.stderr)
         subprocess.run([sys.executable,
                         os.path.join(REPO, "tools", "make_sf1.py"),
-                        sf1, sf10, "10"], check=True)
+                        sf1_dir, sf10, "10"], check=True)
 
     qs = subset()
     env = dict(os.environ,
@@ -72,6 +111,32 @@ def main() -> int:
 
     with open(os.path.join(REPO, "BENCH_sf1.json")) as f:
         sf1_bench = json.load(f)
+
+    # Tier consistency (VERDICT r13 #2): when the two scales dispatch
+    # to different near_pairs tiers, the raw ratio compares different
+    # physical operators. Stamp same_tier on every ratio; for the
+    # mismatched ones, time an sf1 twin with the tier FORCED to the
+    # approximate tier sf10 dispatches to (SPARK_GRAFT_PAIRS_EXACT=
+    # false -> exact=False reroutes the blocked tier) and record the
+    # like-for-like ratio alongside.
+    tiers = {q: (_tier(sf1_dir, tb), _tier(sf10, tb))
+             for q, tb in TIER_DISPATCHED.items() if q in qs}
+    mismatched = [q for q, (a, b) in tiers.items() if a != b]
+    twin_sf1 = {}
+    if mismatched:
+        print(f"# tier mismatch {mismatched}: timing sf1 twin on the "
+              f"forced approximate tier", file=sys.stderr)
+        tenv = dict(os.environ,
+                    SPARK_GRAFT_SF_DIR=sf1_dir,
+                    SPARK_GRAFT_PAIRS_EXACT="false",
+                    SPARK_GRAFT_BENCH_ONLY=",".join(mismatched))
+        tproc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=tenv, capture_output=True, text=True, check=True)
+        twin_sf1 = next(json.loads(ln) for ln in tproc.stdout.splitlines()
+                        if ln.startswith("{") and '"queries"' in ln
+                        )["queries"]
+
     ratios = {}
     for q in qs:
         a, b = sf1_bench["queries"].get(q), bench["queries"].get(q)
@@ -79,17 +144,51 @@ def main() -> int:
             "sf1_sec": a, "sf10_sec": b,
             "ratio": round(b / a, 2) if a and b else None,
             "sublinear": bool(a and b and b / a <= 10.0),
+            "same_tier": q not in tiers or tiers[q][0] == tiers[q][1],
         }
+        if q in tiers:
+            ratios[q]["tiers"] = {"sf1": tiers[q][0], "sf10": tiers[q][1]}
+        if q in twin_sf1 and twin_sf1[q]:
+            # numerator: the main sf10 timing (its natural dispatch IS
+            # the forced tier); denominator: the forced-tier sf1 twin
+            ratios[q]["sf1_same_tier_sec"] = twin_sf1[q]
+            ratios[q]["ratio_same_tier"] = (
+                round(b / twin_sf1[q], 2) if b else None)
+
+    # ingest drift note (VERDICT r13 #4): compare per-build seconds to
+    # the previous committed edition and flag >1.5x growth
+    drift = []
+    prev_path = os.path.join(REPO, "BENCH_sf10.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev_detail = json.load(f).get("ingest_detail") or {}
+        for name, cur in (bench.get("ingest_detail") or {}).items():
+            old = prev_detail.get(name, {}).get("sec")
+            if old and cur["sec"] > 1.5 * old:
+                drift.append(f"{name}: {old}s -> {cur['sec']}s "
+                             f"({cur['sec'] / old:.1f}x)")
 
     out = {
         "metric": "sf10_subset_total_sec",
         "value": round(sum(bench["queries"].values()), 3),
         "unit": "sec",
         "sf": 10.0,
+        "edition_note": ("r14 fourth edition: regenerated at HEAD (the "
+                         "r13 artifact still carried the pre-split "
+                         "zorder_layout_prune row — ADVICE r13); adds "
+                         "the funnel/cohort/sessionize/interval/scd2 "
+                         "rotation, same_tier-stamped ratios with "
+                         "forced-tier twins, ingest_detail and the "
+                         "normalized column"),
         "ingest_sec": bench.get("ingest_sec"),
+        "ingest_detail": bench.get("ingest_detail"),
+        "ingest_drift_vs_prev": drift or None,
+        "calibration": bench.get("calibration"),
         "subset_policy": ("tail 10 worst sf0.1->sf1 scalers + 10 most "
-                          "expensive sf1 medians; median-of-3 draws"),
+                          "expensive sf1 medians + 5 rotated families "
+                          "(ROTATION_QUERIES); median-of-3 draws"),
         "queries": bench["queries"],
+        "queries_normalized": bench.get("queries_normalized"),
         "queries_detail": bench.get("queries_detail"),
         "ratios_vs_sf1": ratios,
     }
