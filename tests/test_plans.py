@@ -1084,7 +1084,10 @@ def test_bench_extra_plan_fingerprints(spark):
         "incremental_minhash_pairs": 1,
         "indexed_minhash_read": 1,      # batch-side only; corpus bucketed
         "indexed_exact_read": 0,        # anti-join into bucketed postings
-        "indexed_prefix_read": 3,       # batch prefix rank + cands + agg
+        "indexed_prefix_read": 1,       # batch prefix rank only (r14:
+                                        # sizes/sets come off the shingle
+                                        # ARRAY rows — two groupBy
+                                        # exchanges removed)
         "indexed_embedding_read": 1,
         "indexed_embedding_read_mp": 1,
         "indexed_ivf_read": 1,
