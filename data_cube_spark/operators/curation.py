@@ -196,14 +196,14 @@ def tfidf_top_terms(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
     ).where(F.col("token") != "")
     tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    # document frequency OFF THE tf AGGREGATE, not the raw token stream
-    # (r14): tf's rows are exactly the distinct (doc, token) pairs, so
-    # count-per-token over them == countDistinct(doc) over tok — same
-    # values, but the second pass aggregates |vocab×docs| pre-combined
-    # rows instead of every token occurrence, and a plain count replaces
-    # countDistinct's two-phase expansion; the shared tf exchange is
-    # deduplicated by ReuseExchange.
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    # Document frequency stays countDistinct over the RAW token stream
+    # (r14, measured): deriving it from the tf aggregate (tf rows are the
+    # distinct (doc, token) pairs, so a plain count gives the same
+    # values) looked like one pass less, but the post-aggregate size
+    # estimate flipped the vocab join off its broadcast plan — sf1 A/B
+    # measured 1.38 s -> 3.00 s. Keep the formulation whose estimates
+    # keep the vocab side broadcast-eligible.
+    dfreq = tok.groupBy("token").agg(F.countDistinct(id_col).alias("df_t"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_corpus"))
     score = (
         F.col("tf")

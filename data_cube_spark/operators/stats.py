@@ -175,6 +175,12 @@ def equi_depth_bins(
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     if approx == "auto":
+        # The probe stays a plain count() (r14, examined): count over a
+        # columnar source scans zero columns and is near metadata cost,
+        # while a "bounded" limit(gate+1).count() probe would LocalLimit
+        # per partition and shuffle up to partitions x gate unit rows to
+        # one reducer — strictly worse at scale. Callers at 100 TB pass
+        # an explicit tier and skip the probe entirely.
         approx = df.count() > EXACT_BINS_MAX_ROWS
         if approx:
             import warnings

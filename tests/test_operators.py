@@ -1085,6 +1085,43 @@ def test_shingles_short_doc_empty(spark):
     assert dedup.shingle_table(df, k=3).count() == 0
 
 
+def test_shingle_arrays_equals_shingle_table(spark, tables):
+    """r14 invariants the prefix family's array rewrite rests on:
+    exploding a shingle_arrays row reproduces shingle_table's rows
+    exactly (including empty/NULL-text docs being ABSENT), per-doc
+    ``size(shingles)`` equals the exploded groupBy count, and
+    ``array_sort(shingles)`` equals ``array_sort(collect_set(...))`` of
+    the exploded stream — for both hashed and string shingles."""
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"].limit(200).unionByName(
+        spark.createDataFrame(
+            [(990001, "one two"), (990002, ""), (990003, None),
+             (990004, "a b c a b c")],
+            "doc_id long, text string").select("doc_id", "text"),
+        allowMissingColumns=True)
+    for hashed in (True, False):
+        arr = dedup.shingle_arrays(docs, k=3, hashed=hashed)
+        exploded = arr.select("doc_id",
+                              F.explode("shingles").alias("shingle"))
+        legacy = dedup.shingle_table(docs, k=3, hashed=hashed)
+        assert sorted(map(tuple, exploded.collect())) \
+            == sorted(map(tuple, legacy.collect()))
+        sizes = {r["doc_id"]: r["n"] for r in arr.where(
+            F.size("shingles") > 0).select(
+            "doc_id", F.size("shingles").alias("n")).collect()}
+        legacy_sizes = {r["doc_id"]: r["n"] for r in legacy.groupBy(
+            "doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert sizes == legacy_sizes
+        sets = {r["doc_id"]: r["s"] for r in arr.where(
+            F.size("shingles") > 0).select(
+            "doc_id", F.array_sort("shingles").alias("s")).collect()}
+        legacy_sets = {r["doc_id"]: r["s"] for r in legacy.groupBy(
+            "doc_id").agg(F.array_sort(
+                F.collect_set("shingle")).alias("s")).collect()}
+        assert sets == legacy_sets
+
+
 def test_lsh_near_pairs_recall(tables):
     from data_cube_spark.operators import similarity
 
