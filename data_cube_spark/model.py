@@ -225,10 +225,32 @@ class Level:
     here a lazy ``dropDuplicates([key])`` projection.
     """
 
-    def __init__(self, key: str, df: DataFrame, attrs: Sequence[str]) -> None:
+    def __init__(self, key: str, df: DataFrame, attrs: Sequence[str],
+                 pristine: DataFrame | None = None) -> None:
         self.key = key
         self.df = df
         self.attrs = tuple(attrs)
+        self._pristine = pristine
+
+    @property
+    def pristine(self) -> DataFrame:
+        """The level table BEFORE any base-derived semi-join restriction
+        (the table itself when never restricted).
+
+        Attribute resolution (``Dimension.attr_table``/``denormalized``/
+        filter routing) joins levels onto the dimension base, and a join
+        keyed on the level key picks exactly the rows whose key survives
+        in the base — restricting the level first changes nothing about
+        the result, it only embeds a copy of the (possibly multi-join)
+        filtered-base plan inside EVERY level subtree. Resolving against
+        the pristine table instead keeps each level subtree a single
+        scan, identical across its uses (so ReuseExchange can collapse
+        repeated broadcasts). Measured on tpch_q5 at sf0.1 (r14): 49
+        parquet scans / 50 BroadcastExchange builds -> see
+        OPTIMIZATION_r14.md. ``df`` keeps the restricted lineage for the
+        surfaces where the restricted ROWS are the contract
+        (``save_cube`` level tables, ``schema_info(counts=True)``)."""
+        return self._pristine if self._pristine is not None else self.df
 
     @classmethod
     def build(cls, df: DataFrame, key: str, attrs: Sequence[str] | None = None,
@@ -250,7 +272,10 @@ class Level:
         R/level.R:31-45 + build.each.i R/cube.R:42-45). A DataFrame value
         means semi-join (mode (b)). No dedup anywhere: left-semi join
         semantics are duplicate-insensitive."""
-        df = self.df
+        # filter the PRISTINE table: the caller semi-joins the dimension
+        # base on the surviving keys, which intersects away any rows a
+        # prior restriction would have removed — same result, one scan
+        df = self.pristine
         for fld, vals in filters.items():
             if isinstance(vals, DataFrame):
                 keys = vals.select(fld)
@@ -263,7 +288,8 @@ class Level:
 
     def semijoin(self, keys: DataFrame, *, broadcast: bool = True) -> "Level":
         keys = F.broadcast(keys) if broadcast else keys
-        return Level(self.key, self.df.join(keys, self.key, "left_semi"), self.attrs)
+        return Level(self.key, self.df.join(keys, self.key, "left_semi"),
+                     self.attrs, pristine=self.pristine)
 
     def __repr__(self) -> str:
         return f"Level({self.key!r}, attrs={list(self.attrs)})"
@@ -476,7 +502,9 @@ class Dimension:
         df = self.base
         for lk, cols in needed.items():
             lvl = self.levels[lk]
-            df = df.join(self._hint(lvl.df.select(lk, *[c for c in cols if c != lk])), lk, "left")
+            # pristine: the base join keeps exactly the surviving keys'
+            # rows (see Level.pristine) — one scan per level, reusable
+            df = df.join(self._hint(lvl.pristine.select(lk, *[c for c in cols if c != lk])), lk, "left")
         return df.select(self.key, *[a for a in attrs if a != self.key])
 
     def denormalized(self) -> DataFrame:
@@ -486,7 +514,7 @@ class Dimension:
         for lk, lvl in self.levels.items():
             add = [a for a in lvl.attrs if a not in df.columns]
             if add:
-                df = df.join(self._hint(lvl.df.select(lk, *add)), lk, "left")
+                df = df.join(self._hint(lvl.pristine.select(lk, *add)), lk, "left")
         return df
 
     def members(self) -> DataFrame:

@@ -487,3 +487,49 @@ def test_cube_plan_report(cube_cold):
     rep = cube_cold.q().plan_report()
     assert rep["nested_loop_joins"] == 0
     assert rep["scans"] >= 1
+
+
+def test_pristine_level_resolution_equals_restricted(cube):
+    """r14 invariant the pristine-level rewrite rests on: a diced
+    dimension resolving attributes against its UNRESTRICTED level tables
+    (``Level.pristine``) yields exactly the rows of the restricted
+    formulation, because the base join keeps only surviving keys. Also
+    pins that ``Level.df`` KEEPS the restricted lineage (the save_cube /
+    schema_info(counts=True) contract)."""
+    from pyspark.sql import functions as F
+
+    for dname, filters in (
+        ("supplier", {"r_name": ["EUROPE"]}),
+        ("orders", {"cr_name": ["ASIA"], "d_year": [1996]}),
+    ):
+        dim = cube.dims[dname].subset(filters)
+        # denormalized() (pristine path) == explicit restricted-level joins
+        wide = dim.denormalized()
+        ref = dim.base
+        for lk, lvl in dim.levels.items():
+            add = [a for a in lvl.attrs if a not in ref.columns]
+            if add:
+                ref = ref.join(lvl.df.select(lk, *add), lk, "left")
+        ref = ref.select(*wide.columns)
+        assert sorted(map(tuple, wide.collect())) \
+            == sorted(map(tuple, ref.collect()))
+        # Level.df stays restricted: every level key in df survives in base
+        for lk, lvl in dim.levels.items():
+            extra = (lvl.df.select(lk)
+                     .join(dim.base.select(lk), lk, "left_anti").count())
+            assert extra == 0, f"{dname}.{lk}: unrestricted rows in .df"
+
+
+def test_pristine_chained_subset_equals_joint(cube):
+    """Chained dices through pristine routing match the joint dice and
+    the attr_table output matches the restricted formulation."""
+    d1 = cube.dims["supplier"].subset({"r_name": ["EUROPE"]}).subset(
+        {"n_name": ["FRANCE", "GERMANY"]})
+    d2 = cube.dims["supplier"].subset(
+        {"r_name": ["EUROPE"], "n_name": ["FRANCE", "GERMANY"]})
+    assert sorted(map(tuple, d1.base.collect())) \
+        == sorted(map(tuple, d2.base.collect()))
+    at = d1.attr_table(["n_name", "r_name"])
+    ref = d2.attr_table(["n_name", "r_name"])
+    assert sorted(map(tuple, at.collect())) \
+        == sorted(map(tuple, ref.collect()))

@@ -238,7 +238,13 @@ HOT_SET_FINGERPRINTS = {
                             "sort_merge_joins": 3, "nested_loop_joins": 0},
     "embedding_components": {"exchanges": 0, "broadcast_joins": 0,
                              "sort_merge_joins": 0, "nested_loop_joins": 0},
-    "tpch_q5_local_supplier": {"exchanges": 3, "broadcast_joins": 27,
+    # r14 pristine-level attr resolution (model.Level.pristine): diced
+    # dims resolve attributes against unrestricted level tables (the
+    # base join restricts identically), dropping the per-level copies of
+    # the filtered-base subtree — tpch_q5 27->18, tpch_q3 16->11
+    # broadcasts, results oracle-identical (157/157 gate in the same
+    # commit).
+    "tpch_q5_local_supplier": {"exchanges": 3, "broadcast_joins": 18,
                                "sort_merge_joins": 0, "nested_loop_joins": 0},
     "pipeline_clean_corpus": {"exchanges": 3, "broadcast_joins": 5,
                               "sort_merge_joins": 0, "nested_loop_joins": 0},
@@ -246,7 +252,7 @@ HOT_SET_FINGERPRINTS = {
                            "sort_merge_joins": 1, "nested_loop_joins": 0},
     "quantile_bins": {"exchanges": 2, "broadcast_joins": 1,
                       "sort_merge_joins": 0, "nested_loop_joins": 0},
-    "tpch_q3_shipping_priority": {"exchanges": 2, "broadcast_joins": 16,
+    "tpch_q3_shipping_priority": {"exchanges": 2, "broadcast_joins": 11,
                                   "sort_merge_joins": 0,
                                   "nested_loop_joins": 0},
 }
