@@ -471,6 +471,80 @@ def _indexed_ivf_read(spark, sf_dir):
         queries, f"{_DISK_INDEX[sf_dir]}_ivf", k=5, n_probe=4)
 
 
+#: family key per query for the compact per-family subtotals that ride
+#: the FINAL output line (VERDICT r14 #2: the full per-query JSON line
+#: exceeds the driver's 2000-char tail window, so the driver saw no
+#: per-query data at all — no speedups, no geomean, an empty scaling
+#: block). The final line cannot fit 100+ entries; it carries (a) these
+#: family subtotals and (b) the pinned hot set below — stable keys at
+#: every CPU count, so the driver's two-core-count scaling table has
+#: rows to compare.
+def _family(name: str) -> str:
+    if name.startswith("tpch_"):
+        return "tpch"
+    if name.startswith(("events_", "asof_", "interval_", "range_join",
+                        "funnel", "cohort", "remove_delta")):
+        return "events"
+    if name.startswith("scd2"):
+        return "scd"
+    if name.startswith(("text_", "chunk_", "token_vocab", "pii_",
+                        "tfidf")):
+        return "text"
+    if name.startswith("pipeline"):
+        return "pipeline"
+    if name.startswith(("indexed_", "bucketed_", "zorder", "dpp")):
+        return "index_read"
+    if name.endswith("_cold"):
+        return "cold"
+    if name in GEMM_FAMILY or name.startswith(("ann_", "contrastive")):
+        return "embedding"
+    if "minhash" in name:
+        return "minhash"
+    if name in {"dedup_exact", "ngram_jaccard_pairs",
+                "incremental_dedup_keep", "paragraph_dedup",
+                "decontaminate_overlap"}:
+        return "dedup"
+    if name in {"mixture_sample_docs", "pack_sequences", "domain_cap",
+                "quality_percentile_keep", "split_assign", "shuffle_order",
+                "weighted_sample_docs", "token_budget_sample_docs"}:
+        return "sampling"
+    if name in {"hll_sketch_regrain", "topk_sketch_regrain",
+                "histogram_percentile_regrain", "value_drift_psi",
+                "data_quality_report", "vocab_overlap_sources"}:
+        return "sketch"
+    if name in {"winsorized_price_stats", "quantile_bins", "price_histogram",
+                "udaf_median", "quantiles_by_type", "heavy_hitters_sources",
+                "window_running_total", "key_skew_users",
+                "skew_aware_user_join"}:
+        return "stats"
+    return "cube"
+
+
+#: hot set repeated BY NAME in the final compact line (stable keys —
+#: a top-N-of-this-run selection would mismatch across CPU counts)
+FINAL_LINE_HOT = [
+    "pipeline_pretraining", "pipeline_clean_corpus", "indexed_prefix_read",
+    "minhash_dedup_pairs", "incremental_minhash_pairs",
+    "indexed_minhash_read", "ngram_jaccard_pairs", "incremental_dedup_keep",
+    "semantic_dedup_keep", "embedding_components", "quantile_bins",
+    "tfidf_keywords",
+]
+
+
+def _compact_queries(times: dict) -> dict:
+    """Per-family subtotals + pinned hot-query medians, small enough for
+    the driver's tail window. Family keys are prefixed ``fam_`` so they
+    can never collide with (or be mistaken for) real query names."""
+    fams: dict[str, float] = {}
+    for q, sec in times.items():
+        if sec is None:
+            continue
+        f = f"fam_{_family(q)}"
+        fams[f] = round(fams.get(f, 0.0) + sec, 3)
+    hot = {q: times[q] for q in FINAL_LINE_HOT if times.get(q) is not None}
+    return {**fams, **hot}
+
+
 #: benched alongside the registry queries; keys land in the same
 #: "queries" dict of the output JSON
 EXTRA_BENCH = {
@@ -700,9 +774,43 @@ def main() -> None:
                  if len(draws) > 1 else "")
         print(f"# {name}: {first:.3f}s ({n} rows){extra}", file=sys.stderr)
 
+    # cold-read twins (VERDICT r14 #7): the warm-base protocol persists
+    # the cube fact + corpora in the untimed ingest phase, so the timed
+    # headline measures queries over resident base tables. These twins
+    # quantify the moved cost: ``clearCache()`` (timed — dropping
+    # residency is part of the cold protocol) then one cold build+count
+    # per representative query. Run AFTER the timed set so clearing
+    # cannot pollute the headline entries; a second draw would be warm
+    # by definition, so each twin is single-draw. Excluded from the
+    # headline total (``value``) — the timed set is unchanged from r14;
+    # the twins land in ``cold_detail`` + ``cold_total_sec``.
+    cold_detail: dict = {}
+    if not only:
+        cold_specs = {
+            "tpch_q1_pricing_summary_cold": QUERIES["tpch_q1_pricing_summary"],
+            "text_quality_cold": QUERIES["text_quality"],
+            "events_hourly_cold": QUERIES["events_hourly"],
+            "minhash_dedup_pairs_cold": _production_minhash,
+        }
+        for name, fn in cold_specs.items():
+            t0 = time.perf_counter()
+            try:
+                spark.catalog.clearCache()
+                n = fn(spark, sf_dir).count()
+            except Exception as ex:
+                cold_detail[name] = None
+                print(f"# {name}: FAILED {type(ex).__name__}: {ex}",
+                      file=sys.stderr)
+                continue
+            sec = round(time.perf_counter() - t0, 3)
+            cold_detail[name] = {"sec": sec, "rows": n}
+            print(f"# {name}: {sec:.3f}s cold ({n} rows)", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     normalized = _normalize(times, calibration)
     spark_s = calibration.get("spark_fixed_job_sec")
+    cold_total = (round(sum(d["sec"] for d in cold_detail.values() if d), 3)
+                  if cold_detail else None)
     summary = {
         "metric": "headline_queries_total_sec",
         "value": round(total, 3),
@@ -712,28 +820,38 @@ def main() -> None:
         "value_normalized_spark_jobs": (
             round(total / spark_s, 1) if spark_s else None),
         "ingest_sec": ingest_sec,
+        "cold_total_sec": cold_total,
+        "sf": float(sf) if sf else None,
+        "calibration": calibration,
+    }
+    print(json.dumps({
+        **summary,
         # per-build breakdown of the untimed pile (VERDICT r13 #4);
         # diff this round-over-round — >1.5x growth in any one build at
         # the same sf is the drift signal
         "ingest_detail": dict(_INGEST_DETAIL),
+        "cold_detail": cold_detail,
         "draws_policy": {"threshold_sec": REPEAT_THRESHOLD_SEC,
                          "n_draws": N_DRAWS},
-        "sf": float(sf) if sf else None,
-        "calibration": calibration,
         "normalization": {
             "rule": "raw_sec / gemm_1024_sec for GEMM_FAMILY, "
                     "raw_sec / spark_fixed_job_sec otherwise",
             "gemm_family": sorted(GEMM_FAMILY & set(times)),
         },
-    }
-    print(json.dumps({**summary, "queries": times,
-                      "queries_normalized": normalized,
-                      "queries_detail": detail}))
+        "queries": times,
+        "queries_normalized": normalized,
+        "queries_detail": detail}))
     # the per-query JSON above can run long enough for tail-truncating
     # log captures to cut it mid-object (VERDICT r6 #4: BENCH_r06.json
-    # parsed: null) — repeat the compact summary as the LAST line so the
-    # tail always holds one complete, parseable JSON object
-    print(json.dumps(summary))
+    # parsed: null) — repeat a compact summary as the LAST line so the
+    # tail always holds one complete, parseable JSON object. r15
+    # (VERDICT r14 #2): the compact line now carries a bounded "queries"
+    # map — per-family subtotals + the pinned hot set — so the driver's
+    # tail window finally sees per-query data (its per-query, geomean
+    # and two-core-count scaling tables were all empty in r14). The full
+    # 100+-entry map stays in the first line, unchanged; nothing is
+    # removed or renamed there.
+    print(json.dumps({**summary, "queries": _compact_queries(times)}))
 
 
 if __name__ == "__main__":

@@ -153,7 +153,17 @@ def shingle_arrays(df: DataFrame, text_col: str = "text",
     ``_sz`` = ``size(shingles)``, the verification set =
     ``array_sort(shingles)``. A "" shingle cannot occur (norm_tokens
     yields non-empty tokens and ``concat_ws`` of k non-empty tokens is
-    non-empty), so no element filter is needed."""
+    non-empty), so no element filter is needed.
+
+    ``hashed=True`` hashes AFTER ``array_distinct``, so an in-document
+    xxhash64 collision (~2^-64 per pair) would leave a duplicate hash in
+    the array where a post-hash ``collect_set`` would have deduped it
+    (ADVICE r14). Deliberately NOT re-deduped: ``_sz`` must count
+    distinct STRING shingles — exactly what the legacy
+    ``shingle_table``-row count measured (row count is also
+    collision-insensitive), and a post-hash ``array_distinct`` would
+    change ``_sz`` in that same 2^-64 event. Mins/joins over the array
+    are duplicate-insensitive either way."""
     toks = _spread(df, id_col).select(
         F.col(id_col), norm_tokens(text_col).alias("_toks"))
     arr = shingle_array(F.col("_toks"), k)

@@ -48,26 +48,47 @@ def subword_count(col: str | Column) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("bigint")
 
 
-def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document quality features (length / punctuation / stopword /
-    uppercase / digit ratios + mean token length). One narrow projection."""
-    t = F.col(text_col)
+def _quality_ratios(t: Column) -> dict[str, Column]:
+    """The ratio sub-expressions shared by :func:`quality_features` (as
+    named columns) and :func:`quality_score_expr` (inline) — one source
+    of truth so the inline gate and the join-based operator can never
+    drift apart."""
     n_chars = F.length(t).cast("bigint")
-    n_tok = token_count(text_col)
+    n_tok = F.size(F.split(F.trim(t), r"\s+")).cast("bigint")
     n_punct = F.length(F.regexp_replace(t, r"[^.!?,;:]", "")).cast("bigint")
     n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("bigint")
     n_digit = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("bigint")
     n_stop = _count_matches(t, LANG_STOPWORDS["en"]).cast("bigint")
     nonspace = F.length(F.regexp_replace(t, r"\s+", "")).cast("bigint")
+    return {
+        "n_chars_calc": n_chars,
+        "n_tokens": n_tok,
+        "punct_ratio": (n_punct / n_chars).cast("double"),
+        "upper_ratio": (n_upper / n_chars).cast("double"),
+        "digit_ratio": (n_digit / n_chars).cast("double"),
+        "stopword_ratio": (n_stop / n_tok).cast("double"),
+        "mean_token_len": (nonspace / n_tok).cast("double"),
+    }
+
+
+def _quality_combine(stopword_ratio: Column, mean_token_len: Column,
+                     punct_ratio: Column) -> Column:
+    """Score combiner shared by :func:`quality_score` (over feature
+    columns) and :func:`quality_score_expr` (over inline ratios)."""
+    return (
+        F.least(stopword_ratio * 4, F.lit(1.0)) * 0.5
+        + F.when((mean_token_len >= 3) & (mean_token_len <= 10), 0.3).otherwise(0.0)
+        + F.when(punct_ratio <= 0.1, 0.2).otherwise(0.0)
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features (length / punctuation / stopword /
+    uppercase / digit ratios + mean token length). One narrow projection."""
+    ratios = _quality_ratios(F.col(text_col))
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars_calc"),
-        n_tok.alias("n_tokens"),
-        (n_punct / n_chars).cast("double").alias("punct_ratio"),
-        (n_upper / n_chars).cast("double").alias("upper_ratio"),
-        (n_digit / n_chars).cast("double").alias("digit_ratio"),
-        (n_stop / n_tok).cast("double").alias("stopword_ratio"),
-        (nonspace / n_tok).cast("double").alias("mean_token_len"),
+        *[expr.alias(name) for name, expr in ratios.items()],
     )
 
 
@@ -76,30 +97,58 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     punctuation/digit excess down-weights — the standard cheap pre-filter
     shape (cf. Gopher/C4 heuristics)."""
     feats = quality_features(df, text_col, id_col)
-    score = (
-        F.least(F.col("stopword_ratio") * 4, F.lit(1.0)) * 0.5
-        + F.when((F.col("mean_token_len") >= 3) & (F.col("mean_token_len") <= 10), 0.3).otherwise(0.0)
-        + F.when(F.col("punct_ratio") <= 0.1, 0.2).otherwise(0.0)
-    )
+    score = _quality_combine(F.col("stopword_ratio"),
+                             F.col("mean_token_len"), F.col("punct_ratio"))
     return feats.select(id_col, score.cast("double").alias("quality"))
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-voting language ID over a fixed language set. Ties resolve
-    in LANG_STOPWORDS declaration order; zero hits => 'und' (undetermined).
-    Pure expression — no UDF, no shuffle."""
-    t = F.col(text_col)
+def quality_score_expr(text_col: str | Column = "text") -> Column:
+    """:func:`quality_score`'s score as a single inline Column over the
+    raw text — the collapsed form Catalyst produces anyway, exposed for
+    pipelines that GATE on quality without emitting it (r15): a filter
+    on an inline expression needs no join-back, so the plan does not
+    embed a second copy of everything upstream of the gate (the r14
+    pipeline_pretraining plan carried three copies of the dedup+decontam
+    chain, one per joined-back gate column). Same sub-expressions as
+    :func:`quality_features` via ``_quality_ratios``; equality pinned by
+    ``test_quality_score_expr_matches_operator``."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    ratios = _quality_ratios(t)
+    return _quality_combine(ratios["stopword_ratio"],
+                            ratios["mean_token_len"],
+                            ratios["punct_ratio"]).cast("double")
+
+
+def _language_votes(t: Column) -> tuple[Column, Column]:
+    """(pick, best) of the stopword vote — shared by :func:`language_id`
+    and :func:`language_pick_expr`."""
     counts = {lang: _count_matches(t, words) for lang, words in LANG_STOPWORDS.items()}
     best = F.greatest(*counts.values())
     pick = F.lit("und")
     for lang in reversed(list(counts)):  # earlier languages win ties
         pick = F.when(counts[lang] == best, F.lit(lang)).otherwise(pick)
     pick = F.when(best == 0, F.lit("und")).otherwise(pick)
+    return pick, best
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-voting language ID over a fixed language set. Ties resolve
+    in LANG_STOPWORDS declaration order; zero hits => 'und' (undetermined).
+    Pure expression — no UDF, no shuffle."""
+    pick, best = _language_votes(F.col(text_col))
     return df.select(
         F.col(id_col),
         pick.alias("lang_pred"),
         best.cast("bigint").alias("stopword_hits"),
     )
+
+
+def language_pick_expr(text_col: str | Column = "text") -> Column:
+    """:func:`language_id`'s ``lang_pred`` as a single inline Column —
+    the join-free gate twin of :func:`quality_score_expr` (r15)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    pick, _ = _language_votes(t)
+    return pick
 
 
 def norm_tokens(col: str | Column) -> Column:

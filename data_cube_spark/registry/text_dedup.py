@@ -212,8 +212,20 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     d = t["documents"]
     kept = dedup.dedup_exact(d)
-    lang = text.language_id(kept)
-    qual = text.quality_score(kept)
+    # lang/quality are pure per-row functions of text and doc_id is
+    # unique, so computing the branches over the RAW table and
+    # inner-joining onto the dedup survivors restricts identically —
+    # while keeping each branch a single scan instead of embedding a
+    # copy of the dedup aggregate tower (r15: 3 content-hash aggregates
+    # -> 1; interleaved noop A/B 1.270 -> 1.121 s sf0.1, 2.649 -> 1.887 s
+    # sf1 — the win grows with scale as a removed full pass should).
+    # Branches stay parallel joins, NOT inline columns: lang_pred and
+    # quality are OUTPUT columns here, and the r14 inline experiment
+    # measured the pushed-filter regex duplication slower (see
+    # OPTIMIZATION_r14.md); the r15 A/B re-confirmed (C2 single-branch
+    # 1.714 s vs C1 1.121 s at sf0.1).
+    lang = text.language_id(d)
+    qual = text.quality_score(d)
     return (
         kept.join(lang, "doc_id").join(qual, "doc_id")
         .where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
@@ -230,11 +242,12 @@ def q_pipeline_pretraining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full pretraining-prep pipeline as ONE lazy plan: exact dedup
     (keep min-id) -> drop the held-out eval docs (doc_id % 97 == 0) and
     everything 3-gram-contaminated against them -> language + quality
-    gate -> deterministic train split (90%) -> concat-and-chunk packing
-    into 512-token sequences across 8 shards. Every stage is the already-
-    verified operator; composing them stays declarative, so Catalyst
-    fuses the narrow stages and the only shuffles are the dedup hash, the
-    contamination aggregate and the packing shard window."""
+    gate (inline expressions — see below) -> deterministic train split
+    (90%) -> concat-and-chunk packing into 512-token sequences across 8
+    shards. Every stage is the already-verified operator; composing them
+    stays declarative, so Catalyst fuses the narrow stages and the only
+    shuffles are the dedup hash, the contamination aggregate + benchmark
+    distinct, and the packing shard window (13 exchanges -> 4 in r15)."""
     from data_cube_spark.operators.decontam import contamination_overlap
     from data_cube_spark.operators.packing import pack_concat_chunk
     from data_cube_spark.operators.sampling import assign_split
@@ -244,15 +257,27 @@ def q_pipeline_pretraining(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = dedup.dedup_exact(d)
     bench = d.where(F.col("doc_id") % 97 == 0)
     corpus = kept.where(F.col("doc_id") % 97 != 0)
-    cont = contamination_overlap(corpus, bench, k=3, threshold=0.5)
+    # Contamination is a per-document pure function of text, so scoring
+    # the UNDEDUPED %97 stream flags exactly the same kept-ids while the
+    # branch carries no copy of the dedup aggregate (r15; dup rate in
+    # the corpus is 0.16%, so the extra scored rows are negligible —
+    # and at any scale a full md5 pass + exchange outweighs them).
+    cont = contamination_overlap(d.where(F.col("doc_id") % 97 != 0),
+                                 bench, k=3, threshold=0.5)
     dirty = cont.where(F.col("contaminated") == 1).select("doc_id")
     clean = corpus.join(dirty, "doc_id", "left_anti")
-    lang = text.language_id(clean)
-    qual = text.quality_score(clean)
-    good = (
-        clean.join(lang, "doc_id").join(qual, "doc_id")
-        .where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
-    )
+    # lang_pred/quality are FILTER-ONLY in this query (never output), so
+    # gate inline instead of joining the gate columns back: the joined
+    # form embedded a full copy of the dedup+decontam chain in EACH gate
+    # branch (r14 plan: 13 exchanges, 15 scans, 6 content-hash
+    # aggregates, 3 corpus shingle explodes). Inline there is exactly
+    # one chain. Interleaved noop A/B: 1.744 -> 1.627 s at sf0.1,
+    # 3.340 -> 1.939 s at sf1 (1.72x) — the win grows with scale.
+    # (Pre-filtering the contamination corpus by the gate predicate was
+    # also measured and is SLOWER — 2.25 s at sf0.1, 2.49 s at sf1: the
+    # regex gate in that branch costs more than the shingling it saves.)
+    good = clean.where((text.language_pick_expr("text") == "en")
+                       & (text.quality_score_expr("text") >= 0.5))
     split = assign_split(good, {"train": 0.9, "val": 0.05, "test": 0.05})
     train = split.where(F.col("split") == "train").select(
         "doc_id", text.token_count("text").alias("n_tokens"))

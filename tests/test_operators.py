@@ -1063,6 +1063,35 @@ def test_quality_score_range(tables):
     assert all(0.0 <= r["quality"] <= 1.0 for r in out)
 
 
+def test_quality_score_expr_matches_operator(tables):
+    """The inline gate expression (r15 pipeline rewrite) must be
+    bit-identical to the join-based operator — same sub-expressions via
+    _quality_ratios/_quality_combine, pinned here against drift."""
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    via_op = {r["doc_id"]: r["quality"]
+              for r in text.quality_score(docs).collect()}
+    via_expr = {r["doc_id"]: r["q"]
+                for r in docs.select(
+                    "doc_id",
+                    text.quality_score_expr("text").alias("q")).collect()}
+    assert via_op == via_expr  # exact: same deterministic arithmetic
+
+
+def test_language_pick_expr_matches_operator(tables):
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    via_op = {r["doc_id"]: r["lang_pred"]
+              for r in text.language_id(docs).collect()}
+    via_expr = {r["doc_id"]: r["l"]
+                for r in docs.select(
+                    "doc_id",
+                    text.language_pick_expr("text").alias("l")).collect()}
+    assert via_op == via_expr
+
+
 def test_repetition_stats_values(spark):
     """Hand-computed repetition signals: 'a a a b' -> distinct 2/4, top
     token 3/4, top bigram 'a a' 2/3; single-token doc -> null bigram frac."""

@@ -228,7 +228,13 @@ def test_skip_list_stays_minimal():
 #: propagation runs at build) — the pin still catches a regression
 #: that would surface recomputation into the returned plan.
 HOT_SET_FINGERPRINTS = {
-    "pipeline_pretraining": {"exchanges": 16, "broadcast_joins": 14,
+    # r15: lang/quality gate inlined (filter-only columns need no
+    # join-back) + contamination scored over the undeduped %97 stream —
+    # deletes the two embedded copies of the dedup+decontam chain
+    # (formatted plan at sf0.1: 13 -> 4 shuffle exchanges, 16 -> 5
+    # scans, 24 -> 6 hash aggregates; A/B 3.34 -> 1.94 s at sf1).
+    # Results oracle-identical (157/157 gate in the same commit).
+    "pipeline_pretraining": {"exchanges": 5, "broadcast_joins": 3,
                              "sort_merge_joins": 0, "nested_loop_joins": 0},
     "semantic_dedup_keep": {"exchanges": 2, "broadcast_joins": 0,
                             "sort_merge_joins": 1, "nested_loop_joins": 0},
@@ -246,7 +252,11 @@ HOT_SET_FINGERPRINTS = {
     # commit).
     "tpch_q5_local_supplier": {"exchanges": 3, "broadcast_joins": 18,
                                "sort_merge_joins": 0, "nested_loop_joins": 0},
-    "pipeline_clean_corpus": {"exchanges": 3, "broadcast_joins": 5,
+    # r15: lang/quality branches rebased onto the raw table (pure
+    # per-row functions of text; inner join on unique doc_id restricts
+    # identically) — 3 content-hash aggregate towers -> 1 (A/B 2.65 ->
+    # 1.89 s at sf1).
+    "pipeline_clean_corpus": {"exchanges": 1, "broadcast_joins": 3,
                               "sort_merge_joins": 0, "nested_loop_joins": 0},
     "drill_across_month": {"exchanges": 6, "broadcast_joins": 5,
                            "sort_merge_joins": 1, "nested_loop_joins": 0},

@@ -22,9 +22,16 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+USAGE = "usage: python tools/explain_dump.py OUTDIR SUFFIX name1,name2,..."
+
+
 def main() -> None:
+    if len(sys.argv) < 4:
+        raise SystemExit(USAGE)
     outdir, suffix, names_arg = sys.argv[1], sys.argv[2], sys.argv[3]
     names = [x.strip() for x in names_arg.split(",") if x.strip()]
+    if not names:
+        raise SystemExit(USAGE)
     os.makedirs(outdir, exist_ok=True)
 
     import bench
@@ -53,6 +60,10 @@ def main() -> None:
 
     fns = {n: QUERIES[n] for n in QUERIES}
     fns.update(bench.EXTRA_BENCH)
+    unknown = [n for n in names if n not in fns]
+    if unknown:
+        raise SystemExit(
+            f"unknown queries {unknown}; available:\n" + "\n".join(sorted(fns)))
     for name in names:
         fn = fns[name]
         t0 = time.perf_counter()
