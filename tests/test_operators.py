@@ -2274,7 +2274,16 @@ def test_near_pairs_exact_flag_and_reroute_warning(spark, tables, monkeypatch):
     # exact=True: served EXACTLY by the blocked tier despite > flop cap
     got = sorted(map(tuple, sim.near_pairs(
         emb, 0.3, corpus_rows=n, exact=True).collect()))
-    assert got == truth and len(got) > 0
+    # id pairs exact; cosines to 1e-9 — the same convention as
+    # test_driver_near_pairs_equals_exact. Bit-equality is not part of
+    # the contract between the tiers: the driver tier's numpy matmul
+    # and the blocked tier's per-batch worker GEMM may disagree in the
+    # last ulp depending on BLAS thread blocking (driver BLAS threads
+    # follow host availability; workers are pinned to 1 — observed as a
+    # 1-ulp flake in r15 on code unchanged since r13).
+    assert len(got) == len(truth) > 0
+    for g, t in zip(got, truth):
+        assert g[:2] == t[:2] and abs(g[2] - t[2]) < 1e-9
     # exact=True with unknown size refuses (the collect gate needs rows)
     with pytest.raises(ValueError, match="exact=True"):
         sim.near_pairs(emb, 0.3, exact=True)
