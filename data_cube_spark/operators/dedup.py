@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_cube_spark.operators.text import fingerprint, norm_tokens
 from data_cube_spark.sources.ingest import read_guarded
@@ -1858,20 +1859,37 @@ def minhash_signatures(
     k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash signature per document: hash each shingle ONCE to a long,
-    then derive ``num_hashes`` permutation hashes as affine transforms
-    ``a_i * h + b_i`` (wrapping 64-bit arithmetic — the standard universal
-    family) and take per-document minima.
+    """MinHash signature per document: hash each shingle ONCE to a long
+    (``shingle_arrays``, JVM-side), reduce it mod p = 2^31-1, then derive
+    ``num_hashes`` permutation hashes as affine transforms
+    ``(a_i * h + b_i) mod p`` (the standard universal family) and take
+    per-document minima.
 
-    One string hash + 64 integer mul/adds per shingle row — versus 64
-    string hashes in the naive form — and a single shuffle keyed by doc id.
+    r15 (guide §4.2): the permutation minima are computed in a numpy
+    ``mapInArrow`` kernel over the per-doc hashed-shingle ARRAY rows —
+    64 vectorized mul/add/mod passes over the batch's flattened values
+    plus a segment-min (``np.minimum.reduceat``) — replacing the
+    explode + 64-aggregate hash shuffle. Interleaved noop A/B:
+    1.330 -> 0.739 s at sf0.1, 2.062 -> 1.614 s at sf1 (signatures in
+    isolation); downstream pair timings unchanged. Bit-identity with the
+    explode+hash-aggregate form (pinned by
+    ``test_minhash_signatures_matches_explode_form`` and verified by
+    ``tools/r15_minhash_ab.py check`` at sf0.01/sf0.1):
 
-    (r14 note: a shuffle-free rewrite — per-row ``array_min`` over 64
-    ``transform`` passes of the doc's own shingle array — was measured
-    SLOWER at every scale tried (2.5 s vs 1.9 s per sf0.1 noop pass):
-    higher-order array functions are CodegenFallback, so the 64
-    interpreted per-element passes cost more than the narrow 8-byte
-    explode + codegen'd hash-aggregate they replace. Keep the explode.)
+    - same doc set — docs with < k tokens carry an empty/NULL shingle
+      array, which the kernel drops, matching the exploded form's
+      absent-row membership (no shingle rows => no group);
+    - identical int64 arithmetic: h = pmod(xxhash64, p) < 2^31 and
+      a < 2^30, so every product stays < 2^61 (no 64-bit overflow on
+      either engine), and numpy ``%`` by a positive modulus matches
+      Spark ``pmod``;
+    - duplicate hashes inside one array (the 2^-64 in-doc collision,
+      ADVICE r14) cannot move a min.
+
+    (r14 note, still binding: a JVM-side shuffle-free rewrite — per-row
+    ``array_min`` over 64 ``transform`` passes — measured SLOWER at
+    every scale (higher-order array functions are CodegenFallback); the
+    vectorized Arrow kernel is the quadrant that wins.)
     """
     import numpy as np
 
@@ -1880,22 +1898,56 @@ def minhash_signatures(
     # products stay < 2^61 — no 64-bit overflow (ANSI-mode safe).
     ab = [(int(rng.randint(1, 2**29)) * 2 + 1, int(rng.randint(1, 2**31)))
           for _ in range(num_hashes)]
-    p = F.lit(2147483647)  # 2^31 - 1, prime
-    # materialize h = shingle mod p once per row — referencing the pmod
-    # inside each of the 64 aggregates would recompute it 64×.
-    sh = shingle_table(df, text_col, id_col, k, hashed=True).select(
-        F.col(id_col), F.pmod(F.col("shingle"), p).alias("_h")
-    )
-    # the mod inside each permutation is essential: without it a*h+b is
-    # monotone in h and every "permutation" would select the same argmin
-    mins = [
-        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), p)).alias(f"_h{i}")
-        for i, (a, b) in enumerate(ab)
-    ]
-    sig = sh.groupBy(id_col).agg(*mins)
-    return sig.select(
-        F.col(id_col), F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("signature")
-    )
+    a_list = [a for a, _ in ab]
+    b_list = [b for _, b in ab]
+    p = 2147483647  # 2^31 - 1, prime
+
+    arrs = shingle_arrays(df, text_col, id_col, k, hashed=True)
+    out_schema = T.StructType([
+        arrs.schema[id_col],
+        T.StructField("signature", T.ArrayType(T.LongType())),
+    ])
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        a = np.array(a_list, dtype=np.int64)
+        b = np.array(b_list, dtype=np.int64)
+        nh = len(a_list)
+        for batch in batches:
+            ids, sh = batch.column(0), batch.column(1)
+            lens = (pc.list_value_length(sh).fill_null(0)
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+            keep = lens > 0
+            n_out = int(keep.sum())
+            if n_out == 0:
+                continue
+            # flatten() concatenates the non-null sub-lists' values;
+            # null/empty lists contribute zero width to the cumsum, so
+            # the segment starts stay exact after dropping them
+            flat = sh.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = (np.cumsum(lens) - lens)[keep]
+            h = flat % p  # numpy % by a positive modulus == Spark pmod
+            # the mod inside each permutation is essential: without it
+            # a*h+b is monotone in h and every "permutation" would
+            # select the same argmin
+            mins = np.empty((n_out, nh), dtype=np.int64)
+            for i in range(nh):
+                mins[:, i] = np.minimum.reduceat((h * a[i] + b[i]) % p,
+                                                 starts)
+            offsets = pa.array(np.arange(n_out + 1, dtype=np.int32) * nh,
+                               type=pa.int32())
+            sig = pa.ListArray.from_arrays(
+                offsets, pa.array(mins.reshape(-1), type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [ids.filter(pa.array(keep)) if n_out < len(lens) else ids,
+                 sig],
+                schema=pa.schema([batch.schema.field(0),
+                                  pa.field("signature", sig.type)]))
+
+    return arrs.mapInArrow(kernel, out_schema)
 
 
 def banded_buckets(

@@ -1151,6 +1151,53 @@ def test_shingle_arrays_equals_shingle_table(spark, tables):
         assert sets == legacy_sets
 
 
+def test_minhash_signatures_matches_explode_form(spark, tables):
+    """r15: minhash_signatures computes the 64 permutation minima in a
+    numpy mapInArrow kernel over per-doc hashed-shingle arrays. This
+    pins BIT identity against the legacy explode + hash-aggregate
+    formulation (the r14 shape), including the membership contract:
+    docs with < k tokens (empty/NULL text) produce NO signature row in
+    either form. num_hashes=8 twin exercises the non-default geometry."""
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"].limit(200).unionByName(
+        spark.createDataFrame(
+            [(990001, "one two"), (990002, ""), (990003, None),
+             (990004, "a b c a b c")],
+            "doc_id long, text string").select("doc_id", "text"),
+        allowMissingColumns=True)
+
+    def legacy(df, num_hashes=64, k=3, seed=42):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        ab = [(int(rng.randint(1, 2**29)) * 2 + 1,
+               int(rng.randint(1, 2**31))) for _ in range(num_hashes)]
+        p = F.lit(2147483647)
+        sh = dedup.shingle_table(df, "text", "doc_id", k, hashed=True).select(
+            F.col("doc_id"), F.pmod(F.col("shingle"), p).alias("_h"))
+        mins = [F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), p)
+                      ).alias(f"_h{i}") for i, (a, b) in enumerate(ab)]
+        return sh.groupBy("doc_id").agg(*mins).select(
+            "doc_id", F.array(*[f"_h{i}" for i in range(num_hashes)]
+                              ).alias("signature"))
+
+    for nh in (64, 8):
+        got = {r["doc_id"]: list(r["signature"]) for r in
+               dedup.minhash_signatures(docs, num_hashes=nh).collect()}
+        want = {r["doc_id"]: list(r["signature"]) for r in
+                legacy(docs, num_hashes=nh).collect()}
+        assert got == want and len(got) > 0
+        # membership: the planted empty/NULL/short docs are absent;
+        # 990004 has >= k tokens and is present
+        assert not {990001, 990002, 990003} & set(got)
+        assert 990004 in got
+    # schema contract unchanged: (doc_id bigint, signature array<bigint>)
+    sig = dedup.minhash_signatures(docs)
+    assert dict(sig.dtypes) == {"doc_id": "bigint",
+                                "signature": "array<bigint>"}
+
+
 def test_lsh_near_pairs_recall(tables):
     from data_cube_spark.operators import similarity
 

@@ -93,6 +93,28 @@ def minhash_signatures_arrow(df, text_col="text", id_col="doc_id",
     return arrs.mapInArrow(kernel, f"{id_col} long, signature array<bigint>")
 
 
+def minhash_signatures_explode(df, text_col="text", id_col="doc_id",
+                               num_hashes=64, k=3, seed=42):
+    """The r14 explode + 64-aggregate formulation, pinned here verbatim
+    after the product switched to the Arrow kernel (r15) — so check/ab
+    keep comparing the two forms rather than the kernel against itself."""
+    from pyspark.sql import functions as F
+
+    from data_cube_spark.operators.dedup import shingle_table
+
+    a_np, b_np = _perm_consts(num_hashes, seed)
+    p = F.lit(P)
+    sh = shingle_table(df, text_col, id_col, k, hashed=True).select(
+        F.col(id_col), F.pmod(F.col("shingle"), p).alias("_h"))
+    mins = [F.min(F.pmod(F.col("_h") * F.lit(int(a)) + F.lit(int(b)), p)
+                  ).alias(f"_h{i}")
+            for i, (a, b) in enumerate(zip(a_np, b_np))]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
 def _setup(sf_dir):
     from data_cube_spark.session import get_spark
     from data_cube_spark.sources.star import load_tables
@@ -105,11 +127,10 @@ def _setup(sf_dir):
 
 
 def cmd_check(sf_dir):
-    from data_cube_spark.operators.dedup import minhash_signatures
-
     spark, tbl = _setup(sf_dir)
     docs = tbl["documents"]
-    old = {r[0]: list(r[1]) for r in minhash_signatures(docs).collect()}
+    old = {r[0]: list(r[1]) for r in
+           minhash_signatures_explode(docs).collect()}
     new = {r[0]: list(r[1]) for r in minhash_signatures_arrow(docs).collect()}
     same_keys = set(old) == set(new)
     same_vals = same_keys and all(old[k] == new[k] for k in old)
@@ -136,7 +157,7 @@ def cmd_ab(sf_dir):
         return time.perf_counter() - t0
 
     variants = {
-        "sigs:explode": lambda: dedup.minhash_signatures(docs),
+        "sigs:explode": lambda: minhash_signatures_explode(docs),
         "sigs:arrow": lambda: minhash_signatures_arrow(docs),
     }
     # full-pipeline twins: signatures feed banding + estimate via
@@ -148,7 +169,7 @@ def cmd_ab(sf_dir):
         return est.where(F.col("est_jaccard") >= 0.3)
 
     variants["pairs:explode"] = lambda: pairs_with(
-        lambda: dedup.minhash_signatures(docs))
+        lambda: minhash_signatures_explode(docs))
     variants["pairs:arrow"] = lambda: pairs_with(
         lambda: minhash_signatures_arrow(docs))
 
