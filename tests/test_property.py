@@ -509,7 +509,41 @@ def test_blocked_pre_cap_matches_python_reference(spark, vecs, dups, k, thr):
             if S[i, j] >= thr and (ids[j] in top[ids[i]]
                                    or ids[i] in top[ids[j]]):
                 want.add((int(ids[i]), int(ids[j])))
-    assert got == want
+    if got != want:
+        # Divergence is legitimate ONLY as fp-noise tie resolution: the
+        # reference's driver BLAS (M @ M.T) may fuse multiply-adds where
+        # the worker kernel's GEMM does not (or vice versa), perturbing
+        # an exactly-tied score by ~1e-16 and flipping the
+        # (score desc, id asc) tie-break — observed r15 with
+        # vecs=[[0,0,0,0],[0,0,1,-1],[0,0,-1,-1]], k=1: S[1,2] is 0.0
+        # exactly without FMA, +eps with, which swaps (0,2) for (1,2)
+        # in a k=1 cap. Accept got iff it is a VALID capping under SOME
+        # resolution of eps-ties: every edge that survives under EVERY
+        # resolution must be kept (must), every kept edge must survive
+        # under SOME resolution (allowed). For well-separated scores
+        # must == allowed == want, so this degrades to exact equality.
+        eps = 1e-9
+        pair_s = {(int(ids[i]), int(ids[j])): S[i, j]
+                  for i in range(n) for j in range(i + 1, n)
+                  if S[i, j] >= thr - eps}
+        node_scores = collections.defaultdict(list)
+        for (a, b), s in pair_s.items():
+            node_scores[a].append(s)
+            node_scores[b].append(s)
+
+        def n_at_least(a, s):
+            return sum(1 for x in node_scores[a] if x >= s - eps)
+
+        def n_strictly_better(a, s):
+            return sum(1 for x in node_scores[a] if x > s + eps)
+
+        must = {p for p, s in pair_s.items()
+                if s >= thr + eps and (n_at_least(p[0], s) <= k
+                                       or n_at_least(p[1], s) <= k)}
+        allowed = {p for p, s in pair_s.items()
+                   if n_strictly_better(p[0], s) < k
+                   or n_strictly_better(p[1], s) < k}
+        assert must <= got <= allowed, (got, want, must, allowed)
 
 
 _APX_SEQ = [0]
