@@ -36,9 +36,14 @@ def date_parts(col: str | Column, prefix: str = "d_") -> dict[str, Column]:
 def calendar_table(df: DataFrame, date_col: str, prefix: str = "d_") -> DataFrame:
     """Distinct calendar dimension derived from a date/timestamp column —
     the driver-data analog of the reference's populated time dimension."""
-    parts = date_parts(date_col, prefix)
-    out = df.select(*[expr.alias(name) for name, expr in parts.items()])
-    return out.dropDuplicates([f"{prefix}date"])
+    # dedup the bare date FIRST, then derive the parts over the distinct
+    # dates: the dedup shuffle carries one date column instead of the full
+    # part breakdown, and needs no first() aggregates (every part is a
+    # deterministic function of the date — same rows either way).
+    date_key = date_parts(date_col, prefix)[f"{prefix}date"].alias(f"{prefix}date")
+    out = df.select(date_key).dropDuplicates()
+    parts = date_parts(f"{prefix}date", prefix)
+    return out.select(*[expr.alias(name) for name, expr in parts.items()])
 
 
 # -- formatting -------------------------------------------------------------

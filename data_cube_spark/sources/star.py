@@ -145,7 +145,14 @@ def orders_dimension(t: dict[str, DataFrame], approx_rows: int | None = None) ->
         .join(cust_nation, "c_nationkey")
         .select("o_orderkey", "c_custkey", "c_nationkey", "c_regionkey", "d_date")
     )
-    date_lvl = orders.select(
+    # derive the calendar attributes AFTER the distinct: every part is a
+    # deterministic function of d_date, so deduping the bare date first
+    # shuffles one 4-byte date per order instead of nine derived columns
+    # (two of them strings), and the dedup is a keys-only hash aggregate
+    # instead of eight first() aggregates over predicates the optimizer
+    # cannot drop (guide §2.3, shuffle fewer bytes). Equivalent because
+    # first-row-per-date of rows that are all f(d_date) == f(distinct date).
+    date_lvl = orders.select("d_date").dropDuplicates().select(
         "d_date",
         *[expr.alias(name) for name, expr in date_parts("d_date", "d_").items()
           if name != "d_date"],
@@ -171,9 +178,9 @@ def orders_dimension(t: dict[str, DataFrame], approx_rows: int | None = None) ->
         "monthly": {"d_year": [], "d_quarter": ["d_quarter_name"],
                     "d_month": ["d_month_name"], "d_date": ["d_month", "d_quarter", "d_year"]},
     }
-    # only the derived calendar level comes from a non-unique source
+    # every level table is unique by its key (date_lvl dedups above)
     return snowflake_dimension("orders", "o_orderkey", base, levels, hiers,
-                               dedup_levels=["d_date"], approx_rows=approx_rows)
+                               approx_rows=approx_rows)
 
 
 def lineitem_measures() -> list[Measure]:

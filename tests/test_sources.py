@@ -553,3 +553,39 @@ def test_table_stats_cached_and_append_refreshes(spark, tmp_path):
         assert refreshed[0] == 1_500, "append must refresh the stats"
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ts_cache")
+
+
+def test_date_level_post_distinct_equals_legacy(spark, tables):
+    """r15: the derived calendar (d_date) level dedups the BARE date and
+    derives the parts afterwards. Pin equivalence against the legacy
+    derive-then-dedup formulation (every part is a deterministic function
+    of d_date, so first-row-per-date == derive-after-distinct), and pin
+    that the shipped level plan carries no first() aggregates (the dedup
+    must be a keys-only aggregate over one date column)."""
+    from data_cube_spark.functions import calendar_table, date_parts
+    from data_cube_spark.sources.star import orders_dimension
+
+    dim = orders_dimension(tables)
+    lvl = dim.levels["d_date"].pristine
+
+    orders = tables["orders"].withColumn(
+        "d_date", date_parts("o_orderdate", "d_")["d_date"])
+    legacy = orders.select(
+        "d_date",
+        *[e.alias(n) for n, e in date_parts("d_date", "d_").items()
+          if n != "d_date"],
+    ).dropDuplicates(["d_date"])
+
+    cols = lvl.columns
+    got = sorted(map(tuple, lvl.select(*cols).collect()))
+    want = sorted(map(tuple, legacy.select(*cols).collect()))
+    assert got and got == want
+
+    plan = lvl._jdf.queryExecution().executedPlan().toString()
+    assert "first(" not in plan, "date-level dedup must be keys-only"
+
+    # calendar_table (public API) uses the same post-distinct shape
+    cal = calendar_table(tables["orders"], "o_orderdate", "d_")
+    got_cal = sorted(map(tuple, cal.select(*cols).collect()))
+    assert got_cal == want
+    assert "first(" not in cal._jdf.queryExecution().executedPlan().toString()
