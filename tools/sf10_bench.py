@@ -76,6 +76,17 @@ def subset() -> list[str]:
     for q in ROTATION_QUERIES:
         if q not in out:
             out.append(q)
+    # round-over-round comparability (r15): every row of the PREVIOUS
+    # committed edition keeps a twin in the new one, even when the
+    # expensive-at-sf1 derivation rotates it out (the sf1 medians move
+    # with the host window; the sf10 diff must not lose its comparands)
+    try:
+        with open(os.path.join(REPO, "BENCH_sf10.json")) as f:
+            for q in json.load(f)["queries"]:
+                if q not in out:
+                    out.append(q)
+    except (OSError, KeyError, ValueError):
+        pass
     return out
 
 
@@ -108,6 +119,15 @@ def main() -> int:
                           check=True)
     bench = next(json.loads(ln) for ln in proc.stdout.splitlines()
                  if ln.startswith("{") and '"queries"' in ln)
+    # surface per-query failure lines (bench.py reports a failed query as
+    # null and keeps going; silently summing would TypeError and hide WHICH
+    # query broke at sf10 — the single most important fact of the run)
+    failed = sorted(q for q, sec in bench["queries"].items() if sec is None)
+    for ln in proc.stderr.splitlines():
+        if "FAILED" in ln:
+            print(ln, file=sys.stderr)
+    if failed:
+        print(f"# sf10 failed queries: {failed}", file=sys.stderr)
 
     with open(os.path.join(REPO, "BENCH_sf1.json")) as f:
         sf1_bench = json.load(f)
@@ -170,7 +190,9 @@ def main() -> int:
 
     out = {
         "metric": "sf10_subset_total_sec",
-        "value": round(sum(bench["queries"].values()), 3),
+        "value": round(sum(v for v in bench["queries"].values()
+                           if v is not None), 3),
+        "failed_queries": failed or None,
         "unit": "sec",
         "sf": 10.0,
         "edition_note": ("r14 fourth edition: regenerated at HEAD (the "
